@@ -1,0 +1,184 @@
+"""The produce pipe: serialize → frame → batch(count) → bounded-parallel put
+with shrink-to-failed retry → ack stream (firehose.scala:67-80 on Spark).
+
+Execution-model mapping (SURVEY.md §1.3, §3 EP1):
+
+- fs2 ``groupWithin(batchSize, timeWindow)``  → streaming trigger gives the
+  TIME bound; the 500-record COUNT bound is re-imposed inside the sink by
+  slicing each partition iterator (Spark triggers are time-only — SURVEY.md §7
+  hard-part 1).
+- ``mapAsync(parallelism)``                   → partition count of the batch:
+  ``repartition(parallelism)`` bounds in-flight requests.  Ordering is
+  preserved only *within* a partition, not globally (documented semantic
+  delta, SURVEY.md §4).
+- blocking-pool isolation (Firehose.scala:65) → puts run inside partition
+  functions on executors; the driver never blocks on AWS I/O.
+- ack stream (``Pipe[F, T, PutRecordBatchResult]``) → ``produce_acks`` returns
+  a DataFrame of per-request ack rows; consuming it executes the puts (lazy,
+  like pulling the fs2 stream).
+
+At 100 TB scale the sink is embarrassingly parallel: no shuffle other than the
+optional ``repartition(parallelism)``, no driver collect, per-executor client
+singletons, and per-partition batching keeps memory at O(batch_size).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from fs2_kinesis_firehose_spark.firehose.client import ClientFactory
+from fs2_kinesis_firehose_spark.firehose.retry import put_batch_with_retry
+from fs2_kinesis_firehose_spark.firehose.serializers import serialize_and_frame
+from fs2_kinesis_firehose_spark.firehose.settings import ProducerSettings
+
+ACK_SCHEMA = StructType(
+    [
+        StructField("partition_id", IntegerType(), False),
+        StructField("request_index", LongType(), False),
+        StructField("n_records", LongType(), False),
+        StructField("failed_records", LongType(), False),
+        StructField("attempts", LongType(), False),
+        StructField("request_bytes", LongType(), False),
+        StructField("stream_name", StringType(), False),
+    ]
+)
+
+# per-executor-process client singleton (A22: client lifecycle — the Resource
+# analog; built once per Python worker, reused across partitions)
+_CLIENT_CACHE: dict[int, Any] = {}
+
+
+def _executor_client(factory: ClientFactory) -> Any:
+    key = id(factory) if not hasattr(factory, "kwargs") else hash(repr(sorted(factory.kwargs.items())))
+    client = _CLIENT_CACHE.get(key)
+    if client is None:
+        client = factory()
+        _CLIENT_CACHE[key] = client
+    return client
+
+
+def _slice_batches(rows: Iterator[Row], batch_size: int) -> Iterator[list[bytes]]:
+    """≤batch_size-record slices of a partition (the count bound of A2)."""
+    batch: list[bytes] = []
+    for row in rows:
+        batch.append(bytes(row.value))
+        if len(batch) >= batch_size:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
+
+
+def _put_partition(
+    partition_id: int,
+    rows: Iterator[Row],
+    settings: ProducerSettings,
+    client_factory: ClientFactory,
+) -> Iterator[Row]:
+    client = _executor_client(client_factory)
+    for request_index, payloads in enumerate(_slice_batches(rows, settings.batch_size)):
+        records = [{"Data": p} for p in payloads]
+        resp = put_batch_with_retry(client, settings.stream_name, records, settings.retry)
+        yield Row(
+            partition_id=partition_id,
+            request_index=request_index,
+            n_records=len(records),
+            failed_records=int(resp.get("FailedPutCount", 0)),
+            attempts=int(resp.get("Attempts", 1)),
+            request_bytes=sum(len(p) for p in payloads),
+            stream_name=settings.stream_name,
+        )
+
+
+def produce_acks(
+    framed: DataFrame,
+    settings: ProducerSettings,
+    client_factory: ClientFactory,
+) -> DataFrame:
+    """Batch-mode produce over a ``value: binary`` DataFrame → ack DataFrame.
+
+    The returned DataFrame is lazy; an action on it performs the puts — the
+    direct analog of the reference's ack ``Pipe`` output (firehose.scala:69).
+    """
+    if "value" not in framed.columns:
+        raise ValueError("produce expects a framed DataFrame with a 'value' column")
+    partitioned = framed.repartition(settings.parallelism)
+
+    def run(split_index: int, it: Iterator[Row]) -> Iterator[Row]:
+        return _put_partition(split_index, it, settings, client_factory)
+
+    rdd = partitioned.select("value").rdd.mapPartitionsWithIndex(run)
+    return framed.sparkSession.createDataFrame(rdd, ACK_SCHEMA)
+
+
+def write_batch(
+    df: DataFrame,
+    settings: ProducerSettings,
+    client_factory: ClientFactory,
+    serializer: str = "json",
+) -> list[Row]:
+    """One-shot typed batch put (FirehoseOps.batchPut analog,
+    FirehoseOps.scala:48-54) — serialize+frame then deliver; returns acks."""
+    framed = serialize_and_frame(df, serializer, settings.separator)
+    return produce_acks(framed, settings, client_factory).collect()
+
+
+def write_one(
+    obj: bytes | str,
+    settings: ProducerSettings,
+    client_factory: ClientFactory,
+    charset: str = "UTF-8",
+) -> dict[str, Any]:
+    """Typed single put (FirehoseOps.put analog, FirehoseOps.scala:42-46).
+
+    Driver-side, no cluster involvement — one record, one request."""
+    payload = obj.encode(charset) if isinstance(obj, str) else bytes(obj)
+    payload += settings.separator
+    client = client_factory()
+    return client.put_record(
+        DeliveryStreamName=settings.stream_name, Record={"Data": payload}
+    )
+
+
+def produce(
+    stream_df: DataFrame,
+    settings: ProducerSettings,
+    client_factory: ClientFactory,
+    serializer: str = "json",
+    checkpoint_dir: str | None = None,
+    query_name: str = "firehose_produce",
+):
+    """The streaming produce pipe (firehose.scala:67-80 analog).
+
+    ``stream_df`` is a streaming DataFrame; each micro-batch (time bound =
+    trigger interval ≈ groupWithin's timeWindow) is serialized, framed,
+    split into ≤500-record requests and delivered with retry at bounded
+    parallelism.  Returns the StreamingQuery handle.
+    """
+    if not stream_df.isStreaming:
+        raise ValueError("produce expects a streaming DataFrame; use write_batch for batch")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        framed = serialize_and_frame(batch_df, serializer, settings.separator)
+        # foreachPartition keeps everything on executors; acks are counted
+        # via collect of the tiny per-request summary rows
+        produce_acks(framed, settings, client_factory).collect()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .trigger(processingTime=f"{settings.time_window_s} seconds")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -1,0 +1,621 @@
+"""Tier B — relational query catalog (SURVEY.md §2 Tier B).
+
+The reference implements none of this (SURVEY.md §2 "Not present anywhere in
+the reference"); it is new surface mandated by the north star.  Every query is
+declarative DataFrame API so Catalyst owns pushdown/pruning/join selection;
+dimension tables are explicitly ``broadcast()`` where a 100 TB fact side makes
+a shuffle join the wrong plan.
+
+Determinism conventions (the driver value-hashes results):
+- every float aggregate is ``round(...)``-ed identically on both sides;
+- every top-k has a total-order tie-break on a key column;
+- timestamps are bucketed (``date_trunc`` → date) before output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fs2_kinesis_firehose_spark.queries import query
+from fs2_kinesis_firehose_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Flagship: scan + filter + 3-way join + agg + sort (SURVEY.md §7 Phase 1)
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by customer nation over one ship-year.
+
+    Scale notes: lineitem is the 100 TB fact side — the shipdate filter is
+    pushed to the parquet scan; ``customer``/``nation`` are broadcast so the
+    only shuffle is the final groupBy on 25 nation keys (partial aggregation
+    map-side first).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary: wide aggregate, partial+final agg
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions: per-group top-k with deterministic tie-break
+# ---------------------------------------------------------------------------
+@query(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rnk
+        FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number window — no global sort, shuffles once
+    on o_custkey; at scale this is the standard pattern (never collect+sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "customer_order_window_stats",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           ROUND(o_totalprice, 2) AS total_price,
+           RANK()       OVER w AS price_rank,
+           DENSE_RANK() OVER w AS price_dense_rank,
+           ROUND(LAG(o_totalprice)  OVER w2, 2) AS prev_price,
+           ROUND(LEAD(o_totalprice) OVER w2, 2) AS next_price,
+           ROUND(SUM(o_totalprice)  OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def customer_order_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/lag/lead + running frame aggregate in one pass (one
+    shuffle on o_custkey reused by all four window specs)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    w2 = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    w2run = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.round(F.lag("o_totalprice").over(w2), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w2), 2).alias("next_price"),
+        F.round(F.sum("o_totalprice").over(w2run), 2).alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / cube / grouping sets
+# ---------------------------------------------------------------------------
+@query(
+    "market_segment_rollup",
+    oracle="""
+    SELECT c_mktsegment,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_spend
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+    """,
+)
+def market_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "returnflag_cube",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family: semi / anti / theta-augmented equi-join
+# ---------------------------------------------------------------------------
+@query(
+    "parts_never_ordered",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join; at scale the lineitem side is pre-aggregated to distinct
+    keys by Catalyst (anti-join build side) — no row explosion."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    return p.join(l, p.p_partkey == l.l_partkey, "left_anti").select("p_partkey", "p_name")
+
+
+@query(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "late_shipments",
+    oracle="""
+    SELECT o.o_orderkey,
+           l.l_linenumber,
+           CAST(DATEDIFF('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS days_to_ship
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    """,
+)
+def late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with an extra theta (range) condition — Catalyst keeps the
+    hash join on l_orderkey and applies the range predicate as a post-filter,
+    which is the right plan at any scale."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .select(
+            "o_orderkey",
+            "l_linenumber",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("bigint").alias("days_to_ship"),
+        )
+    )
+
+
+@query(
+    "full_outer_nation_balance",
+    oracle="""
+    SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+           cn.customer_balance,
+           sn.supplier_balance
+    FROM (
+        SELECT c_nationkey AS nationkey, ROUND(SUM(c_acctbal), 2) AS customer_balance
+        FROM customer GROUP BY c_nationkey
+    ) cn
+    FULL OUTER JOIN (
+        SELECT s_nationkey AS nationkey, ROUND(SUM(s_acctbal), 2) AS supplier_balance
+        FROM supplier GROUP BY s_nationkey
+    ) sn ON cn.nationkey = sn.nationkey
+    """,
+)
+def full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.round(F.sum("c_acctbal"), 2).alias("customer_balance")
+    )
+    sn = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.round(F.sum("s_acctbal"), 2).alias("supplier_balance")
+    )
+    return cn.join(sn, "nationkey", "full_outer").select(
+        F.col("nationkey"), "customer_balance", "supplier_balance"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+@query(
+    "nations_with_customers_and_suppliers",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def nations_with_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "nations_without_rich_suppliers",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal < 0
+    EXCEPT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+)
+def nations_without_rich_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics) — ``subtract``, not ``exceptAll`` (bag)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    return c.subtract(s)
+
+
+@query(
+    "all_party_names_union",
+    oracle="""
+    SELECT party_name, party_kind, COUNT(*) AS n
+    FROM (
+        SELECT c_name AS party_name, 'customer' AS party_kind FROM customer
+        UNION ALL
+        SELECT s_name AS party_name, 'supplier' AS party_kind FROM supplier
+    )
+    GROUP BY party_name, party_kind
+    """,
+)
+def all_party_names_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("party_name"), F.lit("customer").alias("party_kind")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("party_name"), F.lit("supplier").alias("party_kind")
+    )
+    return c.unionByName(s).groupBy("party_name", "party_kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / global top-k
+# ---------------------------------------------------------------------------
+@query(
+    "global_top10_orders",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def global_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit compiles to TakeOrderedAndProject — per-partition top-10
+    then a driver merge of 10×P rows, never a global sort. Correct at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation extras: exact count-distinct (oracle) — approx variant is
+# rows-only (sketches differ across engines) and lives in llm.py's pytest.
+# ---------------------------------------------------------------------------
+@query(
+    "segment_count_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT o_custkey) AS n_active_customers,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series style aggregation + running total over months
+# ---------------------------------------------------------------------------
+@query(
+    "monthly_revenue_running",
+    oracle="""
+    WITH monthly AS (
+        SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS month,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           ROUND(SUM(revenue) OVER (ORDER BY month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+    FROM monthly
+    """,
+)
+def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias("month")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return monthly.select(
+        "month", "revenue", "n_orders", F.round(F.sum("revenue").over(w), 2).alias("cum_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families: string / date / math / array / map / json
+# ---------------------------------------------------------------------------
+@query(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           LOWER(p_name)                                   AS name_lower,
+           UPPER(p_brand)                                  AS brand_upper,
+           SUBSTRING(p_type, 1, 5)                         AS type_prefix,
+           REGEXP_EXTRACT(p_name, '([0-9]+)', 1)           AS first_number,
+           LEVENSHTEIN(p_brand, p_type)                    AS brand_type_dist,
+           LENGTH(p_name)                                  AS name_len,
+           CONCAT(p_brand, ':', p_type)                    AS brand_type
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.regexp_extract("p_name", r"([0-9]+)", 1).alias("first_number"),
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)    AS order_year,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS order_quarter,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           ROUND(SQRT(l_extendedprice), 4)        AS price_sqrt,
+           ROUND(LN(l_extendedprice + 1), 6)      AS price_ln,
+           ROUND(POW(l_discount, 2), 6)           AS disc_sq,
+           CAST(CEIL(l_quantity) AS BIGINT)       AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT)      AS qty_floor,
+           ABS(l_tax - l_discount) > 0.05         AS tax_gap
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_orderkey % 10 = 0
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 10 == 0)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        (F.abs(F.col("l_tax") - F.col("l_discount")) > 0.05).alias("tax_gap"),
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction via from_json → MapType (SURVEY.md §1.3: events.props)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "map<string,string>").getItem("k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                   AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6)           AS first_val,
+           ROUND(CAST(list_aggregate(embedding, 'sum') AS DOUBLE), 4) AS vec_sum,
+           ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vec_max
+    FROM embeddings
+    WHERE vec_id % 7 = 0
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops stay JVM-side: size/element_at/aggregate are codegen'd —
+    no Python in the loop (SURVEY.md §7 hard-part 4)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") % 7 == 0).select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("vec_sum"),
+        F.round(
+            F.array_max(F.transform("embedding", lambda x: x.cast("double"))), 6
+        ).alias("vec_max"),
+    )
+
+
+@query(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()

@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (default 32) in one JVM; the
+configuration below is chosen so the *same logical plans* scale to a
+1000-executor cluster reading ~100 TB:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting, dynamic
+  broadcast conversion) — the single most important knob at scale.
+- ``spark.sql.shuffle.partitions`` sized for the local box; on a real cluster
+  AQE re-coalesces from a deliberately high initial number, so queries must not
+  depend on an exact partition count.
+- Arrow enabled for every pandas UDF / toPandas hop.
+- Session timezone pinned to UTC so event-time semantics are
+  deployment-independent (and match the DuckDB oracle, which reads the naive
+  parquet timestamps as-is).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "fs2-kinesis-firehose-spark"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    *,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the process-wide SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count; on a cluster you
+    would set it high (e.g. 2000) and let AQE coalesce.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # --- scale-critical defaults -------------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark has no native
+        # type for; read as long and convert in tables.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- local-mode ergonomics ---------------------------------------
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.schemaInference", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,89 @@
+"""Unit tests for shrink-to-failed retry (Firehose.scala:70-105 semantics) —
+the path the reference itself never tested (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fs2_kinesis_firehose_spark.firehose.client import FakeFirehose
+from fs2_kinesis_firehose_spark.firehose.retry import put_batch_with_retry
+from fs2_kinesis_firehose_spark.firehose.settings import RetryPolicy
+
+NO_SLEEP = lambda _: None  # noqa: E731
+
+
+def recs(*payloads: bytes) -> list[dict[str, bytes]]:
+    return [{"Data": p} for p in payloads]
+
+
+def test_all_success_single_attempt():
+    client = FakeFirehose()
+    resp = put_batch_with_retry(client, "s", recs(b"a", b"b"), RetryPolicy(), sleep=NO_SLEEP)
+    assert resp["FailedPutCount"] == 0
+    assert resp["Attempts"] == 1
+    assert client.delivered["s"] == [b"a", b"b"]
+
+
+def test_shrink_to_failed_resubmits_only_failures():
+    # every record fails once, succeeds on second submission
+    client = FakeFirehose(fail_record_times=1)
+    resp = put_batch_with_retry(client, "s", recs(b"a", b"b", b"c"), RetryPolicy(), sleep=NO_SLEEP)
+    assert resp["FailedPutCount"] == 0
+    assert resp["Attempts"] == 2
+    # each record delivered exactly once (shrunken retry, no duplicates)
+    assert sorted(client.delivered["s"]) == [b"a", b"b", b"c"]
+    assert client.put_batch_calls == 2
+
+
+def test_partial_failure_shrinks_request():
+    # only records ending in x fail, and only on their first attempt
+    client = FakeFirehose(record_should_fail=lambda p, attempt: p.endswith(b"x") and attempt == 0)
+    resp = put_batch_with_retry(
+        client, "s", recs(b"ax", b"b", b"cx", b"d"), RetryPolicy(), sleep=NO_SLEEP
+    )
+    assert resp["FailedPutCount"] == 0
+    assert resp["Attempts"] == 2
+    # second request contained only the two failed records
+    assert sorted(client.delivered["s"]) == [b"ax", b"b", b"cx", b"d"]
+    # responses aligned to original order, all with RecordId
+    assert all(e.get("RecordId") for e in resp["RequestResponses"])
+
+
+def test_retries_exhaust_returns_failed_result():
+    client = FakeFirehose(fail_record_times=100)
+    policy = RetryPolicy(max_retries=2)
+    resp = put_batch_with_retry(client, "s", recs(b"a", b"b"), policy, sleep=NO_SLEEP)
+    assert resp["FailedPutCount"] == 2
+    assert resp["Attempts"] == 3  # 1 initial + 2 retries
+    assert client.delivered["s"] == []
+
+
+def test_whole_call_failure_retries_unchanged_then_succeeds():
+    client = FakeFirehose(raise_call_times=2)
+    resp = put_batch_with_retry(client, "s", recs(b"a", b"b"), RetryPolicy(), sleep=NO_SLEEP)
+    assert resp["FailedPutCount"] == 0
+    assert resp["Attempts"] == 3
+    assert client.delivered["s"] == [b"a", b"b"]
+
+
+def test_whole_call_failure_exhausts_raises_last_error():
+    client = FakeFirehose(raise_call_times=100)
+    with pytest.raises(ConnectionError):
+        put_batch_with_retry(client, "s", recs(b"a"), RetryPolicy(max_retries=2), sleep=NO_SLEEP)
+    assert client.put_batch_calls == 3
+
+
+def test_no_retry_policy_passthrough():
+    client = FakeFirehose(fail_record_times=1)
+    resp = put_batch_with_retry(client, "s", recs(b"a"), None, sleep=NO_SLEEP)
+    assert resp["FailedPutCount"] == 1
+    assert resp["Attempts"] == 1
+
+
+def test_exponential_backoff_schedule():
+    sleeps: list[float] = []
+    client = FakeFirehose(fail_record_times=3)
+    put_batch_with_retry(
+        client, "s", recs(b"a"), RetryPolicy(max_retries=6, base_backoff_s=0.5), sleep=sleeps.append
+    )
+    assert sleeps == [0.5, 1.0, 2.0]  # 500ms base, doubling (ProducerSettings.scala:82)

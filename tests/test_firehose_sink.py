@@ -1,0 +1,122 @@
+"""Spark-integration tests for the produce pipe: serialize/frame byte-exactness,
+≤500-record slicing, bounded parallelism, streaming delivery."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+
+from fs2_kinesis_firehose_spark.firehose.client import fake_client_factory, read_spool
+from fs2_kinesis_firehose_spark.firehose.serializers import (
+    serialize_and_frame,
+    string_serializer,
+)
+from fs2_kinesis_firehose_spark.firehose.settings import ProducerSettings
+from fs2_kinesis_firehose_spark.firehose.sink import produce, produce_acks, write_batch, write_one
+from fs2_kinesis_firehose_spark.tables import load_table
+
+
+def test_serialize_and_frame_json_byte_exact(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    out = serialize_and_frame(df, "json", b"\n").collect()
+    payloads = sorted(bytes(r.value) for r in out)
+    assert payloads == [b'{"id":1,"s":"a"}\n', b'{"id":2,"s":"b"}\n']
+
+
+def test_serialize_custom_separator_and_charset(spark):
+    df = spark.createDataFrame([("héllo",)], "txt string")
+    out = serialize_and_frame(df, string_serializer("txt", "UTF-8"), b"|").collect()
+    assert bytes(out[0].value) == "héllo".encode("utf-8") + b"|"
+
+
+def test_serialize_binary_passthrough(spark):
+    df = spark.createDataFrame([(b"\x00\x01",)], "payload binary")
+    out = serialize_and_frame(df, "binary", b"").collect()
+    assert bytes(out[0].value) == b"\x00\x01"
+
+
+def test_batch_slicing_500_cap(spark, tmp_path):
+    # 1234 rows at parallelism=1 → ceil(1234/500)=3 requests of 500/500/234
+    spool = str(tmp_path / "spool")
+    df = spark.range(1234).selectExpr("CAST(string(id) AS BINARY) AS value")
+    settings = ProducerSettings(stream_name="t", parallelism=1)
+    acks = produce_acks(df, settings, fake_client_factory(spool_dir=spool)).collect()
+    assert sorted(a.n_records for a in acks) == [234, 500, 500]
+    assert all(a.failed_records == 0 for a in acks)
+    assert len(read_spool(spool, "t")) == 1234
+
+
+def test_bounded_parallelism_partition_count(spark, tmp_path):
+    spool = str(tmp_path / "spool")
+    df = spark.range(1000).selectExpr("CAST(string(id) AS BINARY) AS value")
+    settings = ProducerSettings(stream_name="t", parallelism=4, batch_size=100)
+    acks = produce_acks(df, settings, fake_client_factory(spool_dir=spool)).collect()
+    assert {a.partition_id for a in acks} <= set(range(4))
+    assert sum(a.n_records for a in acks) == 1000
+    assert len(read_spool(spool, "t")) == 1000
+
+
+def test_write_batch_typed_json_delivery(spark, tmp_path):
+    spool = str(tmp_path / "spool")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, s string")
+    settings = ProducerSettings(stream_name="t")
+    acks = write_batch(df, settings, fake_client_factory(spool_dir=spool))
+    assert sum(a.n_records for a in acks) == 2
+    delivered = sorted(read_spool(spool, "t"))
+    assert delivered == [b'{"id":1,"s":"x"}\n', b'{"id":2,"s":"y"}\n']
+    for p in delivered:
+        assert p.endswith(b"\n")
+        json.loads(p.decode())
+
+
+def test_write_one(tmp_path):
+    spool = str(tmp_path / "spool")
+    settings = ProducerSettings(stream_name="t", separator=b"\n")
+    resp = write_one("hello", settings, fake_client_factory(spool_dir=spool))
+    assert resp["RecordId"]
+    assert read_spool(spool, "t") == [b"hello\n"]
+
+
+def test_produce_rejects_batch_df(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        produce(df, ProducerSettings(stream_name="t"), fake_client_factory())
+
+
+def test_streaming_produce_delivers_all_events(spark, sf_smoke, tmp_path):
+    """End-to-end EP1: file streaming source → produce pipe → fake Firehose.
+
+    Replays the events parquet as a stream; availableNow trigger processes
+    everything; each record must arrive exactly once (no injected failures)."""
+    spool = str(tmp_path / "spool")
+    events = load_table(spark, sf_smoke, "events")
+    n = events.count()
+    # raw footer schema (ts = int64 nanos under nanosAsLong), not the
+    # converted load_table schema — the file source validates against the file
+    raw_schema = spark.read.parquet(f"{sf_smoke}/events.parquet").schema
+    src_dir = tmp_path / "events_src"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_smoke}/events.parquet", src_dir / "events.parquet")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    settings = ProducerSettings(stream_name="ev", parallelism=2)
+    q = produce(
+        stream.select("event_id", "event_type", "value"),
+        settings,
+        fake_client_factory(spool_dir=spool),
+        serializer="json",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    delivered = read_spool(spool, "ev")
+    assert len(delivered) == n
+    ids = sorted(json.loads(p.decode().rstrip("\n"))["event_id"] for p in delivered)
+    assert ids == sorted(r.event_id for r in events.select("event_id").collect())
