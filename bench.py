@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the ``noop`` sink so Catalyst can't
+column-prune away the measured work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from fs2_kinesis_firehose_spark.session import get_spark
+import fs2_kinesis_firehose_spark.queries as q
+
+# Cross-tier headline set: relational core, windows, json, dedup (exact +
+# MinHash scale path), similarity, text analysis, streaming, firehose sink.
+HEADLINE = [
+    "revenue_by_nation",
+    "pricing_summary",
+    "top_orders_per_customer",
+    "monthly_revenue_running",
+    "segment_count_distinct",
+    "events_json_extract",
+    "global_top10_orders",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "cosine_topk_bruteforce",
+    "token_stats",
+    "quality_scores",
+    "streaming_tumbling_counts",
+    "firehose_delivery_accounting",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    q.load_all()
+    spark = get_spark("bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = q.QUERIES[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Text primitives as pure Column expressions (tokenize, shingle, hash).
+
+Everything here compiles into whole-stage codegen — at 100 TB these run at
+scan speed with zero Python involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WHITESPACE_RE = r"\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), WHITESPACE_RE)
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-ish sub-word segmentation: split on word boundaries/punct the way a
+    byte-pair pre-tokenizer does (GPT-2-style regex, simplified to RE2-safe
+    form — no lookaheads in Spark's regex engine)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pattern = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+    return F.regexp_extract_all(c, F.lit(pattern), 0)
+
+
+def distinct_tokens(col: Column | str) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles → array<string>.
+
+    ``transform(sequence(0, size-n), i -> array_join(slice(words, i+1, n)))``
+    — stays in codegen; no explode needed until LSH banding."""
+    words = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string arrays (set semantics)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(F.array_union(a, b)).cast("double"))
+
+
+# NOTE: MinHash signatures are intentionally NOT built as N inline
+# array_min(transform(shingles, ...)) column expressions — that inlines the
+# tokenize+shingle expression N times, exceeds the codegen method limit and
+# falls back to interpreted eval (observed ~1000× slowdown).  See
+# operators/dedup.py:minhash_signatures for the explode+aggregate form.
+
+
+# quality-scoring sub-expressions -------------------------------------------
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str]) -> Column:
+    toks = tokens(col)
+    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in stopwords])))
+    # ratio of *distinct* stopwords present to distinct tokens (set semantics,
+    # mirrors list_intersect in the oracle)
+    return F.when(
+        F.size(toks) > 0,
+        n_stop.cast("double") / F.size(F.array_distinct(toks)).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))

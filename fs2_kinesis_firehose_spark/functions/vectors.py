@@ -1,0 +1,41 @@
+"""Vector math over ``ArrayType(FloatType)`` as pure Column expressions.
+
+``zip_with`` + ``aggregate`` compile to codegen'd loops (SURVEY.md §7
+hard-part 4) — at 100 TB the dot products run JVM-side at scan speed; no
+Python UDF in the hot path.  All arithmetic is promoted to double before
+accumulation so results are engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def scale(a: Column, factor: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double") * factor)
+
+
+def literal_vector(values: list[float]) -> Column:
+    """A query vector as a foldable literal array (constant-folded by
+    Catalyst, shipped once with the plan — the broadcast-free way to compare
+    every row against one probe vector)."""
+    return F.array(*[F.lit(float(v)) for v in values])

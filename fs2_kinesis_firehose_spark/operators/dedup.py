@@ -1,0 +1,406 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five strategies, all designed around Spark's shuffle model:
+
+- exact          — content hash + min-key per group (one shuffle on the hash);
+- MinHash-LSH    — shingle → signature → band buckets → bucket self-join →
+                   exact-Jaccard verify → connected components → keep one per
+                   cluster.  The self-join shuffles on (band, band_hash), so
+                   candidate generation is O(sum of bucket²), never O(n²);
+- SimHash        — 64-bit bit-vote fingerprint (Arrow-batched pandas UDF — the
+                   per-token bit voting has no array-expression form), banded
+                   into 4×16-bit keys for candidate pairs at Hamming ≤ ~3;
+- n-gram Jaccard — exact pairwise similarity via shingle-explode self-join
+                   (the inverted-index pattern: only pairs sharing a shingle
+                   are ever materialized);
+- embedding cosine — near-dup by cosine ≥ τ over `embeddings.embedding`
+                   (see similarity.py for the bucketed scale path).
+
+Determinism: every "keep one" picks the MINIMUM doc_id of a cluster, so
+results are stable across partitionings and engines.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from fs2_kinesis_firehose_spark.functions import text as T
+from fs2_kinesis_firehose_spark.functions import vectors as V
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep the min-key row per distinct content (sha256 of the text).
+
+    One shuffle on the 256-bit hash; survivors are deterministic (min key),
+    unlike ``dropDuplicates`` whose surviving row is partitioning-dependent.
+    """
+    h = F.sha2(F.col(text_col), 256).alias("content_hash")
+    keep = (
+        df.select(h, F.col(key_col))
+        .groupBy("content_hash")
+        .agg(F.min(key_col).alias(key_col))
+    )
+    return df.join(keep, key_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(key, _h0.._hN min-hash columns) via explode + multi-min aggregation.
+
+    Deliberately NOT ``array_min(transform(shingles, ...))`` × N inline: that
+    inlines the shingle expression N times, blows past the codegen method
+    limit, falls back to interpreted eval and recomputes the regex tokenize
+    per hash function (observed 1000× slowdown).  Here shingles materialize
+    once via explode, then one shuffle on the key with N cheap
+    ``min(xxhash64(shingle, seed))`` aggregates — map-side partial aggregation
+    keeps the shuffle at N longs per doc, and the plan stays fully codegen'd.
+    """
+    shingled = df.select(
+        F.col(key_col), F.explode(T.word_shingles(text_col, shingle_n)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
+    ]
+    return shingled.groupBy(key_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (key1 < key2) via MinHash-LSH banding.
+
+    Plan shape at scale: explode shingles → one shuffle computes all minhash
+    aggregates → band hashes → explode to ``bands`` rows/doc → shuffle once on
+    (band, band_hash) → self-join within buckets.  Hot buckets (skew) are
+    handled by AQE skew-join splitting.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col, key_col, shingle_n=shingle_n, num_hashes=num_hashes
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"_h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(key_col), F.explode(F.array(*band_structs)).alias("b")
+    ).select(key_col, "b.band", "b.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .select(F.col(f"l.{key_col}").alias("key1"), F.col(f"r.{key_col}").alias("key2"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Filter candidate pairs by EXACT shingle Jaccard ≥ threshold.
+
+    Joining the shingle arrays back costs two broadcast-or-shuffle joins on
+    the (small) candidate set — the expensive O(n²) space was already pruned
+    by LSH."""
+    shingled = df.select(
+        F.col(key_col), T.word_shingles(text_col, shingle_n).alias("shingles")
+    )
+    return (
+        candidates.join(
+            shingled.select(F.col(key_col).alias("key1"), F.col("shingles").alias("sh1")), "key1"
+        )
+        .join(
+            shingled.select(F.col(key_col).alias("key2"), F.col("shingles").alias("sh2")), "key2"
+        )
+        .select(
+            "key1",
+            "key2",
+            F.round(T.jaccard(F.col("sh1"), F.col("sh2")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def connected_components(
+    pairs: DataFrame, *, key1: str = "key1", key2: str = "key2", max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation over an edge list → (key, component).
+
+    Iterative DataFrame joins: each pass every node adopts the minimum label
+    in its neighborhood; converges in O(cluster diameter) passes (dedup
+    clusters are tiny, so 3-5 in practice).  Each iteration is one shuffle;
+    intermediate results are cached and the loop exits early on fixpoint.
+    This is the scalable alternative to driver-side union-find — no
+    ``collect()`` of the edge set.
+    """
+    edges = (
+        pairs.select(F.col(key1).alias("a"), F.col(key2).alias("b"))
+        .union(pairs.select(F.col(key2).alias("a"), F.col(key1).alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("key"))
+        .distinct()
+        .withColumn("component", F.col("key"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.key)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.key == neighbor_min.a, "left")
+            .select(
+                "key",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "key")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dedup pipeline: keep one doc (min key) per near-dup cluster."""
+    cands = minhash_lsh_candidates(
+        df, text_col, key_col, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
+    )
+    verified = verify_jaccard(
+        cands, df, text_col, key_col, shingle_n=shingle_n, threshold=threshold
+    )
+    comp = connected_components(verified)
+    drop = comp.filter(F.col("key") != F.col("component")).select(
+        F.col("key").alias(key_col)
+    )
+    return df.join(drop, key_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash_expr_udf():
+    """Arrow-batched pandas UDF computing a 64-bit SimHash over tokens.
+
+    Per doc: hash every token to 64 bits (blake2b, stable across processes —
+    NOT Python's salted ``hash``), vote +1/-1 per bit position, sign of the
+    vote becomes the fingerprint bit.  The bit-vote accumulation has no
+    array-expression form, so this is a legitimate pandas UDF (Arrow batches,
+    numpy inner loop)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def simhash64(tokens: pd.Series) -> pd.Series:
+        from hashlib import blake2b
+
+        out = np.empty(len(tokens), dtype=np.int64)
+        for i, toks in enumerate(tokens):
+            votes = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for t in set(toks if toks is not None else ()):
+                h = int.from_bytes(blake2b(t.encode(), digest_size=8).digest(), "big")
+                bits = ((np.uint64(h) >> shifts) & np.uint64(1)).astype(np.int64)
+                votes += 2 * bits - 1
+            fp = int((votes > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))
+            out[i] = fp - (1 << 64) if fp >= (1 << 63) else fp
+        return pd.Series(out)
+
+    return simhash64
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append a ``simhash: bigint`` fingerprint column."""
+    udf = simhash_expr_udf()
+    return df.withColumn("simhash", udf(T.tokens(text_col)))
+
+
+def simhash_candidates(df: DataFrame, key_col: str = "doc_id", *, bands: int = 4) -> DataFrame:
+    """Candidate pairs whose SimHash matches on ≥1 of ``bands`` 16-bit bands
+    (catches Hamming distance ≤ bands-1 guaranteed, more probabilistically)."""
+    width = 64 // bands
+    with_sh = simhash(df, "text") if "simhash" not in df.columns else df
+    banded = with_sh.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(key_col, "b.band", "b.band_val")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .select(F.col(f"l.{key_col}").alias("key1"), F.col(f"r.{key_col}").alias("key2"))
+        .distinct()
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold, exactly.
+
+    Inverted-index pattern: explode distinct shingles, self-join on the
+    shingle (only co-occurring pairs materialize), count common shingles per
+    pair, then J = common / (|A| + |B| - common).  The shuffle key is the
+    shingle; document-frequency skew is the scale risk — pair it with a
+    stop-shingle filter (drop shingles in > X% of docs) for web-scale corpora.
+    """
+    shingled = df.select(
+        F.col(key_col), F.explode(T.word_shingles(text_col, shingle_n)).alias("shingle")
+    )
+    sizes = shingled.groupBy(key_col).agg(F.count(F.lit(1)).alias("sz"))
+    l, r = shingled.alias("l"), shingled.alias("r")
+    common = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{key_col}").alias("key1"), F.col(f"r.{key_col}").alias("key2")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col(key_col).alias("key1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col(key_col).alias("key2"), F.col("sz").alias("sz2"))
+    return (
+        common.join(s1, "key1")
+        .join(s2, "key2")
+        .select(
+            "key1",
+            "key2",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    *,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold.
+
+    Without ``block_col`` this is the exact O(n²) baseline (self-join) — fine
+    for verification and for dimension-reduced spaces; at 100 TB pass a
+    blocking column (e.g. an LSH bucket from similarity.random_hyperplane_lsh)
+    so the join shuffles per-bucket instead of cross-producting."""
+    base = df.select(F.col(key_col), F.col(vec_col))
+    l = base.select(F.col(key_col).alias("key1"), F.col(vec_col).alias("v1"))
+    r = base.select(F.col(key_col).alias("key2"), F.col(vec_col).alias("v2"))
+    cond = F.col("key1") < F.col("key2")
+    if block_col is not None:
+        l = l.join(df.select(F.col(key_col).alias("key1"), F.col(block_col).alias("blk1")), "key1")
+        r = r.join(df.select(F.col(key_col).alias("key2"), F.col(block_col).alias("blk2")), "key2")
+        cond = cond & (F.col("blk1") == F.col("blk2"))
+    return (
+        l.join(r, cond)
+        .select("key1", "key2", F.round(V.cosine(F.col("v1"), F.col("v2")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns.
+
+- ``brute_force_topk``      — exact cosine top-k against a query vector; the
+  correctness baseline.  One codegen'd projection + TakeOrderedAndProject
+  (per-partition top-k, driver merges k×P rows — no global sort, no collect
+  of the corpus).  This is already the right *exact* plan at 100 TB.
+- ``random_hyperplane_lsh`` — sign-LSH bucketing; ``ann_topk`` probes only
+  the query's bucket (+ optional multi-probe neighbors), turning a full scan
+  into a partition-pruned bucket read when the table is written bucketed/
+  partitioned by ``bucket``.
+- ``ivf_assign`` / ``ivf_topk`` — IVF coarse quantizer: k-means-style
+  centroids (sampled + fixed seed), rows assigned to nearest centroid;
+  queries probe the ``nprobe`` nearest centroids' inverted lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fs2_kinesis_firehose_spark.functions import vectors as V
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k. Deterministic tie-break on the key column."""
+    q = V.literal_vector(query_vec)
+    scored = df.select(
+        F.col(key_col),
+        F.round(V.cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(key_col).asc()).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def random_hyperplane_lsh(
+    df: DataFrame,
+    dim: int,
+    *,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append an integer ``bucket`` = sign pattern under ``n_planes`` fixed
+    random hyperplanes (2^n_planes buckets).
+
+    The hyperplanes are literal arrays baked into the plan (constant-folded),
+    so bucketing is a pure codegen projection — at write time, partitionBy/
+    bucketBy on ``bucket`` makes ANN reads partition-pruned."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        sign_bit = (V.dot(F.col(vec_col), V.literal_vector(list(p))) > 0).cast("long")
+        bucket = bucket + F.shiftleft(sign_bit, i)
+    return df.withColumn("bucket", bucket)
+
+
+def ann_topk(
+    df_bucketed: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    *,
+    n_planes: int = 12,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only rows in the query's LSH bucket and the
+    buckets within ``multiprobe_hamming`` bit flips (multi-probe LSH —
+    recovers recall lost to boundary effects without touching the rest of the
+    corpus)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) > 0))
+    probes = {qbucket}
+    if multiprobe_hamming >= 1:
+        probes.update(qbucket ^ (1 << i) for i in range(n_planes))
+    if multiprobe_hamming >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qbucket ^ (1 << i) ^ (1 << j))
+    candidates = df_bucketed.filter(F.col("bucket").isin(*sorted(probes)))
+    return brute_force_topk(candidates, query_vec, k, vec_col, key_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantization
+# ---------------------------------------------------------------------------
+def ivf_train_centroids(
+    df: DataFrame,
+    *,
+    n_centroids: int = 16,
+    sample_fraction: float = 1.0,
+    iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Tiny Lloyd's k-means on a driver-side SAMPLE (centroids are metadata,
+    not data — sampling keeps the driver payload O(sample), the corpus is
+    never collected)."""
+    sample = (
+        df.select(vec_col).sample(fraction=sample_fraction, seed=seed).toPandas()[vec_col]
+    )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
+    rng = np.random.default_rng(seed)
+    centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Append ``ivf_cell`` = argmin centroid (L2).  Pure codegen: one distance
+    expression per centroid, ``array_position(array_min(...))`` picks argmin."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    V.literal_vector(list(c)),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+    return df.withColumn(
+        "ivf_cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+
+
+def ivf_topk(
+    df_assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest cells' inverted lists, exact re-rank inside."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(((centroids - qv) ** 2).sum(axis=1))
+    cells = [int(c) for c in order[:nprobe]]
+    candidates = df_assigned.filter(F.col("ivf_cell").isin(cells))
+    return brute_force_topk(candidates, query_vec, k, vec_col, key_col)

@@ -1,0 +1,98 @@
+"""Text analysis for training-data curation: language ID, quality scoring,
+token counting, document fingerprinting.
+
+All pure Column expressions (codegen; zero Python) so they run at scan speed
+over a 100 TB documents table and are DuckDB-oracle-expressible for the
+correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fs2_kinesis_firehose_spark.functions import text as T
+
+# Minimal per-language stopword marker sets (public knowledge; the classic
+# stopword-profile language guesser — cf. textcat's n-gram profiles).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "por", "para", "que"],
+}
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    """Per-language score = # distinct marker words present in the doc."""
+    toks = T.distinct_tokens(text_col)
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """argmax over marker scores; 'und' (undetermined) when all scores are 0.
+
+    Ties break by language-code order (deterministic, engine-portable)."""
+    scores = lang_scores(text_col)
+    pairs = sorted(scores.items())  # deterministic tie-break: alphabetical
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    # fold right-to-left so earlier (alphabetically smaller) languages win ties
+    for lang, score in reversed(pairs):
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(T.tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """Sub-word-ish token count via the BPE-style pre-tokenizer regex."""
+    return F.size(T.bpe_ish_tokens(text_col))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append curation features: lengths, ratios, mean word length, stopword
+    density, and a composite quality score in [0, 1]."""
+    toks = T.tokens(text_col)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_r = T.stopword_ratio(text_col, LANG_MARKERS["en"])
+    mwl = T.mean_word_len(text_col)
+    diversity = F.when(n_tokens > 0, n_distinct.cast("double") / n_tokens).otherwise(0.0)
+    # composite: reward lexical diversity + presence of function words,
+    # penalize degenerate word lengths (clamped linear terms)
+    score = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            0.4 * diversity
+            + 0.3 * F.least(F.lit(1.0), stop_r * 5)
+            + 0.3 * F.least(F.lit(1.0), mwl / 8),
+        ),
+    )
+    return df.select(
+        "*",
+        F.length(text_col).alias("n_chars_measured"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(diversity, 6).alias("lexical_diversity"),
+        F.round(T.punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(stop_r, 6).alias("stopword_ratio"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Canonical document fingerprint: lowercase, collapse whitespace, sha256.
+
+    Robust to formatting-only edits; the exact-dedup key for normalized text."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return F.sha2(normalized, 256)

@@ -1,7 +1,360 @@
-"""Tier C — LLM-data-pipeline queries (dedup, similarity, text analysis).
+"""Tier C — LLM-data-pipeline queries (SURVEY.md §2 Tier C).
 
-Registered incrementally; implementations live in
-``fs2_kinesis_firehose_spark.operators``.
+Oracle-checked where the semantics are engine-portable SQL (exact dedup,
+n-gram Jaccard, embedding cosine, text analysis, multimodal metadata);
+rows-only where they depend on Spark-side hashing (xxhash64 MinHash) or
+driver-side RNG (LSH hyperplanes, IVF centroids) — those get ground-truth
+pytest coverage instead (tests/test_dedup.py, tests/test_similarity.py).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fs2_kinesis_firehose_spark.operators import dedup as D
+from fs2_kinesis_firehose_spark.operators import multimodal as M
+from fs2_kinesis_firehose_spark.operators import similarity as S
+from fs2_kinesis_firehose_spark.operators import textstats as TS
+from fs2_kinesis_firehose_spark.queries import query
+from fs2_kinesis_firehose_spark.tables import load_table
+
+# DuckDB-side shared fragments ------------------------------------------------
+_DUCK_SHINGLES = """
+    SELECT doc_id,
+           list_distinct([array_to_string(words[i:i+2], ' ')
+                          FOR i IN range(1, len(words) - 1)]) AS shingles
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY sha256(text)
+    ) keep USING (doc_id)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    toks AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    common AS (
+        SELECT a.doc_id AS key1, b.doc_id AS key2, COUNT(*) AS common
+        FROM toks a JOIN toks b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT key1, key2,
+           ROUND(common * 1.0 / (s1.sz + s2.sz - common), 6) AS jaccard
+    FROM common c
+    JOIN sizes s1 ON c.key1 = s1.doc_id
+    JOIN sizes s2 ON c.key2 = s2.doc_id
+    WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.7
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index self-join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.7)
+
+
+@query("minhash_lsh_pairs")  # rows-only: xxhash64 permutations are Spark-specific
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard ≥ 0.7 (the scale path:
+    LSH prunes the O(n²) space; verification touches only candidates).
+    Ground truth recall vs ngram_jaccard_pairs is asserted in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_candidates(docs, "text", "doc_id", shingle_n=3, num_hashes=64, bands=16)
+    return D.verify_jaccard(cands, docs, "text", "doc_id", shingle_n=3, threshold=0.7)
+
+
+@query("near_dedup_survivors")  # rows-only (built on minhash_lsh_pairs)
+def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents surviving MinHash near-dedup (one min-id doc per cluster,
+    clusters from distributed connected components)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.near_dedup_minhash(docs, "text", "doc_id", threshold=0.7).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query("simhash_candidates")  # rows-only: blake2b token hashing not in DuckDB
+def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded candidate pairs with Hamming distance ≤ 3 filter.
+
+    (Same-vocabulary fixture docs make loose thresholds noisy — simhash is a
+    topic-level fingerprint; ≤3 keeps candidates near-duplicate-grade.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    with_sh = D.simhash(docs, "text")
+    cands = D.simhash_candidates(with_sh, "doc_id", bands=4)
+    sh1 = with_sh.select(F.col("doc_id").alias("key1"), F.col("simhash").alias("sh1"))
+    sh2 = with_sh.select(F.col("doc_id").alias("key2"), F.col("simhash").alias("sh2"))
+    return (
+        cands.join(sh1, "key1")
+        .join(sh2, "key2")
+        .select("key1", "key2", D.hamming64(F.col("sh1"), F.col("sh2")).alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle="""
+    SELECT key1, key2, cos_sim
+    FROM (
+        SELECT a.vec_id AS key1, b.vec_id AS key2,
+               ROUND(
+                   list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                   / (SQRT(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                      * SQRT(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                   6) AS cos_sim
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    WHERE cos_sim >= 0.4
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates (exact O(n²) baseline; the LSH-blocked
+    variant is exercised in pytest — same operator with block_col)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+@query(
+    "cosine_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, cos_sim
+    FROM (
+        SELECT e.vec_id,
+               ROUND(
+                   list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (SQRT(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                      * SQRT(list_inner_product(q.qv, q.qv))),
+                   6) AS cos_sim
+        FROM embeddings e, q
+    )
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 vs the vec_id=0 probe vector.  Plan:
+    TakeOrderedAndProject (per-partition top-k + driver merge) — no global
+    sort; the correct exact plan at any scale."""
+    return S.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), _query_vector(spark, sf_dir), k=10
+    )
+
+
+@query("ann_lsh_topk")  # rows-only: hyperplanes from seeded driver RNG
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via sign-LSH + 2-bit multi-probe.
+
+    6 planes → 64 buckets, sized so buckets hold ~n/64 vectors at fixture
+    scale; multiprobe recovers boundary losses.  (Fixture embeddings are
+    near-uniform — the hardest case for sign-LSH; real embedding corpora
+    cluster and bucket much more cleanly.)  Recall vs brute force asserted in
+    pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = S.random_hyperplane_lsh(emb, dim=64, n_planes=6)
+    return S.ann_topk(
+        bucketed, _query_vector(spark, sf_dir), dim=64, k=10, n_planes=6, multiprobe_hamming=2
+    )
+
+
+@query("ivf_topk")  # rows-only: centroids from seeded sampled k-means
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized top-10 (nprobe=4 of 16 cells)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.ivf_train_centroids(emb, n_centroids=16, seed=42)
+    assigned = S.ivf_assign(emb, cents)
+    return S.ivf_topk(assigned, cents, _query_vector(spark, sf_dir), k=10, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+_MARKER_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in TS.LANG_MARKERS.items()
+}
+
+_SCORES_SQL = ",\n           ".join(
+    f"len(list_intersect(toks, {_MARKER_SQL[lang]})) AS s_{lang}"
+    for lang in sorted(TS.LANG_MARKERS)
+)
+
+
+@query(
+    "lang_id_counts",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+           {_SCORES_SQL}
+        FROM (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS toks FROM documents)
+    )
+    SELECT lang_pred, COUNT(*) AS n_docs
+    FROM (
+        SELECT CASE
+                 WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                 WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+                 WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+                 WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+                 ELSE 'fr'
+               END AS lang_pred
+        FROM scored
+    )
+    GROUP BY lang_pred
+    """,
+)
+def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language guesser (argmax, alphabetical tie-break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(TS.lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(trim(text), ' '))                                  AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))    AS n_bpe_tokens,
+           length(text)                                                        AS n_chars
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex sub-word segmentation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.token_count("text").alias("n_tokens"),
+        TS.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@query(
+    "quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           n_tokens,
+           n_distinct_tokens,
+           ROUND(diversity, 6) AS lexical_diversity,
+           ROUND(stop_r, 6)    AS stopword_ratio,
+           ROUND(mwl, 6)       AS mean_word_len,
+           ROUND(LEAST(1.0, GREATEST(0.0,
+                 0.4 * diversity
+               + 0.3 * LEAST(1.0, stop_r * 5)
+               + 0.3 * LEAST(1.0, mwl / 8))), 6) AS quality_score
+    FROM (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct_tokens,
+               len(list_distinct(toks)) * 1.0 / len(toks) AS diversity,
+               len(list_intersect(list_distinct(toks), {_MARKER_SQL["en"]})) * 1.0
+                   / len(list_distinct(toks)) AS stop_r,
+               list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks) AS mwl
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+        WHERE len(toks) > 0
+    )
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation quality features + composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.quality_features(docs, "text").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "lexical_diversity",
+        "stopword_ratio",
+        "mean_word_len",
+        "quality_score",
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=r"""
+    SELECT doc_id,
+           sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (formatting-robust dedup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (mapInPandas plumbing vs SQL oracle on the derivable metadata)
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_image_features",
+    oracle="""
+    SELECT doc_id,
+           'image/fake' AS media_type,
+           8 + (ascii(text[-1]) % 8) AS width,
+           8 + (ascii(text[1]) % 8)  AS height,
+           3 AS n_channels,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media contract + Arrow-batched mapInPandas decode stage.
+
+    Payloads are the UTF-8 document bytes treated as opaque media; the fake
+    decoder derives dimensions from the first/last payload byte, which the
+    oracle reproduces in SQL — verifying the full Spark-side plumbing
+    (binary column, metadata struct, mapInPandas batch flow, 1:1 schema)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_media(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")), "payload"
+    )
+    feats = M.extract_image_features(media, fake=True)
+    return feats.select(
+        "doc_id", "media_type", "width", "height", "n_channels", "payload_sha"
+    )
+
+
+@query("approx_distinct_users")  # rows-only: HLL sketches differ across engines
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++); pytest asserts ≤5% error vs exact."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,7 +1,42 @@
-"""Tier A — Firehose-sink correctness queries (delivery accounting).
+"""Tier A — Firehose-sink delivery accounting through the correctness harness.
 
-Registered incrementally; implementations live in
-``fs2_kinesis_firehose_spark.firehose``.
+Runs the REAL produce pipe (serialize → frame → ≤500 slicing → put with
+retry) against the in-memory fake client, then returns delivery totals whose
+arithmetic a SQL oracle can reproduce (request count = ceil(n/500) at
+parallelism=1).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fs2_kinesis_firehose_spark.firehose.client import fake_client_factory
+from fs2_kinesis_firehose_spark.firehose.serializers import serialize_and_frame
+from fs2_kinesis_firehose_spark.firehose.settings import ProducerSettings
+from fs2_kinesis_firehose_spark.firehose.sink import produce_acks
+from fs2_kinesis_firehose_spark.queries import query
+from fs2_kinesis_firehose_spark.tables import load_table
+
+
+@query(
+    "firehose_delivery_accounting",
+    oracle="""
+    SELECT CAST(CEIL(COUNT(*) / 500.0) AS BIGINT) AS n_requests,
+           COUNT(*) AS n_records,
+           CAST(0 AS BIGINT) AS failed_records
+    FROM events
+    """,
+)
+def firehose_delivery_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON+newline framing → produce pipe (parallelism=1 makes the
+    request count exactly ceil(n/500), the reference's A2 batch bound)."""
+    events = load_table(spark, sf_dir, "events")
+    framed = serialize_and_frame(events.select("event_id", "event_type"), "json", b"\n")
+    settings = ProducerSettings(stream_name="accounting", parallelism=1)
+    acks = produce_acks(framed, settings, fake_client_factory())
+    return acks.agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum("n_records").alias("n_records"),
+        F.sum("failed_records").alias("failed_records"),
+    )

@@ -57,6 +57,7 @@ def get_spark(
         # --- local-mode ergonomics ---------------------------------------
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.streaming.schemaInference", "true")
     )
     if extra_conf:

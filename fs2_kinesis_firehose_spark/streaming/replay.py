@@ -1,0 +1,70 @@
+"""Deterministic file-source replay of fixture tables + memory-sink runner.
+
+File streaming sources need a directory; fixtures are single parquet files —
+``replay_parquet`` stages copies into a temp dir (optionally N copies to
+synthesize duplicate deliveries) and returns the streaming DataFrame with the
+same column types as ``tables.load_table`` (events.ts long-nanos → timestamp).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fs2_kinesis_firehose_spark.tables import table_path
+
+
+def replay_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    copies: int = 1,
+    staging_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    src = table_path(sf_dir, name)
+    staging = staging_dir or os.path.join(
+        tempfile.gettempdir(), f"replay-{name}-{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(staging, exist_ok=True)
+    for i in range(copies):
+        dst = os.path.join(staging, f"{name}-{i}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(src, dst)
+    schema = spark.read.parquet(src).schema  # raw footer schema (nanosAsLong)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(staging)
+    if name == "events":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
+def run_to_memory(stream_df: DataFrame, *, output_mode: str = "append") -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a memory
+    sink; return the materialized result as a batch DataFrame.
+
+    availableNow processes everything currently in the source then stops —
+    the deterministic way to exercise real streaming operators in tests and
+    the correctness harness."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,109 @@
+"""Ground-truth tests for dedup operators (exact, MinHash-LSH, SimHash,
+connected components) — covers the non-oracle-able paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fs2_kinesis_firehose_spark.operators import dedup as D
+from fs2_kinesis_firehose_spark.tables import load_table
+
+
+def _docs_with_dupes(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup of 1
+        (4, "completely different content about spark query engines and shuffles here"),
+        (5, "another unrelated document mentioning window functions and aggregations now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = _docs_with_dupes(spark)
+    out = D.exact_dedup(df, "text", "doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # doc 2 dropped, survivor is min id 1
+
+
+def test_minhash_lsh_finds_planted_near_dupes(spark):
+    df = _docs_with_dupes(spark)
+    cands = D.minhash_lsh_candidates(df, shingle_n=3, num_hashes=64, bands=16)
+    pairs = {(r.key1, r.key2) for r in cands.collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # 1-word-off near-dup
+    verified = D.verify_jaccard(cands, df, shingle_n=3, threshold=0.5)
+    vpairs = {(r.key1, r.key2): r.jaccard for r in verified.collect()}
+    assert vpairs[(1, 2)] == 1.0
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_smoke):
+    """On the fixture corpus: LSH (64 hashes, 16 bands → catches ~J≥0.5)
+    must recover every pair the exact J≥0.8 join finds."""
+    docs = load_table(spark, sf_smoke, "documents")
+    exact = {
+        (r.key1, r.key2)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    lsh = D.verify_jaccard(
+        D.minhash_lsh_candidates(docs, num_hashes=64, bands=16), docs, threshold=0.8
+    )
+    found = {(r.key1, r.key2) for r in lsh.collect()}
+    recall = len(exact & found) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_connected_components_clusters(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "key1 long, key2 long",
+    )
+    comp = {r.key: r.component for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_near_dedup_minhash_end_to_end(spark):
+    df = _docs_with_dupes(spark)
+    out = D.near_dedup_minhash(df, threshold=0.5)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 4, 5]  # cluster {1,2,3} → keep 1
+
+
+def test_simhash_stability_and_similarity(spark):
+    df = _docs_with_dupes(spark)
+    sh = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+    assert sh[1] == sh[2]  # identical text → identical fingerprint
+    df2 = _docs_with_dupes(spark)
+    sh2 = {r.doc_id: r.simhash for r in D.simhash(df2).collect()}
+    assert sh == sh2  # deterministic across runs/processes
+    # near-dup differs in few bits; unrelated docs differ in many
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])
+
+
+def test_simhash_candidates_hamming(spark):
+    df = _docs_with_dupes(spark)
+    with_sh = D.simhash(df)
+    cands = D.simhash_candidates(with_sh, bands=4)
+    pairs = {(r.key1, r.key2) for r in cands.collect()}
+    assert (1, 2) in pairs
+
+
+def test_embedding_neardup_blocked_matches_exact_for_identical(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.99, 0.1, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r.key1, r.key2): r.cos_sim
+        for r in D.embedding_neardup_pairs(df, threshold=0.95).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and (1, 4) not in pairs

@@ -1,0 +1,65 @@
+"""Plan-shape assertions: the properties that make queries survive a 100×
+scale-up (pushdown, broadcast, top-k without global sort, no cartesian
+products, codegen coverage)."""
+
+from __future__ import annotations
+
+import fs2_kinesis_firehose_spark.queries as q
+from fs2_kinesis_firehose_spark.plans import assert_plan_contains, assert_plan_lacks, explain_str
+
+q.load_all()
+
+
+def test_flagship_pushes_filter_and_broadcasts_dims(spark, sf_smoke):
+    df = q.QUERIES["revenue_by_nation"](spark, sf_smoke)
+    plan = assert_plan_contains(df, "BroadcastHashJoin", "PushedFilters")
+    # the shipdate range predicate must reach the lineitem parquet scan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400], plan
+    assert_plan_lacks(df, "CartesianProduct")
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_smoke):
+    assert_plan_contains(q.QUERIES["global_top10_orders"](spark, sf_smoke), "TakeOrderedAndProject")
+    assert_plan_contains(
+        q.QUERIES["cosine_topk_bruteforce"](spark, sf_smoke), "TakeOrderedAndProject"
+    )
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_smoke):
+    df = q.QUERIES["pricing_summary"](spark, sf_smoke)
+    plan = explain_str(df)
+    # map-side partial + final aggregate (two HashAggregate operators)
+    assert plan.count("HashAggregate") >= 2, plan
+    # whole-stage codegen present (codegen mode shows the compiled subtrees;
+    # AQE's non-final simple plan has no stage markers before execution)
+    assert "WholeStageCodegen" in explain_str(df, mode="codegen")
+
+
+def test_anti_and_semi_joins(spark, sf_smoke):
+    assert_plan_contains(q.QUERIES["parts_never_ordered"](spark, sf_smoke), "LeftAnti")
+    assert_plan_contains(q.QUERIES["customers_with_orders"](spark, sf_smoke), "LeftSemi")
+
+
+def test_column_pruning_reaches_scan(spark, sf_smoke):
+    plan = explain_str(q.QUERIES["segment_count_distinct"](spark, sf_smoke))
+    # the orders scan must not read untouched wide columns
+    scan_section = plan[plan.find("orders.parquet") :][:800]
+    assert "o_totalprice" not in scan_section, plan
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_smoke):
+    assert_plan_lacks(
+        q.QUERIES["minhash_lsh_pairs"](spark, sf_smoke), "CartesianProduct"
+    )
+
+
+def test_stream_static_join_broadcasts_dim(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from fs2_kinesis_firehose_spark.streaming.replay import replay_parquet
+    from fs2_kinesis_firehose_spark.tables import load_table
+
+    stream = replay_parquet(spark, sf_smoke, "events")
+    nation = load_table(spark, sf_smoke, "nation")
+    joined = stream.join(F.broadcast(nation), stream.user_id % 25 == nation.n_nationkey)
+    assert "BroadcastHashJoin" in explain_str(joined, mode="simple")

@@ -1,0 +1,85 @@
+"""Streaming semantics tests: watermark late-data behavior, incremental
+multi-batch processing, session merging — the paths the complete-mode oracle
+queries can't show."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+from pyspark.sql import functions as F
+
+from fs2_kinesis_firehose_spark.streaming.replay import replay_parquet, run_to_memory
+from fs2_kinesis_firehose_spark.streaming.windows import stream_dedup, tumbling_counts
+from fs2_kinesis_firehose_spark.tables import load_table
+
+
+def test_replay_matches_batch_read(spark, sf_smoke):
+    stream = replay_parquet(spark, sf_smoke, "events")
+    out = run_to_memory(stream.select("event_id"), output_mode="append")
+    assert out.count() == load_table(spark, sf_smoke, "events").count()
+
+
+def test_incremental_micro_batches(spark, sf_smoke, tmp_path):
+    """maxFilesPerTrigger=1 over 3 file copies → ≥3 micro-batches; dedup
+    across batches still yields exactly-once."""
+    stream = replay_parquet(
+        spark, sf_smoke, "events", copies=3,
+        staging_dir=str(tmp_path / "replay"), max_files_per_trigger=1,
+    )
+    deduped = run_to_memory(
+        stream_dedup(stream, watermark=None).select("event_id"), output_mode="append"
+    )
+    n = load_table(spark, sf_smoke, "events").count()
+    assert deduped.count() == n
+
+
+def _write_batch_parquet(spark, rows, path):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late data is dropped once its window has been evicted: batch 2 advances
+    the watermark past the 10:00 window (emitting it); the too-late row in
+    batch 4 must not re-open or re-emit it.  (A late row arriving in the SAME
+    batch that evicts the window still merges — the watermark is an eviction
+    lower bound, so the extra batch in between is what makes the drop
+    deterministic.)"""
+    import time
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(i, minutes):
+        return (i, t0 + dt.timedelta(minutes=minutes), 1, "click", 1.0)
+
+    for batch in ([ev(1, 0), ev(2, 5)], [ev(3, 60)], [ev(5, 70)], [ev(4, 2)]):
+        _write_batch_parquet(spark, batch, src)
+        time.sleep(1.1)  # distinct mod-times → deterministic file order
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("win.start", "HH:mm").alias("w"), "n")
+    )
+    out = run_to_memory(agg, output_mode="append")
+    got = {(r.w, r.n) for r in out.collect()}
+    # the 10:00 window closed with exactly 2 events; the late event_id=4
+    # never reopened it (no (10:00, 3) and no second 10:00 row)
+    assert ("10:00", 2) in got
+    assert ("10:00", 3) not in got
+    assert ("10:00", 1) not in got
+
+
+def test_tumbling_counts_schema(spark, sf_smoke):
+    stream = replay_parquet(spark, sf_smoke, "events")
+    out = run_to_memory(tumbling_counts(stream), output_mode="complete")
+    assert set(out.columns) == {"window_start", "event_type", "n_events", "sum_value"}
+    assert out.count() > 0

@@ -1,0 +1,53 @@
+"""Text-analysis operator tests (semantics; oracle parity is covered by
+tests/test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fs2_kinesis_firehose_spark.operators import textstats as TS
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (1, "the cat and the dog in a house"),
+        (2, "der hund und die katze ist nicht hier"),
+        (3, "le chat est dans la maison pour dormir"),
+        (4, "el perro y el gato es una mascota"),
+        (5, "xyzzy qwerty asdf"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.lang for r in df.select("doc_id", TS.lang_id("text").alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello world, it's 42 degrees!")], "id long, text string")
+    row = df.select(
+        TS.token_count("text").alias("ws"),
+        TS.bpe_ish_token_count("text").alias("bpe"),
+    ).first()
+    assert row.ws == 5
+    # hello | world | , | it | ' | s | 4 | 2 | degrees | !
+    assert row.bpe == 10
+
+
+def test_quality_features_bounds(spark):
+    rows = [(1, "the of and to in a is it that for varied words here"),
+            (2, "aaa aaa aaa aaa aaa")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TS.quality_features(df).collect()}
+    for r in out.values():
+        assert 0.0 <= r.quality_score <= 1.0
+        assert 0.0 <= r.lexical_diversity <= 1.0
+    # diverse stopword-rich text scores higher than degenerate repetition
+    assert out[1].quality_score > out[2].quality_score
+    assert out[2].lexical_diversity == 0.2
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    rows = [(1, "Hello   World"), (2, "hello world"), (3, "  HELLO\tWORLD  "), (4, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.doc_id: r.fp for r in df.select("doc_id", TS.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3]
+    assert fps[4] != fps[1]
