@@ -52,7 +52,10 @@ def main() -> None:
 
     q.load_all()
     spark = get_spark("bench")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    # warmup: JIT + whole-stage-codegen compile + parquet footer caches, so
+    # timings reflect steady-state latency rather than first-query JVM warmup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    materialize(q.QUERIES["revenue_by_nation"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -31,18 +31,19 @@ def distinct_tokens(col: Column | str) -> Column:
     return F.array_distinct(tokens(col))
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles → array<string>.
+def word_shingles(col: Column | str, n: int = 3, *, distinct: bool = True) -> Column:
+    """Word n-gram shingles → array<string> (distinct by default).
 
     ``transform(sequence(0, size-n), i -> array_join(slice(words, i+1, n)))``
-    — stays in codegen; no explode needed until LSH banding."""
+    — stays in codegen; no explode needed until LSH banding.  Pass
+    ``distinct=False`` when the consumer is multiset-invariant (e.g. MinHash)
+    to skip the O(n²) array_distinct."""
     words = tokens(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-        )
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
     )
+    return F.array_distinct(shingles) if distinct else shingles
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -70,13 +70,29 @@ def minhash_signatures(
     ``min(xxhash64(shingle, seed))`` aggregates — map-side partial aggregation
     keeps the shuffle at N longs per doc, and the plan stays fully codegen'd.
     """
+    # non-distinct shingles: MIN over a multiset equals MIN over its set, so
+    # the O(n²) array_distinct is pure waste on this path
     shingled = df.select(
-        F.col(key_col), F.explode(T.word_shingles(text_col, shingle_n)).alias("shingle")
+        F.col(key_col),
+        F.explode(T.word_shingles(text_col, shingle_n, distinct=False)).alias("shingle"),
     )
+    # Two base hashes per shingle; permutation i = h1 XOR rotl64(h2, i) — the
+    # Kirsch-Mitzenmacher construction with xor-rotate instead of multiply-add
+    # (ANSI mode makes long-overflow arithmetic throw; shifts/xor are safe).
+    # 2 string hashes + 64 cheap bit-ops per shingle instead of 64 hashes.
+    h1, h2 = F.xxhash64("shingle"), F.xxhash64("shingle", F.lit(1))
+    hashed = shingled.select(key_col, h1.alias("_b1"), h2.alias("_b2"))
+
+    def rotl(col: Column, i: int) -> Column:
+        if i == 0:
+            return col
+        return F.shiftleft(col, i).bitwiseOR(F.shiftrightunsigned(col, 64 - i))
+
     aggs = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
+        F.min(F.col("_b1").bitwiseXOR(rotl(F.col("_b2"), i))).alias(f"_h{i}")
+        for i in range(num_hashes)
     ]
-    return shingled.groupBy(key_col).agg(*aggs)
+    return hashed.groupBy(key_col).agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -142,11 +158,19 @@ def verify_jaccard(
 ) -> DataFrame:
     """Filter candidate pairs by EXACT shingle Jaccard ≥ threshold.
 
-    Joining the shingle arrays back costs two broadcast-or-shuffle joins on
-    the (small) candidate set — the expensive O(n²) space was already pruned
-    by LSH."""
-    shingled = df.select(
-        F.col(key_col), T.word_shingles(text_col, shingle_n).alias("shingles")
+    Shingles are computed ONLY for documents that appear in a candidate pair
+    (semi-join first): after LSH pruning candidates ≪ corpus, so the shingle
+    projection — the expensive part — touches a tiny fraction of the data,
+    and is persisted so the two pair-joins don't recompute it."""
+    keys = (
+        candidates.select(F.col("key1").alias(key_col))
+        .union(candidates.select(F.col("key2").alias(key_col)))
+        .distinct()
+    )
+    shingled = (
+        df.join(keys, key_col, "left_semi")
+        .select(F.col(key_col), T.word_shingles(text_col, shingle_n).alias("shingles"))
+        .persist()
     )
     return (
         candidates.join(
