@@ -350,6 +350,36 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "udtf_bigram_counts",
+    oracle="""
+    SELECT ngram, COUNT(*) AS n
+    FROM (
+        SELECT unnest([array_to_string(words[i:i+1], ' ')
+                       FOR i IN range(1, len(words))]) AS ngram
+        FROM (SELECT string_split(text, ' ') AS words FROM documents)
+    )
+    GROUP BY ngram
+    HAVING COUNT(*) >= 30
+    """,
+)
+def udtf_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: one doc row → many bigram rows
+    via a LATERAL correlated call, then aggregated."""
+    from fs2_kinesis_firehose_spark.operators.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT t.ngram, COUNT(*) AS n
+        FROM documents d, LATERAL ngrams(d.text, 2) t
+        GROUP BY t.ngram
+        HAVING COUNT(*) >= 30
+        """
+    )
+
+
 @query("approx_distinct_users")  # rows-only: HLL sketches differ across engines
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++); pytest asserts ≤5% error vs exact."""

@@ -139,3 +139,25 @@ def streaming_static_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "streaming_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key streaming state via applyInPandasWithState: with a
+    single-file replay (one micro-batch) the final state equals the batch
+    aggregate, which the oracle checks; multi-batch accumulation semantics
+    are pytest-covered (tests/test_streaming.py)."""
+    from fs2_kinesis_firehose_spark.streaming.stateful import running_user_stats
+
+    stream = replay_parquet(spark, sf_dir, "events")
+    return run_to_memory(running_user_stats(stream), output_mode="update")
