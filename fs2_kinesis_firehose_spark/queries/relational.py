@@ -622,6 +622,60 @@ def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_latest_order",
+    oracle="""
+    WITH uniq_orders AS (
+        SELECT o_custkey,
+               o_orderdate,
+               MAX_BY(o_totalprice, o_orderkey) AS o_totalprice,
+               MAX(o_orderkey) AS o_orderkey
+        FROM orders
+        GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id,
+           e.user_id,
+           o.o_orderkey        AS orderkey_asof,
+           ROUND(o.o_totalprice, 2) AS totalprice_asof
+    FROM events e
+    ASOF LEFT JOIN uniq_orders o
+      ON e.user_id % 1500 = o.o_custkey AND e.ts >= o.o_orderdate
+    WHERE e.event_id % 10 = 0
+    """,
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event picks up the customer's most
+    recent order at or before the event time — the time-series join Spark has
+    no built-in for, realized as union + carry-forward window (one shuffle,
+    no range cross-join).  The right side is deduped to one row per
+    (key, time) so the as-of pick is engine-deterministic."""
+    from fs2_kinesis_firehose_spark.operators.asof import asof_join
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "user_id", (F.col("user_id") % 1500).alias("custkey"), "ts")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"), "o_orderdate")
+        .agg(
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+            F.max("o_orderkey").alias("o_orderkey"),
+        )
+    )
+    joined = asof_join(
+        e, o, key="custkey", left_time="ts", right_time="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey_asof").alias("orderkey_asof"),
+        F.round("o_totalprice_asof", 2).alias("totalprice_asof"),
+    )
+
+
+@query(
     "grouping_sets_order_stats",
     oracle="""
     SELECT c_mktsegment,
