@@ -16,7 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fs2_kinesis_firehose_spark.tables import table_path
+from fs2_kinesis_firehose_spark.tables import ensure_session_confs, table_path
 
 
 def replay_parquet(
@@ -29,6 +29,7 @@ def replay_parquet(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     src = table_path(sf_dir, name)
+    ensure_session_confs(spark)
     staging = staging_dir or os.path.join(
         tempfile.gettempdir(), f"replay-{name}-{uuid.uuid4().hex[:8]}"
     )
