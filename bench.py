@@ -38,6 +38,8 @@ HEADLINE = [
     "quality_scores",
     "streaming_tumbling_counts",
     "firehose_delivery_accounting",
+    "asof_join_latest_order",
+    "embedding_neardup_pairs",
 ]
 
 

