@@ -614,6 +614,52 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "map_functions",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',')         AS prop_keys,
+           CAST(len(json_keys(props)) AS INT)             AS n_props,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    WHERE event_id % 100 = 0
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: from_json → MapType, map_keys/size/getItem."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return e.filter(F.col("event_id") % 100 == 0).select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.size(F.map_keys(m)).cast("int").alias("n_props"),
+        m.getItem("k").cast("bigint").alias("k_value"),
+    )
+
+
+@query(
+    "pandas_udaf_geomean",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(EXP(AVG(LN(o_totalprice))), 2) AS geomean_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped pandas UDAF (Arrow-batched aggregate UDF): geometric mean.
+
+    Computed as exp(mean(log(x))) in numpy inside the UDAF — the oracle is the
+    same formula in SQL; both accumulate in double."""
+    from fs2_kinesis_firehose_spark.functions.udafs import geomean
+
+    o = load_table(spark, sf_dir, "orders")
+    # grouped-agg pandas UDFs cannot mix with built-in aggregates in one agg
+    return o.groupBy("o_orderpriority").agg(
+        F.round(geomean("o_totalprice"), 2).alias("geomean_price")
+    )
+
+
+@query(
     "distinct_segments",
     oracle="SELECT DISTINCT c_mktsegment FROM customer",
 )

@@ -27,6 +27,19 @@ def test_rate_source_produces_rows(spark):
         q.stop()
 
 
+def test_console_sink_runs(spark, sf_smoke):
+    stream = replay_parquet(spark, sf_smoke, "events")
+    q = (
+        stream.select("event_id")
+        .writeStream.format("console")
+        .option("numRows", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+
+
 def test_parquet_streaming_sink_roundtrip(spark, sf_smoke, tmp_path):
     out = str(tmp_path / "out")
     stream = replay_parquet(spark, sf_smoke, "events")
