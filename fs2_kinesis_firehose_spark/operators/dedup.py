@@ -31,6 +31,10 @@ from fs2_kinesis_firehose_spark.functions import text as T
 from fs2_kinesis_firehose_spark.functions import vectors as V
 
 
+def _key_ddl(df: DataFrame, col: str) -> str:
+    return df.schema[col].dataType.simpleString()
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -189,17 +193,48 @@ def verify_jaccard(
 
 
 def connected_components(
-    pairs: DataFrame, *, key1: str = "key1", key2: str = "key2", max_iter: int = 20
+    pairs: DataFrame,
+    *,
+    key1: str = "key1",
+    key2: str = "key2",
+    max_iter: int = 20,
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
-    """Min-label propagation over an edge list → (key, component).
+    """Edge list → (key, component) with component = min key of the cluster.
 
-    Iterative DataFrame joins: each pass every node adopts the minimum label
-    in its neighborhood; converges in O(cluster diameter) passes (dedup
-    clusters are tiny, so 3-5 in practice).  Each iteration is one shuffle;
-    intermediate results are cached and the loop exits early on fixpoint.
-    This is the scalable alternative to driver-side union-find — no
-    ``collect()`` of the edge set.
+    Two paths, picked by EDGE count (which is O(duplicates), tiny relative to
+    the corpus even at 100 TB — LSH already pruned the O(n²) space):
+
+    - ≤ ``driver_threshold`` edges: collect the edge list and run union-find
+      on the driver (exact, one pass) — what production dedup pipelines do;
+      5M edges ≈ 80 MB, far below driver memory.
+    - larger: distributed min-label propagation — each pass every node adopts
+      the minimum label in its neighborhood, converging in O(cluster
+      diameter) shuffles with early exit on fixpoint.  No driver collect.
     """
+    n_edges = pairs.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in pairs.select(key1, key2).toLocalIterator():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root → component id is the cluster minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(k, find(k)) for k in parent]
+        return pairs.sparkSession.createDataFrame(rows, f"key {_key_ddl(pairs, key1)}, component {_key_ddl(pairs, key1)}")
     edges = (
         pairs.select(F.col(key1).alias("a"), F.col(key2).alias("b"))
         .union(pairs.select(F.col(key2).alias("a"), F.col(key1).alias("b")))
@@ -408,6 +443,7 @@ def embedding_neardup_pairs(
     *,
     threshold: float = 0.95,
     block_col: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold.
 
@@ -418,7 +454,7 @@ def embedding_neardup_pairs(
     # norms are per-VECTOR: compute once before the pair join (the naive
     # cosine-per-pair recomputes both norms for every pair — 3× the folds).
     # Same expression per vector → bit-identical to computing it inline.
-    base = df.select(F.col(key_col), F.col(vec_col), V.norm(F.col(vec_col)).alias("_nrm"))
+    base = df.select(F.col(key_col), F.col(vec_col), V.norm(F.col(vec_col), dim).alias("_nrm"))
     l = base.select(
         F.col(key_col).alias("key1"), F.col(vec_col).alias("v1"), F.col("_nrm").alias("n1")
     )
@@ -430,7 +466,12 @@ def embedding_neardup_pairs(
         l = l.join(df.select(F.col(key_col).alias("key1"), F.col(block_col).alias("blk1")), "key1")
         r = r.join(df.select(F.col(key_col).alias("key2"), F.col(block_col).alias("blk2")), "key2")
         cond = cond & (F.col("blk1") == F.col("blk2"))
-    cos = V.dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    else:
+        # pure theta join → BroadcastNestedLoopJoin, whose parallelism is the
+        # LEFT side's partition count (often 1 for a single parquet file);
+        # spread the streamed side so every core works the O(n²) space
+        l = l.repartition(l.sparkSession.sparkContext.defaultParallelism)
+    cos = V.dot(F.col("v1"), F.col("v2"), dim) / (F.col("n1") * F.col("n2"))
     return (
         l.join(r, cond)
         .select("key1", "key2", F.round(cos, 6).alias("cos_sim"))

@@ -29,6 +29,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     key_col: str = "vec_id",
 ) -> DataFrame:
+    dim = len(query_vec)
     """Exact cosine top-k. Deterministic tie-break on the key column.
 
     The query norm is a constant: computed driver-side with a SEQUENTIAL fold
@@ -39,7 +40,7 @@ def brute_force_topk(
     for x in query_vec:
         acc += float(x) * float(x)
     q_norm = F.lit(acc**0.5)
-    cos = V.dot(F.col(vec_col), q) / (V.norm(F.col(vec_col)) * q_norm)
+    cos = V.dot(F.col(vec_col), q, dim) / (V.norm(F.col(vec_col), dim) * q_norm)
     scored = df.select(F.col(key_col), F.round(cos, 6).alias("cos_sim"))
     return scored.orderBy(F.col("cos_sim").desc(), F.col(key_col).asc()).limit(k)
 

@@ -135,7 +135,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicates (exact O(n²) baseline; the LSH-blocked
     variant is exercised in pytest — same operator with block_col)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.4)
+    return D.embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.4, dim=64)
 
 
 # ---------------------------------------------------------------------------

@@ -60,8 +60,16 @@ def test_connected_components_clusters(spark):
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
         "key1 long, key2 long",
     )
+    expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+    # driver union-find path (default threshold)
     comp = {r.key: r.component for r in D.connected_components(pairs).collect()}
-    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+    assert comp == expected
+    # distributed min-label-propagation path (forced via threshold=0)
+    comp_d = {
+        r.key: r.component
+        for r in D.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert comp_d == expected
 
 
 def test_near_dedup_minhash_end_to_end(spark):
