@@ -614,6 +614,67 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_order_left_join",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey)                        AS n_orders,
+           ROUND(COALESCE(MIN(o.o_totalprice), 0), 2) AS min_price,
+           ROUND(COALESCE(MAX(o.o_totalprice), 0), 2) AS max_price
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def customer_order_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count 0, zero bounds)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.min("o_totalprice"), F.lit(0)), 2).alias("min_price"),
+            F.round(F.coalesce(F.max("o_totalprice"), F.lit(0)), 2).alias("max_price"),
+        )
+    )
+
+
+@query(
+    "applyinpandas_zscore",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER w)
+                 / STDDEV(o_totalprice) OVER w, 4) AS price_zscore
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority)
+    """,
+)
+def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (full-group pandas transform): per-priority
+    z-score normalization — the Arrow-batched whole-group UDF shape used for
+    per-group model scoring/normalization in training pipelines."""
+    import pandas as pd
+
+    def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mean = pdf["o_totalprice"].mean()
+        std = pdf["o_totalprice"].std(ddof=1)  # sample stddev == SQL STDDEV
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_orderpriority": pdf["o_orderpriority"],
+                "price_zscore": ((pdf["o_totalprice"] - mean) / std).round(4),
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_orderpriority", "o_totalprice").groupBy(
+        "o_orderpriority"
+    ).applyInPandas(zscore, "o_orderkey bigint, o_orderpriority string, price_zscore double")
+
+
+@query(
     "map_functions",
     oracle="""
     SELECT event_id,
