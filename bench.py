@@ -39,8 +39,12 @@ HEADLINE = [
     "streaming_tumbling_counts",
     "firehose_delivery_accounting",
     "asof_join_latest_order",
-    "embedding_neardup_pairs",
+    "embedding_neardup_blocked",
 ]
+
+# exact same semantics/oracle as embedding_neardup_pairs (the O(n²)
+# correctness baseline, kept in queries()); the bench measures the
+# blocked-GEMM scale path
 
 
 def materialize(df) -> None:
@@ -54,10 +58,18 @@ def main() -> None:
 
     q.load_all()
     spark = get_spark("bench")
-    # warmup: JIT + whole-stage-codegen compile + parquet footer caches, so
-    # timings reflect steady-state latency rather than first-query JVM warmup
+    # warmup: JIT + whole-stage-codegen compile + Python-worker spinup +
+    # parquet footer caches, so timings reflect steady-state latency rather
+    # than first-query JVM warmup.  Each headline PLAN runs once at sf0.001
+    # (trivial data) — Janino caches the generated classes per plan shape, so
+    # the sf0.1 timed pass measures execution, not compilation.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    materialize(q.QUERIES["revenue_by_nation"](spark, sf_dir))
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            materialize(q.QUERIES[name](spark, warm_dir))
+        except Exception as exc:  # never let warmup sink the bench
+            print(f"  warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

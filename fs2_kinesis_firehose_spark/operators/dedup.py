@@ -7,9 +7,11 @@ Five strategies, all designed around Spark's shuffle model:
                    exact-Jaccard verify → connected components → keep one per
                    cluster.  The self-join shuffles on (band, band_hash), so
                    candidate generation is O(sum of bucket²), never O(n²);
-- SimHash        — 64-bit bit-vote fingerprint (Arrow-batched pandas UDF — the
-                   per-token bit voting has no array-expression form), banded
-                   into 4×16-bit keys for candidate pairs at Hamming ≤ ~3;
+- SimHash        — 64-bit bit-vote fingerprint, fully JVM-side: explode
+                   distinct tokens → xxhash64 → 64 codegen'd per-bit vote
+                   aggregates (same explode+aggregate shape as MinHash),
+                   banded into 4×16-bit keys for candidate pairs at
+                   Hamming ≤ ~3;
 - n-gram Jaccard — exact pairwise similarity via shingle-explode self-join
                    (the inverted-index pattern: only pairs sharing a shingle
                    are ever materialized);
@@ -22,10 +24,8 @@ results are stable across partitionings and engines.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 from fs2_kinesis_firehose_spark.functions import text as T
 from fs2_kinesis_firehose_spark.functions import vectors as V
@@ -56,6 +56,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dedup
 # ---------------------------------------------------------------------------
+def shingle_projection(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(key, shingles: array<string> DISTINCT) — the projection shared by the
+    MinHash signature and exact-Jaccard verify stages.  ``persist()`` it when
+    feeding both so tokenize+shingle runs once per document, not per stage."""
+    return df.select(
+        F.col(key_col), T.word_shingles(text_col, shingle_n).alias("shingles")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -63,6 +78,7 @@ def minhash_signatures(
     *,
     shingle_n: int = 3,
     num_hashes: int = 64,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(key, _h0.._hN min-hash columns) via explode + multi-min aggregation.
 
@@ -73,13 +89,22 @@ def minhash_signatures(
     once via explode, then one shuffle on the key with N cheap
     ``min(xxhash64(shingle, seed))`` aggregates — map-side partial aggregation
     keeps the shuffle at N longs per doc, and the plan stays fully codegen'd.
+
+    ``shingled``: optional pre-computed (usually persisted)
+    ``shingle_projection`` output; MIN over the distinct set equals MIN over
+    the multiset, so the shared distinct projection is signature-equivalent.
     """
-    # non-distinct shingles: MIN over a multiset equals MIN over its set, so
-    # the O(n²) array_distinct is pure waste on this path
-    shingled = df.select(
-        F.col(key_col),
-        F.explode(T.word_shingles(text_col, shingle_n, distinct=False)).alias("shingle"),
-    )
+    if shingled is not None:
+        shingled = shingled.select(
+            F.col(key_col), F.explode("shingles").alias("shingle")
+        )
+    else:
+        # non-distinct shingles: MIN over a multiset equals MIN over its set,
+        # so the O(n²) array_distinct is pure waste on this standalone path
+        shingled = df.select(
+            F.col(key_col),
+            F.explode(T.word_shingles(text_col, shingle_n, distinct=False)).alias("shingle"),
+        )
     # Two base hashes per shingle; permutation i = h1 XOR rotl64(h2, i) — the
     # Kirsch-Mitzenmacher construction with xor-rotate instead of multiply-add
     # (ANSI mode makes long-overflow arithmetic throw; shifts/xor are safe).
@@ -107,6 +132,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (key1 < key2) via MinHash-LSH banding.
 
@@ -117,7 +143,8 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
-        df, text_col, key_col, shingle_n=shingle_n, num_hashes=num_hashes
+        df, text_col, key_col, shingle_n=shingle_n, num_hashes=num_hashes,
+        shingled=shingled,
     )
     band_structs = [
         F.struct(
@@ -159,23 +186,28 @@ def verify_jaccard(
     *,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Filter candidate pairs by EXACT shingle Jaccard ≥ threshold.
 
-    Shingles are computed ONLY for documents that appear in a candidate pair
-    (semi-join first): after LSH pruning candidates ≪ corpus, so the shingle
-    projection — the expensive part — touches a tiny fraction of the data,
-    and is persisted so the two pair-joins don't recompute it."""
-    keys = (
-        candidates.select(F.col("key1").alias(key_col))
-        .union(candidates.select(F.col("key2").alias(key_col)))
-        .distinct()
-    )
-    shingled = (
-        df.join(keys, key_col, "left_semi")
-        .select(F.col(key_col), T.word_shingles(text_col, shingle_n).alias("shingles"))
-        .persist()
-    )
+    ``shingled``: optional pre-computed (usually persisted)
+    ``shingle_projection`` shared with the signature stage — the pair-joins
+    broadcast the small candidate side, so the persisted projection is
+    scanned, never shuffled.  Without it, shingles are computed ONLY for
+    documents that appear in a candidate pair (semi-join first): after LSH
+    pruning candidates ≪ corpus, so the recomputed projection touches a tiny
+    fraction of the data (no internal persist — caching is the caller's
+    lifecycle to manage)."""
+    if shingled is None:
+        keys = (
+            candidates.select(F.col("key1").alias(key_col))
+            .union(candidates.select(F.col("key2").alias(key_col)))
+            .distinct()
+        )
+        shingled = (
+            df.join(keys, key_col, "left_semi")
+            .select(F.col(key_col), T.word_shingles(text_col, shingle_n).alias("shingles"))
+        )
     return (
         candidates.join(
             shingled.select(F.col(key_col).alias("key1"), F.col("shingles").alias("sh1")), "key1"
@@ -288,14 +320,24 @@ def near_dedup_minhash(
     bands: int = 8,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Full near-dedup pipeline: keep one doc (min key) per near-dup cluster."""
+    """Full near-dedup pipeline: keep one doc (min key) per near-dup cluster.
+
+    The doc→shingles projection is computed ONCE (persisted) and shared by the
+    signature and verify stages; connected_components materializes the pair
+    set internally, after which the cache is released."""
+    shingled = shingle_projection(df, text_col, key_col, shingle_n=shingle_n).persist()
     cands = minhash_lsh_candidates(
-        df, text_col, key_col, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
+        df, text_col, key_col, shingle_n=shingle_n, num_hashes=num_hashes,
+        bands=bands, shingled=shingled,
     )
     verified = verify_jaccard(
-        cands, df, text_col, key_col, shingle_n=shingle_n, threshold=threshold
+        cands, df, text_col, key_col, shingle_n=shingle_n, threshold=threshold,
+        shingled=shingled,
     )
     comp = connected_components(verified)
+    # CC ran actions (edge count + union-find / label propagation), so `comp`
+    # is materialized — the shared projection's job is done
+    shingled.unpersist()
     drop = comp.filter(F.col("key") != F.col("component")).select(
         F.col("key").alias(key_col)
     )
@@ -305,47 +347,48 @@ def near_dedup_minhash(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash_expr_udf():
-    """Arrow-batched pandas UDF computing a 64-bit SimHash over tokens.
+def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Append a ``simhash: bigint`` fingerprint column — fully JVM-side.
 
-    Per doc: hash every token to 64 bits (blake2b, stable across processes —
-    NOT Python's salted ``hash``), vote +1/-1 per bit position, sign of the
-    vote becomes the fingerprint bit.  The bit-vote accumulation has no
-    array-expression form, so this is a legitimate pandas UDF (Arrow batches,
-    numpy inner loop)."""
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
+    Per doc: hash every DISTINCT token to 64 bits (``xxhash64``, stable across
+    processes and partitionings), vote +1/-1 per bit position, sign of the
+    vote becomes the fingerprint bit.  Same explode+aggregate shape as
+    ``minhash_signatures``: explode distinct tokens → ONE shuffle on the key
+    computes all 64 per-bit vote sums as codegen'd aggregates (map-side
+    partial agg keeps the shuffle at 64 longs/doc).  No Python in the plan —
+    the previous pandas-UDF form looped per-token in Python (the one
+    row-at-a-time hot loop in the codebase); the bit-vote is a plain groupBy
+    aggregation.
+    """
+    toks = df.select(
+        F.col(key_col), F.explode(T.distinct_tokens(text_col)).alias("_tok")
+    ).select(key_col, F.xxhash64("_tok").alias("_th"))
+    vote_aggs = [
+        F.sum(
+            F.shiftrightunsigned(F.col("_th"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"_v{i}")
+        for i in range(64)
+    ]
+    voted = toks.groupBy(key_col).agg(*vote_aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        # post-aggregation column refs — 64 tiny exprs, no inline blowup
+        fp = fp.bitwiseOR(F.shiftleft((F.col(f"_v{i}") > 0).cast("long"), i))
+    fingerprints = voted.select(F.col(key_col), fp.alias("simhash"))
+    # left join + coalesce: zero-token docs (explode drops them) get fp=0,
+    # matching the all-votes-tie convention
+    return df.join(fingerprints, key_col, "left").withColumn(
+        "simhash", F.coalesce(F.col("simhash"), F.lit(0).cast("long"))
+    )
 
-    @pandas_udf(LongType())
-    def simhash64(tokens: pd.Series) -> pd.Series:
-        from hashlib import blake2b
 
-        out = np.empty(len(tokens), dtype=np.int64)
-        for i, toks in enumerate(tokens):
-            votes = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for t in set(toks if toks is not None else ()):
-                h = int.from_bytes(blake2b(t.encode(), digest_size=8).digest(), "big")
-                bits = ((np.uint64(h) >> shifts) & np.uint64(1)).astype(np.int64)
-                votes += 2 * bits - 1
-            fp = int((votes > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))
-            out[i] = fp - (1 << 64) if fp >= (1 << 63) else fp
-        return pd.Series(out)
-
-    return simhash64
-
-
-def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append a ``simhash: bigint`` fingerprint column."""
-    udf = simhash_expr_udf()
-    return df.withColumn("simhash", udf(T.tokens(text_col)))
-
-
-def simhash_candidates(df: DataFrame, key_col: str = "doc_id", *, bands: int = 4) -> DataFrame:
+def simhash_candidates(
+    df: DataFrame, key_col: str = "doc_id", *, bands: int = 4, text_col: str = "text"
+) -> DataFrame:
     """Candidate pairs whose SimHash matches on ≥1 of ``bands`` 16-bit bands
     (catches Hamming distance ≤ bands-1 guaranteed, more probabilistically)."""
     width = 64 // bands
-    with_sh = simhash(df, "text") if "simhash" not in df.columns else df
+    with_sh = simhash(df, text_col, key_col) if "simhash" not in df.columns else df
     banded = with_sh.select(
         key_col,
         F.explode(
@@ -477,3 +520,81 @@ def embedding_neardup_pairs(
         .select("key1", "key2", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_neardup_pairs_blocked(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    *,
+    threshold: float = 0.95,
+    num_blocks: int = 16,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold via blocked GEMM — the scale path
+    for exhaustive moderate-threshold search.
+
+    Why not LSH blocking here: at τ ≈ 0.4 on near-isotropic embeddings the
+    per-hyperplane agreement probability of a true pair (~0.64) barely beats
+    the background (~0.5), so no sign-LSH banding reaches recall ≥ 0.95 with
+    sub-quadratic candidates — LSH blocking (``block_col``) only pays at high
+    τ (≥ ~0.8).  Exhaustive O(n²) is inherent at moderate τ; the lever is the
+    constant: BLAS matmul inside Arrow-batched ``applyInPandas`` evaluates
+    ~100× more pairs/sec than the per-pair codegen'd fold.
+
+    Plan shape: hash each vector into one of ``num_blocks`` blocks, replicate
+    it into every block-PAIR group it participates in (B rows/vector), ONE
+    shuffle on the group id, then one numpy GEMM per group — no
+    BroadcastNestedLoopJoin, parallelism = B(B+1)/2 independent tasks.  At
+    10⁹+ vectors pair this with an IVF/LSH pre-partition (``block_col``) so
+    only intra-bucket block-pairs are generated.
+
+    Output matches ``embedding_neardup_pairs`` up to the last ulp of the
+    float64 dot (BLAS pairwise summation vs sequential fold); pytest asserts
+    pair-set equality on the fixtures.
+    """
+    import numpy as np
+
+    out_schema = f"key1 {_key_ddl(df, key_col)}, key2 {_key_ddl(df, key_col)}, cos_sim double"
+    b_lit = F.lit(num_blocks)
+    v = df.select(
+        F.col(key_col).alias("_key"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(key_col)), b_lit).cast("int").alias("_blk"),
+    )
+    rep = v.select(
+        "_key",
+        "_vec",
+        "_blk",
+        F.explode(F.sequence(F.lit(0), b_lit - 1)).alias("_j"),
+    ).select(
+        "_key",
+        "_vec",
+        "_blk",
+        F.least("_blk", "_j").alias("_g1"),
+        F.greatest("_blk", "_j").alias("_g2"),
+    )
+
+    def emit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g1, g2 = int(pdf["_g1"].iat[0]), int(pdf["_g2"].iat[0])
+        same = g1 == g2
+        a = pdf if same else pdf[pdf["_blk"] == g1]
+        b = pdf if same else pdf[pdf["_blk"] == g2]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"key1": [], "key2": [], "cos_sim": []})
+        XA = np.stack(a["_vec"].to_numpy()).astype(np.float64)
+        XB = XA if same else np.stack(b["_vec"].to_numpy()).astype(np.float64)
+        ka, kb = a["_key"].to_numpy(), b["_key"].to_numpy()
+        na = np.sqrt(np.einsum("ij,ij->i", XA, XA))
+        nb = na if same else np.sqrt(np.einsum("ij,ij->i", XB, XB))
+        cos = np.round((XA @ XB.T) / np.outer(na, nb), 6)
+        mask = cos >= threshold
+        if same:
+            mask = np.triu(mask, k=1)
+        ii, jj = np.nonzero(mask)
+        k1, k2 = ka[ii], kb[jj]
+        lo, hi = np.minimum(k1, k2), np.maximum(k1, k2)
+        return pd.DataFrame({"key1": lo, "key2": hi, "cos_sim": cos[ii, jj]})
+
+    return rep.groupBy("_g1", "_g2").applyInPandas(emit, out_schema)

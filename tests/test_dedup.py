@@ -93,12 +93,56 @@ def test_simhash_stability_and_similarity(spark):
     assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])
 
 
+def test_simhash_plan_is_jvm_only(spark):
+    """SimHash must compile to pure codegen aggregates — no Python eval node
+    (the pandas-UDF form burned a Python loop per token)."""
+    df = _docs_with_dupes(spark)
+    plan = D.simhash(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_simhash_null_text_and_custom_column(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None)], "doc_id long, body string"
+    )
+    sh = {r.doc_id: r.simhash for r in D.simhash(df, text_col="body").collect()}
+    assert sh[2] == 0  # null text → no tokens → all-ties fingerprint
+    assert sh[1] != 0
+
+
 def test_simhash_candidates_hamming(spark):
     df = _docs_with_dupes(spark)
     with_sh = D.simhash(df)
     cands = D.simhash_candidates(with_sh, bands=4)
     pairs = {(r.key1, r.key2) for r in cands.collect()}
     assert (1, 2) in pairs
+
+
+def test_embedding_neardup_gemm_matches_exact(spark, sf_smoke):
+    """Blocked-GEMM path must reproduce the exact JVM path's pair set and
+    rounded cosine values (recall 1.0 — it's exhaustive, just vectorized)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    exact = {
+        (r.key1, r.key2): r.cos_sim
+        for r in D.embedding_neardup_pairs(emb, threshold=0.4, dim=64).collect()
+    }
+    blocked = {
+        (r.key1, r.key2): r.cos_sim
+        for r in D.embedding_neardup_pairs_blocked(
+            emb, threshold=0.4, num_blocks=8
+        ).collect()
+    }
+    assert set(blocked) == set(exact)
+    assert all(abs(blocked[k] - exact[k]) < 1e-9 for k in exact)
+
+
+def test_embedding_neardup_gemm_plan_has_no_bnlj(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    plan = (
+        D.embedding_neardup_pairs_blocked(emb, threshold=0.4, num_blocks=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_embedding_neardup_blocked_matches_exact_for_identical(spark):
