@@ -40,18 +40,27 @@ def is_resource_not_found(exc: BaseException) -> bool:
 
 
 def boto3_client_factory(region_name: str | None = None, **kwargs: Any) -> ClientFactory:
-    """Factory for the real AWS client (import gated: boto3 is optional)."""
+    """Factory for the real AWS client (import gated: boto3 is optional).
 
-    def factory() -> Any:
+    Returns a class instance (not a closure) exposing ``kwargs`` so the
+    per-executor client cache can key on stable configuration rather than
+    object identity (closures unpickle to fresh objects per task and id()
+    can alias after GC)."""
+    return _Boto3Factory({"region_name": region_name, **kwargs})
+
+
+class _Boto3Factory:
+    def __init__(self, kwargs: dict[str, Any]) -> None:
+        self.kwargs = kwargs
+
+    def __call__(self) -> Any:
         try:
             import boto3  # type: ignore[import-not-found]
         except ImportError as e:  # pragma: no cover - boto3 absent in CI
             raise RuntimeError(
                 "boto3 is not installed; use FakeFirehose for local runs"
             ) from e
-        return boto3.client("firehose", region_name=region_name, **kwargs)
-
-    return factory
+        return boto3.client("firehose", **self.kwargs)
 
 
 class FakeFirehose:

@@ -39,6 +39,13 @@ class ProducerSettings:
     parallelism: int = 1
     separator: bytes = b"\n"
     retry: RetryPolicy | None = RetryPolicy()
+    # AWS byte quotas, ENFORCED by the sink slicer: a request flushes early
+    # when the next record would push it past ``max_batch_bytes``; a single
+    # record larger than ``max_record_bytes`` is rejected with a clear error
+    # (the real service would reject it after exhausting retries).  Lowerable
+    # for tests; never raisable past the AWS quotas.
+    max_batch_bytes: int = MAX_BATCH_BYTES
+    max_record_bytes: int = MAX_RECORD_BYTES
 
     def __post_init__(self) -> None:
         if not (0 < self.batch_size <= MAX_BATCH_SIZE):
@@ -49,6 +56,14 @@ class ProducerSettings:
             raise ValueError(f"parallelism must be >= 1, got {self.parallelism}")
         if self.time_window_s <= 0:
             raise ValueError(f"time_window_s must be > 0, got {self.time_window_s}")
+        if not (0 < self.max_batch_bytes <= MAX_BATCH_BYTES):
+            raise ValueError(
+                f"max_batch_bytes must be in (0, {MAX_BATCH_BYTES}], got {self.max_batch_bytes}"
+            )
+        if not (0 < self.max_record_bytes <= MAX_RECORD_BYTES):
+            raise ValueError(
+                f"max_record_bytes must be in (0, {MAX_RECORD_BYTES}], got {self.max_record_bytes}"
+            )
 
     # with* builders mirroring ProducerSettings.scala:27-42
     def with_batch_size(self, n: int) -> "ProducerSettings":

@@ -55,11 +55,33 @@ ACK_SCHEMA = StructType(
 
 # per-executor-process client singleton (A22: client lifecycle — the Resource
 # analog; built once per Python worker, reused across partitions)
-_CLIENT_CACHE: dict[int, Any] = {}
+_CLIENT_CACHE: dict[Any, Any] = {}
+
+
+def _factory_key(factory: ClientFactory) -> Any:
+    """Stable cache key for a client factory.
+
+    Spark unpickles a FRESH factory object per task, so object identity can't
+    key a per-process singleton (and CPython reuses id() after GC — two
+    different factories could alias a slot and deliver to the wrong
+    endpoint).  Contract: factories expose their configuration as a
+    ``kwargs`` attribute (both built-in factories do); the key is
+    (type, sorted kwargs).  Arbitrary callables fall back to their
+    cloudpickle bytes — stable across unpickling, unlike id()."""
+    kw = getattr(factory, "kwargs", None)
+    if kw is not None:
+        return (type(factory).__module__, type(factory).__qualname__,
+                repr(sorted(kw.items())))
+    try:
+        from pyspark import cloudpickle
+
+        return ("pickled", cloudpickle.dumps(factory))
+    except Exception:
+        return ("id", id(factory))
 
 
 def _executor_client(factory: ClientFactory) -> Any:
-    key = id(factory) if not hasattr(factory, "kwargs") else hash(repr(sorted(factory.kwargs.items())))
+    key = _factory_key(factory)
     client = _CLIENT_CACHE.get(key)
     if client is None:
         client = factory()
@@ -79,8 +101,15 @@ def produce_acks(
 
     Arrow-batched ``mapInPandas`` (not an RDD map): payload bytes cross the
     JVM→Python boundary as Arrow buffers instead of per-row pickles (~10×
-    on wide batches); the ≤batch_size slicing carries a remainder buffer
-    across Arrow batches so request boundaries are exact within a partition.
+    on wide batches); the slicing carries a remainder buffer across Arrow
+    batches so request boundaries are exact within a partition.
+
+    Request slicing enforces BOTH AWS quota axes (A2's count bound + the byte
+    bounds): ≤ ``batch_size`` records AND ≤ ``max_batch_bytes`` per request —
+    a record that would overflow the byte bound flushes the buffer first; a
+    single record over ``max_record_bytes`` raises (the real service would
+    reject it on every retry, so failing fast on the executor is strictly
+    better).
     """
     if "value" not in framed.columns:
         raise ValueError("produce expects a framed DataFrame with a 'value' column")
@@ -95,10 +124,11 @@ def produce_acks(
         client = _executor_client(client_factory)
         acks: list[dict] = []
         buf: list[bytes] = []
+        buf_bytes = 0
         request_index = 0
 
         def flush() -> None:
-            nonlocal request_index, buf
+            nonlocal request_index, buf, buf_bytes
             records = [{"Data": p} for p in buf]
             resp = put_batch_with_retry(client, settings.stream_name, records, settings.retry)
             acks.append(
@@ -108,16 +138,28 @@ def produce_acks(
                     "n_records": len(records),
                     "failed_records": int(resp.get("FailedPutCount", 0)),
                     "attempts": int(resp.get("Attempts", 1)),
-                    "request_bytes": sum(len(p) for p in buf),
+                    "request_bytes": buf_bytes,
                     "stream_name": settings.stream_name,
                 }
             )
             request_index += 1
             buf = []
+            buf_bytes = 0
 
         for pdf in batches:
             for v in pdf["value"]:
-                buf.append(bytes(v))
+                payload = bytes(v)
+                if len(payload) > settings.max_record_bytes:
+                    raise ValueError(
+                        f"record of {len(payload)} bytes exceeds the "
+                        f"{settings.max_record_bytes}-byte per-record limit "
+                        f"(AWS rejects it on every retry); filter or split "
+                        f"oversized records upstream"
+                    )
+                if buf and buf_bytes + len(payload) > settings.max_batch_bytes:
+                    flush()
+                buf.append(payload)
+                buf_bytes += len(payload)
                 if len(buf) >= settings.batch_size:
                     flush()
         if buf:
@@ -135,11 +177,16 @@ def write_batch(
     settings: ProducerSettings,
     client_factory: ClientFactory,
     serializer: str = "json",
-) -> list[Row]:
+) -> DataFrame:
     """One-shot typed batch put (FirehoseOps.batchPut analog,
-    FirehoseOps.scala:48-54) — serialize+frame then deliver; returns acks."""
+    FirehoseOps.scala:48-54) — serialize+frame then deliver.
+
+    Returns the LAZY ack DataFrame (one row per ≤500-record request): an
+    action on it performs the puts.  No driver materialization — at 100 TB /
+    1 KB records the ack stream is ~2×10⁸ rows; aggregate or sink it
+    cluster-side (e.g. ``acks.groupBy().agg(F.sum("failed_records"))``)."""
     framed = serialize_and_frame(df, serializer, settings.separator)
-    return produce_acks(framed, settings, client_factory).collect()
+    return produce_acks(framed, settings, client_factory)
 
 
 def write_one(
@@ -178,10 +225,16 @@ def produce(
         raise ValueError("produce expects a streaming DataFrame; use write_batch for batch")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         framed = serialize_and_frame(batch_df, serializer, settings.separator)
-        # foreachPartition keeps everything on executors; acks are counted
-        # via collect of the tiny per-request summary rows
-        produce_acks(framed, settings, client_factory).collect()
+        # puts run on executors; only a ONE-ROW aggregated summary reaches the
+        # driver (never the per-request ack rows — unbounded at scale)
+        acks = produce_acks(framed, settings, client_factory)
+        acks.groupBy().agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum("failed_records").alias("failed_records"),
+        ).collect()
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)

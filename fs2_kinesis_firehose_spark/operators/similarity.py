@@ -109,16 +109,26 @@ def ivf_train_centroids(
     df: DataFrame,
     *,
     n_centroids: int = 16,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
+    max_sample_rows: int = 100_000,
     iters: int = 5,
     seed: int = 42,
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Tiny Lloyd's k-means on a driver-side SAMPLE (centroids are metadata,
-    not data — sampling keeps the driver payload O(sample), the corpus is
-    never collected)."""
+    not data — the corpus is never collected).
+
+    ``sample_fraction=None`` derives a fraction targeting ``max_sample_rows``
+    rows (one cheap count); an explicit fraction is still row-capped by
+    ``limit`` so the driver payload stays bounded at any corpus size."""
+    if sample_fraction is None:
+        n = df.count()
+        sample_fraction = min(1.0, max_sample_rows / max(n, 1))
     sample = (
-        df.select(vec_col).sample(fraction=sample_fraction, seed=seed).toPandas()[vec_col]
+        df.select(vec_col)
+        .sample(fraction=sample_fraction, seed=seed)
+        .limit(max_sample_rows)
+        .toPandas()[vec_col]
     )
     X = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
     rng = np.random.default_rng(seed)

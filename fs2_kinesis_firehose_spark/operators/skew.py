@@ -31,7 +31,16 @@ def salted_join(
     ``salt_by``: columns-hash used to derive the left salt (defaults to all
     left columns) — deterministic, so the same row always lands on the same
     reducer (idempotent under task retry, unlike rand()-based salting).
+
+    ``how`` is restricted to inner/left/left_semi: the right side is
+    replicated ``salt_factor`` times, so right/full-outer would surface each
+    unmatched right row ``salt_factor`` times.
     """
+    if how not in {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi joins only (right rows are "
+            f"replicated {salt_factor}x, breaking right/full-outer semantics); got {how!r}"
+        )
     salt_src = F.xxhash64(*[F.col(c) for c in (left.columns if salt_by is None else [salt_by])])
     lsalted = left.withColumn("_salt", F.pmod(salt_src, F.lit(salt_factor)).cast("int"))
     rsalted = right.withColumn(

@@ -33,7 +33,12 @@ from pyspark.sql.datasource import (
 )
 
 from fs2_kinesis_firehose_spark.firehose.retry import put_batch_with_retry
-from fs2_kinesis_firehose_spark.firehose.settings import MAX_BATCH_SIZE, RetryPolicy
+from fs2_kinesis_firehose_spark.firehose.settings import (
+    MAX_BATCH_BYTES,
+    MAX_BATCH_SIZE,
+    MAX_RECORD_BYTES,
+    RetryPolicy,
+)
 
 
 @dataclass
@@ -75,6 +80,13 @@ class _WriterCore:
         self.batch_size = int(self.options.get("batchsize", MAX_BATCH_SIZE))
         if not (0 < self.batch_size <= MAX_BATCH_SIZE):
             raise ValueError(f"batchSize must be in (0, {MAX_BATCH_SIZE}]")
+        # AWS byte quotas (lowerable for tests, never raisable past AWS)
+        self.max_batch_bytes = int(self.options.get("maxbatchbytes", MAX_BATCH_BYTES))
+        self.max_record_bytes = int(self.options.get("maxrecordbytes", MAX_RECORD_BYTES))
+        if not (0 < self.max_batch_bytes <= MAX_BATCH_BYTES):
+            raise ValueError(f"maxBatchBytes must be in (0, {MAX_BATCH_BYTES}]")
+        if not (0 < self.max_record_bytes <= MAX_RECORD_BYTES):
+            raise ValueError(f"maxRecordBytes must be in (0, {MAX_RECORD_BYTES}]")
         self.retry = RetryPolicy(
             max_retries=int(self.options.get("maxretries", 6)),
             base_backoff_s=float(self.options.get("basebackoffms", 500)) / 1000.0,
@@ -88,10 +100,11 @@ class _WriterCore:
         pid = ctx.partitionId() if ctx else -1
         client = _build_client(self.options)
         buf: list[bytes] = []
+        buf_bytes = 0
         n_requests = n_records = failed = 0
 
         def flush() -> None:
-            nonlocal n_requests, n_records, failed, buf
+            nonlocal n_requests, n_records, failed, buf, buf_bytes
             resp = put_batch_with_retry(
                 client, self.stream_name, [{"Data": p} for p in buf], self.retry
             )
@@ -99,13 +112,22 @@ class _WriterCore:
             n_records += len(buf)
             failed += int(resp.get("FailedPutCount", 0))
             buf = []
+            buf_bytes = 0
 
         for row in iterator:
             v = row["value"]
             payload = v.encode() if isinstance(v, str) else bytes(v)
             if self.separator:
                 payload += self.separator
+            if len(payload) > self.max_record_bytes:
+                raise ValueError(
+                    f"record of {len(payload)} bytes exceeds the "
+                    f"{self.max_record_bytes}-byte per-record limit"
+                )
+            if buf and buf_bytes + len(payload) > self.max_batch_bytes:
+                flush()
             buf.append(payload)
+            buf_bytes += len(payload)
             if len(buf) >= self.batch_size:
                 flush()
         if buf:

@@ -46,6 +46,19 @@ def test_batch_write_slices_500(spark, tmp_path):
     assert len(read_spool(spool, "big")) == 1100
 
 
+def test_batch_write_rejects_oversized_record(spark, tmp_path):
+    framed = spark.createDataFrame([(b"z" * 300,)], "value binary").coalesce(1)
+    with pytest.raises(Exception, match="per-record limit"):
+        (
+            framed.write.format("firehose")
+            .option("streamName", "big-rec")
+            .option("spoolDir", str(tmp_path))
+            .option("maxRecordBytes", "100")
+            .mode("append")
+            .save()
+        )
+
+
 def test_rejects_wrong_schema(spark, tmp_path):
     df = spark.createDataFrame([(1, "a")], "id int, s string")
     with pytest.raises(Exception, match="value"):

@@ -62,13 +62,43 @@ def test_write_batch_typed_json_delivery(spark, tmp_path):
     spool = str(tmp_path / "spool")
     df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, s string")
     settings = ProducerSettings(stream_name="t")
-    acks = write_batch(df, settings, fake_client_factory(spool_dir=spool))
+    ack_df = write_batch(df, settings, fake_client_factory(spool_dir=spool))
+    assert not ack_df.isStreaming  # lazy ack DataFrame, no driver collect
+    acks = ack_df.collect()
     assert sum(a.n_records for a in acks) == 2
     delivered = sorted(read_spool(spool, "t"))
     assert delivered == [b'{"id":1,"s":"x"}\n', b'{"id":2,"s":"y"}\n']
     for p in delivered:
         assert p.endswith(b"\n")
         json.loads(p.decode())
+
+
+def test_byte_bound_flushes_early(spark, tmp_path):
+    """10 records of 40 bytes with a 100-byte request cap → requests hold at
+    most 2 records (2×40=80 ≤ 100 < 120), regardless of the 500-record cap."""
+    spool = str(tmp_path / "spool")
+    df = spark.createDataFrame(
+        [(bytes([65 + i]) * 40,) for i in range(10)], "value binary"
+    )
+    settings = ProducerSettings(stream_name="t", parallelism=1, max_batch_bytes=100)
+    acks = produce_acks(df, settings, fake_client_factory(spool_dir=spool)).collect()
+    assert sum(a.n_records for a in acks) == 10
+    assert all(a.n_records <= 2 and a.request_bytes <= 100 for a in acks)
+    assert len(read_spool(spool, "t")) == 10
+
+
+def test_oversized_record_rejected(spark):
+    df = spark.createDataFrame([(b"x" * 200,)], "value binary")
+    settings = ProducerSettings(stream_name="t", parallelism=1, max_record_bytes=100)
+    with pytest.raises(Exception, match="per-record limit"):
+        produce_acks(df, settings, fake_client_factory()).collect()
+
+
+def test_settings_reject_quota_overrides_past_aws(spark):
+    with pytest.raises(ValueError):
+        ProducerSettings(stream_name="t", max_batch_bytes=5 * 1024 * 1024)
+    with pytest.raises(ValueError):
+        ProducerSettings(stream_name="t", max_record_bytes=2_000 * 1024)
 
 
 def test_write_one(tmp_path):

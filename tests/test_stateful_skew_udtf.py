@@ -53,6 +53,16 @@ def test_salted_join_equals_plain_join(spark, sf_smoke):
     assert salted == plain
 
 
+def test_salted_join_rejects_right_and_full_outer(spark):
+    import pytest
+
+    l = spark.createDataFrame([(1, "a")], "k long, v string")
+    r = spark.createDataFrame([(1, 10)], "k long, w long")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(l, r, "k", salt_factor=4, how=how)
+
+
 def test_salted_join_left_outer_preserves_unmatched(spark):
     l = spark.createDataFrame([(1, "a"), (99, "z")], "k long, v string")
     r = spark.createDataFrame([(1, "x")], "k long, w string")
