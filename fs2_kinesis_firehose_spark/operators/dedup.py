@@ -433,18 +433,35 @@ def ngram_jaccard_pairs(
     *,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    max_df_fraction: float | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold, exactly.
 
     Inverted-index pattern: explode distinct shingles, self-join on the
     shingle (only co-occurring pairs materialize), count common shingles per
     pair, then J = common / (|A| + |B| - common).  The shuffle key is the
-    shingle; document-frequency skew is the scale risk — pair it with a
-    stop-shingle filter (drop shingles in > X% of docs) for web-scale corpora.
-    """
+    shingle; document-frequency skew is the scale risk: a shingle present in
+    k docs contributes a k² bucket to the self-join.
+
+    ``max_df_fraction`` enables the stop-shingle mitigation: shingles present
+    in more than that fraction of documents are dropped BEFORE the self-join
+    (and before sizes, so J is computed over the filtered shingle space —
+    deterministic, engine-portable semantics).  The drop set is tiny (only
+    ultra-common shingles) and broadcast, so the filter adds one map-side
+    anti-join, no extra shuffle of the index."""
     shingled = df.select(
         F.col(key_col), F.explode(T.word_shingles(text_col, shingle_n)).alias("shingle")
     )
+    if max_df_fraction is not None:
+        limit = max_df_fraction * df.count()
+        # shingles are distinct per doc, so count(*) == document frequency
+        stop = (
+            shingled.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > limit)
+            .select("shingle")
+        )
+        shingled = shingled.join(F.broadcast(stop), "shingle", "left_anti")
     sizes = shingled.groupBy(key_col).agg(F.count(F.lit(1)).alias("sz"))
     l, r = shingled.alias("l"), shingled.alias("r")
     common = (

@@ -73,6 +73,41 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.7)
 
 
+@query(
+    "ngram_jaccard_filtered",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    toks AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    stop AS (
+        SELECT shingle FROM toks GROUP BY shingle
+        HAVING COUNT(*) > 0.05 * (SELECT COUNT(*) FROM documents)
+    ),
+    ftoks AS (SELECT * FROM toks WHERE shingle NOT IN (SELECT shingle FROM stop)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ftoks GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS key1, b.doc_id AS key2, COUNT(*) AS common
+        FROM ftoks a JOIN ftoks b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT key1, key2,
+           ROUND(common * 1.0 / (s1.sz + s2.sz - common), 6) AS jaccard
+    FROM common c
+    JOIN sizes s1 ON c.key1 = s1.doc_id
+    JOIN sizes s2 ON c.key2 = s2.doc_id
+    WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.7
+    """,
+)
+def ngram_jaccard_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-shingle-filtered exact Jaccard pairs: shingles in > 5% of docs are
+    dropped before the inverted-index self-join — the mitigation for the one
+    quadratic skew risk in the exact path (a shingle in k docs makes a k²
+    bucket).  J is computed over the filtered shingle space on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.7, max_df_fraction=0.05
+    )
+
+
 @query("minhash_lsh_pairs")  # rows-only: xxhash64 permutations are Spark-specific
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ 0.7 (the scale path:
