@@ -40,6 +40,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from fs2_kinesis_firehose_spark.queries import (  # noqa: F401
+        curation_q,
         llm,
         relational,
         sinkq,

@@ -1,0 +1,154 @@
+"""Curation-stage queries: deterministic splits, corpus mixing, PII
+redaction, sequence packing (operators/curation.py).
+
+All four are oracle-checked — including sequence packing, whose next-fit
+bin assignment the DuckDB oracle reproduces with a WITH RECURSIVE walk
+(the running-fill reset is not a window function in either engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fs2_kinesis_firehose_spark.operators import curation as C
+from fs2_kinesis_firehose_spark.queries import query
+from fs2_kinesis_firehose_spark.tables import load_table
+
+# the engine-portable uniform [0,1) used by split/sample (md5 exists and
+# agrees byte-for-byte in Spark and DuckDB)
+_DUCK_FRAC = (
+    "CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(CAST(doc_id AS VARCHAR), '{salt}')), 1, 8)) "
+    "AS BIGINT) / 4294967296.0"
+)
+
+
+@query(
+    "train_val_test_counts",
+    oracle=f"""
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM (
+        SELECT lang,
+               CASE WHEN {_DUCK_FRAC.format(salt="split")} < 0.8 THEN 'train'
+                    WHEN {_DUCK_FRAC.format(salt="split")} < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY split, lang
+    """,
+)
+def train_val_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 deterministic split (md5-hash assignment — stable under
+    repartitioning/retries, unlike randomSplit), counted per split × lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = C.deterministic_split(
+        docs, "doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
+    )
+    return split.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "source_mixture_counts",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_kept
+    FROM documents
+    WHERE {_DUCK_FRAC.format(salt="mix")} <
+          CASE WHEN source = 'src0' THEN 1.0
+               WHEN source = 'src1' THEN 0.5
+               WHEN source = 'src2' THEN 0.25
+               ELSE 0.75 END
+    GROUP BY source
+    """,
+)
+def source_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: per-source keep-fractions applied as a deterministic
+    hash filter (no shuffle), counted per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = C.weighted_source_sample(
+        docs,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_weight=0.75,
+        salt="mix",
+    )
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
+    "pii_redaction_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+           length(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g')
+           ) AS redacted_len
+    FROM documents
+    """,
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub plumbing over the corpus: per-doc pattern hit counts and the
+    redacted length.  (Planted-PII behavior is pytest-covered; the fixture
+    corpus itself is clean, which this verifies too.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    red = C.pii_redact(docs, "text")
+    return red.select(
+        "doc_id",
+        F.col("n_email"),
+        F.col("n_ssn"),
+        F.length("redacted").alias("redacted_len"),
+    )
+
+
+@query(
+    "packed_sequence_stats",
+    oracle="""
+    WITH RECURSIVE docs_o AS (
+        SELECT lang, doc_id, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM (SELECT lang, doc_id,
+                     len(string_split(trim(text), ' ')) AS n_tokens
+              FROM documents)
+    ),
+    walk AS (
+        SELECT lang, rn, doc_id, n_tokens,
+               CAST(1 AS BIGINT) AS seq_id, n_tokens AS fill
+        FROM docs_o WHERE rn = 1
+        UNION ALL
+        SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
+               CASE WHEN w.fill + d.n_tokens > 2048 THEN w.seq_id + 1 ELSE w.seq_id END,
+               CASE WHEN w.fill + d.n_tokens > 2048 THEN d.n_tokens ELSE w.fill + d.n_tokens END
+        FROM walk w JOIN docs_o d ON d.lang = w.lang AND d.rn = w.rn + 1
+    )
+    SELECT lang,
+           MAX(seq_id) AS n_sequences,
+           COUNT(*) AS n_docs,
+           ROUND(SUM(n_tokens) * 100, 0) / (100 * MAX(seq_id) * 2048.0) AS fill_ratio
+    FROM walk
+    GROUP BY lang
+    """,
+)
+def packed_sequence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing into 2048-token context windows per lang:
+    sequences used, docs packed, and the mean fill ratio.  The Spark packer is
+    an O(n) per-group applyInPandas; the oracle replays the identical walk
+    with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "lang", "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    packed = C.pack_sequences(
+        with_tokens, budget=2048, group_col="lang", key_col="doc_id", tokens_col="n_tokens"
+    )
+    return packed.groupBy("lang").agg(
+        F.max("seq_id").alias("n_sequences"),
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.round(F.sum("n_tokens") * 100, 0) / (100 * F.max("seq_id") * F.lit(2048.0))).alias(
+            "fill_ratio"
+        ),
+    )

@@ -1,0 +1,71 @@
+"""Ground-truth tests for curation operators (split/mix/redact/pack)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fs2_kinesis_firehose_spark.operators import curation as C
+
+
+def test_deterministic_split_is_stable_and_partition_invariant(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split for r in C.deterministic_split(df, "doc_id").collect()}
+    s2 = {
+        r.doc_id: r.split
+        for r in C.deterministic_split(df.repartition(7), "doc_id").collect()
+    }
+    assert s1 == s2  # repartitioning must not move rows between splits
+    frac = {k: sum(1 for v in s1.values() if v == k) / len(s1) for k in ("train", "val", "test")}
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["val"] - 0.1) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+
+
+def test_weighted_source_sample_fractions(spark):
+    rows = [(i, "keep_all" if i % 2 else "keep_none") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = C.weighted_source_sample(df, {"keep_all": 1.0, "keep_none": 0.0})
+    srcs = {r.source for r in out.collect()}
+    assert srcs == {"keep_all"}
+    assert out.count() == 1000
+
+
+def test_pii_redact_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or 555-123-4567 today"),
+            (2, "server at 10.0.0.1 leaked ssn 123-45-6789"),
+            (3, "nothing sensitive here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in C.pii_redact(df, "text").collect()}
+    assert out[1].n_email == 1 and "<EMAIL>" in out[1].redacted
+    assert "bob@example.com" not in out[1].redacted
+    assert "<PHONE>" in out[1].redacted
+    assert out[2].n_ssn == 1 and "<SSN>" in out[2].redacted
+    assert out[2].n_ip == 1 and "<IP>" in out[2].redacted
+    assert out[3].redacted == "nothing sensitive here at all"
+
+
+def test_pack_sequences_next_fit_ground_truth(spark):
+    # budget 10; docs (id, tokens): 4,5,3,10,2 → seqs [1:4+5, 2:3, 3:10, 3?]
+    # next-fit walk: 4 (fill 4) ; +5=9 ok ; +3=12 >10 → seq2 fill 3 ;
+    # +10=13 >10 → seq3 fill 10 ; +2=12 >10 → seq4 fill 2
+    rows = [(1, "g", 4), (2, "g", 5), (3, "g", 3), (4, "g", 10), (5, "g", 2)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = {
+        r.doc_id: r.seq_id
+        for r in C.pack_sequences(df, budget=10, group_col="lang").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_pack_sequences_oversized_doc_gets_own_sequence(spark):
+    rows = [(1, "g", 3), (2, "g", 99), (3, "g", 3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = {
+        r.doc_id: r.seq_id
+        for r in C.pack_sequences(df, budget=10, group_col="lang").collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 3}  # lossless: oversize isolated, not dropped
