@@ -1,0 +1,117 @@
+"""Temporal join/rollup operators: bucketed interval (range) join and
+multi-granularity time-bucket rollup.
+
+Complements ``operators/asof.py`` (nearest-past join).  No reference
+analog — the reference is a delivery pipe; these are the temporal-analytics
+operators the north star names (as-of join, range join, hypertable rollup).
+
+Scale design:
+
+- ``interval_join``: a naive point-in-interval join is a pure theta join →
+  BroadcastNestedLoopJoin (O(n·m), parallelism limited to the streamed
+  side).  Bucketing both sides on ``floor(t / bucket_width)`` turns it into
+  an EQUI join: intervals replicate to each bucket they overlap (tiny for
+  width ≳ interval length), points land in exactly one bucket, and the
+  residual ``start ≤ p < end`` predicate filters inside the hash join.  One
+  shuffle, skew handled by AQE.
+- ``time_bucket_rollup``: hour+day+… aggregates in ONE shuffle via
+  GROUPING SETS over pre-truncated bucket columns (the continuous-aggregate
+  pattern; Catalyst expands grouping sets with a single exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _floor_div(c: Column, w: Column) -> Column:
+    """Exact floor division on longs: (c - pmod(c, w)) is exactly divisible,
+    so the double division is exact (no truncation-toward-zero negatives bug,
+    no ulp misrounding at bucket boundaries)."""
+    return ((c - F.pmod(c, w)) / w).cast("long")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``start <= point < end`` (half-open), as a bucketed EQUI join.
+
+    All three bound columns must share a numeric (long) domain — e.g.
+    ``unix_micros`` of timestamps.  ``bucket_width`` trades replication for
+    bucket size: an interval spanning k buckets is replicated k times, so
+    pick width on the order of the typical interval length.
+
+    Column name collisions between the two inputs are the caller's to
+    resolve (standard join contract)."""
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    w = F.lit(bucket_width).cast("long")
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                _floor_div(F.col(start_col).cast("long"), w),
+                _floor_div(F.col(end_col).cast("long") - 1, w),
+            )
+        ),
+    )
+    pt = points.withColumn("_bucket", _floor_div(F.col(point_col).cast("long"), w))
+    return (
+        pt.join(
+            iv,
+            (pt["_bucket"] == iv["_bucket"])
+            & (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col)),
+        )
+        .drop("_bucket")
+    )
+
+
+def time_bucket_rollup(
+    df: DataFrame,
+    ts_col: str,
+    aggs: list[Column],
+    *,
+    granularities: tuple[str, ...] = ("hour", "day"),
+) -> DataFrame:
+    """Multi-granularity time rollup in one shuffle: for each granularity in
+    ``granularities`` emit (grain, bucket, *aggs) where bucket is the
+    ``date_trunc`` of ``ts_col`` — the hypertable continuous-aggregate shape,
+    via ``DataFrame.groupingSets`` so Catalyst plans a single exchange
+    instead of one scan+shuffle per grain.
+
+    ``bucket`` is emitted as a formatted string (engine-portable output; raw
+    timestamp reprs differ across engines)."""
+    gcols = [f"_g_{g}" for g in granularities]
+    base = df.select(
+        *[F.date_trunc(g, F.col(ts_col)).alias(c) for g, c in zip(granularities, gcols)],
+        *df.columns,
+    )
+    # grouping() is only valid inside the aggregate, so the grain flags ride
+    # along as aggregate columns and are folded into a label afterwards
+    flags = [F.grouping(c).alias(f"_in{c}") for c in gcols]
+    rolled = base.groupingSets(
+        [[c] for c in gcols], *[F.col(c) for c in gcols]
+    ).agg(*flags, *aggs)
+    grain_expr = None
+    for g, c in zip(granularities, gcols):
+        cond = F.col(f"_in{c}") == 0
+        grain_expr = F.when(cond, g) if grain_expr is None else grain_expr.when(cond, g)
+    agg_cols = [
+        c for c in rolled.columns if c not in gcols and not c.startswith("_in_g_")
+    ]
+    return rolled.select(
+        grain_expr.alias("grain"),
+        F.date_format(F.coalesce(*[F.col(c) for c in gcols]), "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket"
+        ),
+        *agg_cols,
+    )

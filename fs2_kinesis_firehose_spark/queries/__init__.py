@@ -45,4 +45,5 @@ def load_all() -> None:
         relational,
         sinkq,
         streaming_q,
+        temporal_q,
     )

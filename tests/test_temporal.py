@@ -1,0 +1,82 @@
+"""Tests for interval join and time-bucket rollup (operators/temporal.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fs2_kinesis_firehose_spark.operators.temporal import interval_join, time_bucket_rollup
+
+
+def _naive_pairs(points, intervals):
+    out = set()
+    for pid, p in points:
+        for iid, s, e in intervals:
+            if s <= p < e:
+                out.add((pid, iid))
+    return out
+
+
+def test_interval_join_matches_naive_including_negatives(spark):
+    # negative/boundary-heavy domain to exercise exact floor-division
+    points = [(i, p) for i, p in enumerate([-25, -20, -11, -10, -1, 0, 1, 9, 10, 15, 29, 30])]
+    intervals = [(100, -20, -10), (101, -10, 10), (102, 10, 30), (103, 5, 6), (104, 7, 7)]
+    pdf = spark.createDataFrame(points, "pid long, p long")
+    idf = spark.createDataFrame(intervals, "iid long, s long, e long")
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            pdf, idf, point_col="p", start_col="s", end_col="e", bucket_width=10
+        ).collect()
+    }
+    assert got == _naive_pairs(points, intervals)  # empty interval 104 matches nothing
+
+
+def test_interval_join_rejects_bad_width(spark):
+    df = spark.createDataFrame([(1, 1)], "a long, b long")
+    with pytest.raises(ValueError):
+        interval_join(df, df, point_col="a", start_col="a", end_col="b", bucket_width=0)
+
+
+def test_interval_join_plan_is_equi_not_bnlj(spark):
+    pdf = spark.createDataFrame([(1, 5)], "pid long, p long")
+    idf = spark.createDataFrame([(9, 0, 10)], "iid long, s long, e long")
+    plan = (
+        interval_join(pdf, idf, point_col="p", start_col="s", end_col="e", bucket_width=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_time_bucket_rollup_grains(spark):
+    rows = [
+        (1, "2024-01-01 10:15:00", 2.0),
+        (2, "2024-01-01 10:45:00", 3.0),
+        (3, "2024-01-01 11:05:00", 5.0),
+        (4, "2024-01-02 00:30:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts_s string, v double").select(
+        "id", F.to_timestamp("ts_s").alias("ts"), "v"
+    )
+    out = time_bucket_rollup(
+        df, "ts", [F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")]
+    )
+    got = {(r.grain, r.bucket): (r.n, r.total) for r in out.collect()}
+    assert got[("hour", "2024-01-01 10:00:00")] == (2, 5.0)
+    assert got[("hour", "2024-01-01 11:00:00")] == (1, 5.0)
+    assert got[("day", "2024-01-01 00:00:00")] == (3, 10.0)
+    assert got[("day", "2024-01-02 00:00:00")] == (1, 7.0)
+    assert len(got) == 5  # 3 hour buckets + 2 day buckets
+
+
+def test_time_bucket_rollup_single_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:15:00", 2.0)], "id long, ts_s string, v double"
+    ).select(F.to_timestamp("ts_s").alias("ts"), "v")
+    plan = (
+        time_bucket_rollup(df, "ts", [F.count(F.lit(1)).alias("n")])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # grouping-sets expand feeds ONE exchange (plus AQE reader nodes), not
+    # one scan+shuffle per grain
+    assert plan.count("Exchange hashpartitioning") == 1
