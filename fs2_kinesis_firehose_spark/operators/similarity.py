@@ -16,7 +16,7 @@
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fs2_kinesis_firehose_spark.functions import vectors as V
@@ -143,28 +143,64 @@ def ivf_train_centroids(
     return centroids
 
 
+def seeded_centroids(
+    dim: int, n_centroids: int = 16, *, seed: int = 7, scale: float = 0.125
+) -> np.ndarray:
+    """Data-independent Voronoi centroids (seeded gaussian, scaled to the
+    embedding distribution).  Quantization quality trails trained k-means,
+    but the cells are pure constants — reproducible in any engine, which
+    makes the full IVF pipeline oracle-checkable."""
+    rng = np.random.default_rng(seed)
+    return rng.normal(0.0, scale, (n_centroids, dim))
+
+
+def _seq_sq_norm(vec) -> float:
+    """Sequential-fold |v|² in Python doubles — bit-identical to a SQL
+    engine's left fold (numpy pairwise summation is NOT)."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return acc
+
+
+def _centroid_dist_exprs(vec_col: str, centroids: np.ndarray, dim: int) -> list[Column]:
+    """Per-centroid comparable distance |c|² − 2·(v·c): same argmin as true
+    L2 (|v|² is constant per row) with one codegen'd dot chain per centroid —
+    and the exact expression a SQL oracle can restate fold-for-fold."""
+    return [
+        F.lit(_seq_sq_norm(c)) - 2.0 * V.dot(F.col(vec_col), V.literal_vector(list(c)), dim)
+        for c in centroids
+    ]
+
+
 def ivf_assign(
     df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
 ) -> DataFrame:
-    """Append ``ivf_cell`` = argmin centroid (L2).  Pure codegen: one distance
-    expression per centroid, ``array_position(array_min(...))`` picks argmin."""
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    V.literal_vector(list(c)),
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for c in centroids
-        ]
-    )
+    """Append ``ivf_cell`` = argmin-distance centroid.  Pure codegen: one
+    flat multiply-add dot chain per centroid,
+    ``array_position(array_min(...))`` picks the first argmin."""
+    dim = centroids.shape[1]
+    dists = F.array(*_centroid_dist_exprs(vec_col, centroids, dim))
     return df.withColumn(
         "ivf_cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     )
+
+
+def ivf_probe_cells(
+    centroids: np.ndarray, query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` cells nearest the query, ranked by the SAME
+    |c|² − 2·(q·c) sequential-fold arithmetic the row assignment uses (ties
+    broken by cell index) — so an oracle ranking cells in SQL lands on the
+    identical probe set."""
+    dists = []
+    for c in centroids:
+        acc = 0.0
+        for x, y in zip(query_vec, c):
+            acc += float(x) * float(y)
+        dists.append(_seq_sq_norm(c) - 2.0 * acc)
+    order = sorted(range(len(centroids)), key=lambda i: (dists[i], i))
+    return order[:nprobe]
 
 
 def ivf_topk(
@@ -178,8 +214,6 @@ def ivf_topk(
     key_col: str = "vec_id",
 ) -> DataFrame:
     """Probe the ``nprobe`` nearest cells' inverted lists, exact re-rank inside."""
-    qv = np.asarray(query_vec, dtype=np.float64)
-    order = np.argsort(((centroids - qv) ** 2).sum(axis=1))
-    cells = [int(c) for c in order[:nprobe]]
+    cells = ivf_probe_cells(centroids, query_vec, nprobe)
     candidates = df_assigned.filter(F.col("ivf_cell").isin(cells))
     return brute_force_topk(candidates, query_vec, k, vec_col, key_col)

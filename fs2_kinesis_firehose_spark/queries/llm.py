@@ -287,7 +287,49 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk")  # rows-only: hyperplanes from seeded driver RNG
+# The LSH hyperplanes are seeded driver-side constants, so the oracle can
+# embed the IDENTICAL literals and recompute buckets in SQL; the multi-probe
+# set is "xor(bucket, query_bucket) has ≤2 bits", i.e. membership of the xor
+# in the static ≤2-bit mask list.  This makes the full ANN pipeline
+# (bucketing + probe pruning + exact re-rank) value-hash-checkable.
+def _ann_oracle() -> str:
+    planes = S._hyperplanes(64, 6, seed=42)
+    plane_sql = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+
+    def bucket_expr(vec: str) -> str:
+        return " + ".join(
+            f"{1 << i} * (CASE WHEN list_inner_product({vec}, {plane_sql[i]}) > 0 "
+            f"THEN 1 ELSE 0 END)"
+            for i in range(6)
+        )
+
+    masks = [0] + [1 << i for i in range(6)] + [
+        (1 << i) | (1 << j) for i in range(6) for j in range(i + 1, 6)
+    ]
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT ({bucket_expr('qv')}) AS qbucket FROM q),
+    b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               ({bucket_expr('CAST(embedding AS DOUBLE[])')}) AS bucket
+        FROM embeddings
+    )
+    SELECT vec_id, cos_sim
+    FROM (
+        SELECT b.vec_id,
+               ROUND(list_inner_product(b.v, q.qv)
+                     / (SQRT(list_inner_product(b.v, b.v))
+                        * SQRT(list_inner_product(q.qv, q.qv))), 6) AS cos_sim,
+               xor(b.bucket, qb.qbucket) AS d
+        FROM b, q, qb
+    )
+    WHERE d IN ({", ".join(str(m) for m in sorted(masks))})
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@query("ann_lsh_topk", oracle=_ann_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via sign-LSH + 2-bit multi-probe.
 
@@ -295,7 +337,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale; multiprobe recovers boundary losses.  (Fixture embeddings are
     near-uniform — the hardest case for sign-LSH; real embedding corpora
     cluster and bucket much more cleanly.)  Recall vs brute force asserted in
-    pytest."""
+    pytest; the oracle replays bucketing + probing with the identical literal
+    hyperplanes in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     bucketed = S.random_hyperplane_lsh(emb, dim=64, n_planes=6)
     return S.ann_topk(
@@ -303,11 +346,56 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ivf_topk")  # rows-only: centroids from seeded sampled k-means
+# The registered IVF query uses data-independent seeded centroids (pure
+# constants), so the oracle can restate cell assignment, probe ranking, and
+# re-rank with the IDENTICAL literals; k-means training
+# (ivf_train_centroids) remains the production path, pytest-covered.
+def _ivf_oracle() -> str:
+    cents = S.seeded_centroids(64, 16, seed=7, scale=0.125)
+    cent_sql = ["[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents]
+    c2 = [repr(S._seq_sq_norm(c)) for c in cents]
+
+    def dist_list(vec: str) -> str:
+        return (
+            "["
+            + ", ".join(
+                f"{c2[i]} - 2.0 * list_inner_product({vec}, {cent_sql[i]})"
+                for i in range(len(cents))
+            )
+            + "]"
+        )
+
+    v = "CAST(embedding AS DOUBLE[])"
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (SELECT list_grade_up({dist_list('qv')})[1:4] AS cells FROM q),
+    b AS (
+        SELECT vec_id, {v} AS vv,
+               list_position({dist_list(v)}, list_min({dist_list(v)})) AS cellpos
+        FROM embeddings
+    )
+    SELECT vec_id, cos_sim
+    FROM (
+        SELECT b.vec_id,
+               ROUND(list_inner_product(b.vv, q.qv)
+                     / (SQRT(list_inner_product(b.vv, b.vv))
+                        * SQRT(list_inner_product(q.qv, q.qv))), 6) AS cos_sim,
+               b.cellpos, probe.cells
+        FROM b, q, probe
+    )
+    WHERE list_contains(cells, cellpos)
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@query("ivf_topk", oracle=_ivf_oracle())
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantized top-10 (nprobe=4 of 16 cells)."""
+    """IVF coarse-quantized top-10 (nprobe=4 of 16 seeded Voronoi cells);
+    assignment, probe ranking and exact re-rank all replayed by the oracle
+    with identical literal centroids and fold order."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = S.ivf_train_centroids(emb, n_centroids=16, seed=42)
+    cents = S.seeded_centroids(64, 16, seed=7, scale=0.125)
     assigned = S.ivf_assign(emb, cents)
     return S.ivf_topk(assigned, cents, _query_vector(spark, sf_dir), k=10, nprobe=4)
 
