@@ -76,6 +76,29 @@ def weighted_source_sample(
     return df.filter(hash_fraction(key_col, salt) < w)
 
 
+def stratified_sample(
+    df: DataFrame,
+    *,
+    group_col: str,
+    n_per_group: int,
+    key_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly ``n_per_group`` rows per group (fewer if the group is
+    smaller), chosen deterministically: rank by md5-hash fraction within the
+    group and keep the lowest ``n``.  Equivalent to a seeded uniform
+    reservoir sample but stable across engines, partitionings, and re-runs.
+    One shuffle on the group key."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(hash_fraction(key_col, salt), key_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

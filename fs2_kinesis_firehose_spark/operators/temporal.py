@@ -75,6 +75,34 @@ def interval_join(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    key_col: str,
+    gap: int,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Gap-based batch sessionization: append ``session_id`` (1-based per
+    key) that increments whenever the time since the previous event of the
+    same key exceeds ``gap`` (numeric domain, e.g. epoch micros).
+
+    Two window functions over ONE partitioning (lag → running sum of
+    session starts), so Catalyst plans a single sort+shuffle on the key —
+    the batch analog of the streaming session window
+    (streaming/windows.py), and fully engine-portable SQL (unlike the
+    state-store path).  Pass ``order_cols`` for a deterministic tiebreak
+    when timestamps can collide within a key."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    prev = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col(ts_col) - prev) > gap), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn("session_id", F.sum(is_new).over(w))
+
+
 def time_bucket_rollup(
     df: DataFrame,
     ts_col: str,

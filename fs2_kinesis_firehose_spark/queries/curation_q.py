@@ -74,6 +74,31 @@ def source_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_DUCK_FRAC.format(salt="strat")}, doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 20
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 20 docs per language, chosen
+    by md5-hash rank — a seeded reservoir sample that is stable across
+    engines and re-runs (id-level parity, not just counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.stratified_sample(
+        docs, group_col="lang", n_per_group=20, key_col="doc_id", salt="strat"
+    ).select("doc_id", "lang")
+
+
+@query(
     "pii_redaction_stats",
     oracle=r"""
     SELECT doc_id,

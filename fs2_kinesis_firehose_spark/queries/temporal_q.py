@@ -6,7 +6,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fs2_kinesis_firehose_spark.operators.temporal import interval_join, time_bucket_rollup
+from fs2_kinesis_firehose_spark.operators.temporal import (
+    interval_join,
+    sessionize,
+    time_bucket_rollup,
+)
 from fs2_kinesis_firehose_spark.queries import query
 from fs2_kinesis_firehose_spark.tables import load_table
 
@@ -47,6 +51,44 @@ def interval_join_incident_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     return joined.groupBy("incident_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.round(F.sum("pvalue") * 100, 0) / 100).alias("total_value"),
+    )
+
+
+@query(
+    "user_session_stats",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+    s AS (
+        SELECT user_id, event_id, t,
+               CASE WHEN LAG(t) OVER w IS NULL
+                      OR t - LAG(t) OVER w > 600000000 THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    sess AS (
+        SELECT user_id, t,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id) AS BIGINT)
+                   AS session_id
+        FROM s
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MAX(t) - MIN(t) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (10-minute inactivity gap): session
+    count/duration per user.  Single sort+shuffle on user_id (lag + running
+    sum share one window partitioning) — the batch analog of the streaming
+    session window, and fully oracle-checkable unlike the state-store path."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", F.unix_micros("ts").alias("t"))
+    s = sessionize(e, ts_col="t", key_col="user_id", gap=600_000_000, order_cols=("event_id",))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("t") - F.min("t")).alias("duration_us"),
     )
 
 

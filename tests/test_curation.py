@@ -30,6 +30,23 @@ def test_weighted_source_sample_fractions(spark):
     assert out.count() == 1000
 
 
+def test_stratified_sample_exact_counts_and_stability(spark):
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = C.stratified_sample(df, group_col="lang", n_per_group=10)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 10, "b": 10}
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in C.stratified_sample(df.repartition(13), group_col="lang", n_per_group=10).collect()
+    )
+    assert ids1 == ids2  # same sample regardless of partitioning
+    # small group: returns the whole group, not an error
+    tiny = C.stratified_sample(df.filter("doc_id < 4"), group_col="lang", n_per_group=10)
+    assert tiny.count() == 4
+
+
 def test_pii_redact_planted(spark):
     df = spark.createDataFrame(
         [

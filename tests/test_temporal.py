@@ -5,7 +5,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from fs2_kinesis_firehose_spark.operators.temporal import interval_join, time_bucket_rollup
+from fs2_kinesis_firehose_spark.operators.temporal import (
+    interval_join,
+    sessionize,
+    time_bucket_rollup,
+)
 
 
 def _naive_pairs(points, intervals):
@@ -46,6 +50,29 @@ def test_interval_join_plan_is_equi_not_bnlj(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_gap_splits(spark):
+    # user 1: events at t=0,5,8 (gap≤10 → one session), t=100 (new session)
+    # user 2: single event
+    rows = [(1, 10, 0), (1, 11, 5), (1, 12, 8), (1, 13, 100), (2, 14, 3)]
+    df = spark.createDataFrame(rows, "user long, eid long, t long")
+    out = {
+        r.eid: r.session_id
+        for r in sessionize(
+            df, ts_col="t", key_col="user", gap=10, order_cols=("eid",)
+        ).collect()
+    }
+    assert out == {10: 1, 11: 1, 12: 1, 13: 2, 14: 1}
+
+
+def test_sessionize_single_shuffle(spark):
+    df = spark.createDataFrame([(1, 10, 0)], "user long, eid long, t long")
+    plan = (
+        sessionize(df, ts_col="t", key_col="user", gap=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1  # lag + sum share one window
 
 
 def test_time_bucket_rollup_grains(spark):
