@@ -71,12 +71,21 @@ def main() -> None:
         except Exception as exc:  # never let warmup sink the bench
             print(f"  warmup {name} failed: {exc}", file=sys.stderr)
 
+    # two timed passes per query, keep the min: one-off JIT/GC/page-cache
+    # stalls otherwise add multi-second noise to a single-shot measurement.
+    # The DataFrame cache is cleared before every pass so the min reflects
+    # cold-cache execution, not a second pass reading a populated persist.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = q.QUERIES[name]
-        t0 = time.perf_counter()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -142,6 +142,32 @@ def streaming_static_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS trigger_id,
+           c.event_id AS touch_id
+    FROM events p
+    JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join (attribution): purchases matched to same-user
+    clicks in the 10 minutes before them.  Both sides are unbounded streaming
+    readers with watermarks; the time-range predicate bounds the join state
+    to O(users × window).  Full replay makes the emitted matches equal the
+    batch join, which the oracle states."""
+    from fs2_kinesis_firehose_spark.streaming.joins import attribution_join
+
+    s1 = replay_parquet(spark, sf_dir, "events")
+    s2 = replay_parquet(spark, sf_dir, "events")  # self-join needs 2 readers
+    return run_to_memory(attribution_join(s1, s2), output_mode="append")
+
+
+@query(
     "streaming_stateful_user_stats",
     oracle="""
     SELECT user_id,
