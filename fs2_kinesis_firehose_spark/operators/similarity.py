@@ -163,12 +163,17 @@ def _seq_sq_norm(vec) -> float:
     return acc
 
 
-def _centroid_dist_exprs(vec_col: str, centroids: np.ndarray, dim: int) -> list[Column]:
+def _centroid_dist_exprs(vec_col: str, centroids: np.ndarray) -> list[Column]:
     """Per-centroid comparable distance |c|² − 2·(v·c): same argmin as true
-    L2 (|v|² is constant per row) with one codegen'd dot chain per centroid —
-    and the exact expression a SQL oracle can restate fold-for-fold."""
+    L2 (|v|² is constant per row).  The dot is the HOF fold (zip_with +
+    aggregate) DELIBERATELY, not the dim-expanded codegen chain: 16 centroids
+    × 64 literal terms × the array duplicated for position+min blows the
+    generated method past what Janino can compile in a small driver heap
+    (observed OOM at 1 GiB) — the HOF form is interpreted but tiny, and its
+    sequential fold order is exactly what the SQL oracle restates."""
     return [
-        F.lit(_seq_sq_norm(c)) - 2.0 * V.dot(F.col(vec_col), V.literal_vector(list(c)), dim)
+        F.lit(_seq_sq_norm(c))
+        - 2.0 * V.dot(F.col(vec_col), V.literal_vector(list(c)))
         for c in centroids
     ]
 
@@ -176,11 +181,9 @@ def _centroid_dist_exprs(vec_col: str, centroids: np.ndarray, dim: int) -> list[
 def ivf_assign(
     df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
 ) -> DataFrame:
-    """Append ``ivf_cell`` = argmin-distance centroid.  Pure codegen: one
-    flat multiply-add dot chain per centroid,
+    """Append ``ivf_cell`` = argmin-distance centroid;
     ``array_position(array_min(...))`` picks the first argmin."""
-    dim = centroids.shape[1]
-    dists = F.array(*_centroid_dist_exprs(vec_col, centroids, dim))
+    dists = F.array(*_centroid_dist_exprs(vec_col, centroids))
     return df.withColumn(
         "ivf_cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     )
