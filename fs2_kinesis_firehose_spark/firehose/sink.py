@@ -36,6 +36,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from fs2_kinesis_firehose_spark.firehose.batching import slice_requests
 from fs2_kinesis_firehose_spark.firehose.client import ClientFactory
 from fs2_kinesis_firehose_spark.firehose.retry import put_batch_with_retry
 from fs2_kinesis_firehose_spark.firehose.serializers import serialize_and_frame
@@ -123,12 +124,16 @@ def produce_acks(
         partition_id = ctx.partitionId() if ctx is not None else -1
         client = _executor_client(client_factory)
         acks: list[dict] = []
-        buf: list[bytes] = []
-        buf_bytes = 0
-        request_index = 0
 
-        def flush() -> None:
-            nonlocal request_index, buf, buf_bytes
+        payloads = (bytes(v) for pdf in batches for v in pdf["value"])
+        for request_index, (buf, buf_bytes) in enumerate(
+            slice_requests(
+                payloads,
+                batch_size=settings.batch_size,
+                max_batch_bytes=settings.max_batch_bytes,
+                max_record_bytes=settings.max_record_bytes,
+            )
+        ):
             records = [{"Data": p} for p in buf]
             resp = put_batch_with_retry(client, settings.stream_name, records, settings.retry)
             acks.append(
@@ -142,28 +147,6 @@ def produce_acks(
                     "stream_name": settings.stream_name,
                 }
             )
-            request_index += 1
-            buf = []
-            buf_bytes = 0
-
-        for pdf in batches:
-            for v in pdf["value"]:
-                payload = bytes(v)
-                if len(payload) > settings.max_record_bytes:
-                    raise ValueError(
-                        f"record of {len(payload)} bytes exceeds the "
-                        f"{settings.max_record_bytes}-byte per-record limit "
-                        f"(AWS rejects it on every retry); filter or split "
-                        f"oversized records upstream"
-                    )
-                if buf and buf_bytes + len(payload) > settings.max_batch_bytes:
-                    flush()
-                buf.append(payload)
-                buf_bytes += len(payload)
-                if len(buf) >= settings.batch_size:
-                    flush()
-        if buf:
-            flush()
         yield pd.DataFrame(
             acks,
             columns=[f.name for f in ACK_SCHEMA.fields],

@@ -96,42 +96,33 @@ class _WriterCore:
     def write(self, iterator: Iterator[Any]) -> FirehoseCommitMessage:
         from pyspark import TaskContext
 
+        from fs2_kinesis_firehose_spark.firehose.batching import slice_requests
+
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else -1
         client = _build_client(self.options)
-        buf: list[bytes] = []
-        buf_bytes = 0
         n_requests = n_records = failed = 0
 
-        def flush() -> None:
-            nonlocal n_requests, n_records, failed, buf, buf_bytes
+        def payloads() -> Iterator[bytes]:
+            for row in iterator:
+                v = row["value"]
+                payload = v.encode() if isinstance(v, str) else bytes(v)
+                if self.separator:
+                    payload += self.separator
+                yield payload
+
+        for buf, _bytes in slice_requests(
+            payloads(),
+            batch_size=self.batch_size,
+            max_batch_bytes=self.max_batch_bytes,
+            max_record_bytes=self.max_record_bytes,
+        ):
             resp = put_batch_with_retry(
                 client, self.stream_name, [{"Data": p} for p in buf], self.retry
             )
             n_requests += 1
             n_records += len(buf)
             failed += int(resp.get("FailedPutCount", 0))
-            buf = []
-            buf_bytes = 0
-
-        for row in iterator:
-            v = row["value"]
-            payload = v.encode() if isinstance(v, str) else bytes(v)
-            if self.separator:
-                payload += self.separator
-            if len(payload) > self.max_record_bytes:
-                raise ValueError(
-                    f"record of {len(payload)} bytes exceeds the "
-                    f"{self.max_record_bytes}-byte per-record limit"
-                )
-            if buf and buf_bytes + len(payload) > self.max_batch_bytes:
-                flush()
-            buf.append(payload)
-            buf_bytes += len(payload)
-            if len(buf) >= self.batch_size:
-                flush()
-        if buf:
-            flush()
         return FirehoseCommitMessage(
             partition_id=pid, n_requests=n_requests, n_records=n_records, failed_records=failed
         )
