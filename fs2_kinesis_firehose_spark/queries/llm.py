@@ -108,7 +108,30 @@ def ngram_jaccard_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("minhash_lsh_pairs")  # rows-only: xxhash64 permutations are Spark-specific
+@query(
+    "minhash_lsh_pairs",
+    # The PIPELINE OUTPUT is oracle-able even though the xxhash64 signatures
+    # aren't: exact-Jaccard verification filters the LSH candidates, so with
+    # recall 1.0 (held at sf0.001/0.01/0.1, pytest-asserted) the result IS the
+    # exact J≥0.7 pair set.  A mismatch on this row means the LSH pruning
+    # dropped a true pair — a real quality regression, which SHOULD fail.
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    toks AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    common AS (
+        SELECT a.doc_id AS key1, b.doc_id AS key2, COUNT(*) AS common
+        FROM toks a JOIN toks b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT key1, key2,
+           ROUND(common * 1.0 / (s1.sz + s2.sz - common), 6) AS jaccard
+    FROM common c
+    JOIN sizes s1 ON c.key1 = s1.doc_id
+    JOIN sizes s2 ON c.key2 = s2.doc_id
+    WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.7
+    """,
+)
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ 0.7 (the scale path:
     LSH prunes the O(n²) space; verification touches only candidates).

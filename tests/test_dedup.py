@@ -55,6 +55,24 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_smoke):
     assert recall >= 0.95, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
 
 
+def test_minhash_pipeline_output_equals_exact_pairs(spark, sf_smoke):
+    """The registered minhash_lsh_pairs query promises its DuckDB oracle the
+    EXACT J≥0.7 pair set (recall 1.0 end-to-end) — pin that locally so a
+    recall regression fails here before the driver sees it."""
+    import fs2_kinesis_firehose_spark.queries as q
+
+    q.load_all()
+    lsh = {
+        (r.key1, r.key2): r.jaccard
+        for r in q.QUERIES["minhash_lsh_pairs"](spark, sf_smoke).collect()
+    }
+    exact = {
+        (r.key1, r.key2): r.jaccard
+        for r in q.QUERIES["ngram_jaccard_pairs"](spark, sf_smoke).collect()
+    }
+    assert lsh == exact
+
+
 def test_connected_components_clusters(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
