@@ -868,3 +868,47 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
     )
+
+
+@query(
+    "nation_balance_unpivot",
+    oracle="""
+    SELECT n_name, metric, ROUND(val, 2) AS val
+    FROM (
+        SELECT n.n_name,
+               'acct_total'  AS metric,
+               SUM(c.c_acctbal) AS val
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        UNION ALL
+        SELECT n.n_name, 'acct_max', MAX(c.c_acctbal)
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        UNION ALL
+        SELECT n.n_name, 'acct_min', MIN(c.c_acctbal)
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    """,
+)
+def nation_balance_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, the inverse of pivot): per-nation balance
+    aggregates melted into (nation, metric, value) rows via ``DataFrame
+    .unpivot`` — one aggregate pass, then a zero-shuffle Expand."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    wide = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("acct_total"),
+            F.round(F.max("c_acctbal"), 2).alias("acct_max"),
+            F.round(F.min("c_acctbal"), 2).alias("acct_min"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["acct_total", "acct_max", "acct_min"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

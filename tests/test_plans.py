@@ -63,3 +63,25 @@ def test_stream_static_join_broadcasts_dim(spark, sf_smoke):
     nation = load_table(spark, sf_smoke, "nation")
     joined = stream.join(F.broadcast(nation), stream.user_id % 25 == nation.n_nationkey)
     assert "BroadcastHashJoin" in explain_str(joined, mode="simple")
+
+
+def test_interval_join_pushes_filter_no_bnlj(spark, sf_smoke):
+    df = q.QUERIES["interval_join_incident_counts"](spark, sf_smoke)
+    plan = assert_plan_contains(df, "PushedFilters")
+    # the incident threshold must reach the intervals-side parquet scan
+    assert "GreaterThanOrEqual(value,250.0)" in plan, plan
+    assert_plan_lacks(df, "BroadcastNestedLoopJoin")
+    assert_plan_lacks(df, "CartesianProduct")
+
+
+def test_stratified_sample_prunes_columns(spark, sf_smoke):
+    plan = explain_str(q.QUERIES["stratified_sample_docs"](spark, sf_smoke))
+    scan_section = plan[plan.find("documents.parquet") :][:600]
+    assert "text" not in scan_section, plan  # only doc_id+lang read
+
+
+def test_gemm_neardup_single_shuffle_no_bnlj(spark, sf_smoke):
+    df = q.QUERIES["embedding_neardup_blocked"](spark, sf_smoke)
+    assert_plan_lacks(df, "BroadcastNestedLoopJoin")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan  # one group shuffle
