@@ -96,3 +96,64 @@ def fingerprint(text_col: str = "text") -> Column:
     Robust to formatting-only edits; the exact-dedup key for normalized text."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return F.sha2(normalized, 256)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / well-formedness filters (Rae et al. 2021, public)
+# ---------------------------------------------------------------------------
+def gopher_quality(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Repetition and well-formedness signals from the published Gopher
+    filtering rules, as engine-portable expressions:
+
+    - ``dup_word_fraction``   — 1 − distinct/total words (repetition);
+    - ``top_bigram_fraction`` — share of the most frequent word bigram among
+      all bigrams (explode + two-level aggregate — the same one-shuffle shape
+      as MinHash signatures, NOT a per-doc Python loop);
+    - ``alpha_word_fraction`` — words containing ≥1 alphabetic char;
+    - ``mean_word_len``       — Gopher bounds are [3, 10];
+    - ``keep``                — conjunction of the published thresholds
+      (dup ≤ 0.3, top-bigram ≤ 0.18, alpha ≥ 0.8, 3 ≤ mwl ≤ 10, ≥ 50 tokens).
+    """
+    toks = T.tokens(text_col)
+    n = F.size(toks)
+    dup_frac = F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n > 0, alpha.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    mwl = T.mean_word_len(text_col)
+
+    base = df.select(
+        F.col(key_col),
+        F.round(dup_frac, 6).alias("dup_word_fraction"),
+        F.round(alpha_frac, 6).alias("alpha_word_fraction"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        n.alias("n_tokens"),
+    )
+
+    bigrams = df.select(
+        F.col(key_col),
+        F.explode(T.word_shingles(text_col, 2, distinct=False)).alias("bg"),
+    )
+    counts = bigrams.groupBy(key_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.groupBy(key_col).agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("total_bg")
+    )
+    top_frac = top.select(
+        F.col(key_col),
+        F.round(F.col("top_c").cast("double") / F.col("total_bg").cast("double"), 6).alias(
+            "top_bigram_fraction"
+        ),
+    )
+    out = base.join(top_frac, key_col, "left").withColumn(
+        "top_bigram_fraction", F.coalesce(F.col("top_bigram_fraction"), F.lit(0.0))
+    )
+    keep = (
+        (F.col("dup_word_fraction") <= 0.3)
+        & (F.col("top_bigram_fraction") <= 0.18)
+        & (F.col("alpha_word_fraction") >= 0.8)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("n_tokens") >= 50)
+    )
+    return out.withColumn("keep", keep)

@@ -531,6 +531,54 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    base AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               ROUND(CASE WHEN len(toks) > 0
+                     THEN 1.0 - len(list_distinct(toks)) * 1.0 / len(toks)
+                     ELSE 0 END, 6) AS dup_word_fraction,
+               ROUND(CASE WHEN len(toks) > 0
+                     THEN len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) * 1.0 / len(toks)
+                     ELSE 0 END, 6) AS alpha_word_fraction,
+               ROUND(CASE WHEN len(toks) > 0
+                     THEN list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks)
+                     ELSE 0 END, 6) AS mean_word_len
+        FROM w
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS b
+        FROM w
+    ),
+    counts AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (
+        SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_fraction
+        FROM counts GROUP BY doc_id
+    )
+    SELECT base.doc_id, dup_word_fraction, alpha_word_fraction, mean_word_len,
+           n_tokens,
+           COALESCE(top_bigram_fraction, 0.0) AS top_bigram_fraction,
+           (dup_word_fraction <= 0.3
+            AND COALESCE(top_bigram_fraction, 0.0) <= 0.18
+            AND alpha_word_fraction >= 0.8
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND n_tokens >= 50) AS keep
+    FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition/well-formedness filters (Rae et al. 2021):
+    duplicate-word fraction, top-bigram share, alpha-word fraction, mean word
+    length, and the conjunction `keep` flag — the published web-corpus
+    curation thresholds as one scan + one bigram aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.gopher_quality(docs, "text", "doc_id")
+
+
+@query(
     "doc_fingerprints",
     oracle=r"""
     SELECT doc_id,

@@ -51,3 +51,22 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     fps = {r.doc_id: r.fp for r in df.select("doc_id", TS.fingerprint("text").alias("fp")).collect()}
     assert fps[1] == fps[2] == fps[3]
     assert fps[4] != fps[1]
+
+
+def test_gopher_quality_flags_degenerate_docs(spark):
+    from fs2_kinesis_firehose_spark.operators.textstats import gopher_quality
+
+    good = " ".join(f"word{i:03d}" for i in range(60))  # 60 distinct tokens
+    spammy = "buy now " * 40  # 80 tokens, 2 distinct, one dominant bigram
+    symbols = "@@ ## $$ %% ^^ && ** (( )) __ " * 8
+    df = spark.createDataFrame(
+        [(1, good.strip()), (2, spammy.strip()), (3, symbols.strip())],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality(df).collect()}
+    assert out[1].keep
+    assert not out[2].keep  # repetition: dup_word_fraction ~0.975
+    assert out[2].dup_word_fraction > 0.9
+    assert out[2].top_bigram_fraction > 0.4
+    assert not out[3].keep  # no alphabetic words
+    assert out[3].alpha_word_fraction == 0.0
