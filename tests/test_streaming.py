@@ -83,3 +83,34 @@ def test_tumbling_counts_schema(spark, sf_smoke):
     out = run_to_memory(tumbling_counts(stream), output_mode="complete")
     assert set(out.columns) == {"window_start", "event_type", "n_events", "sum_value"}
     assert out.count() > 0
+
+
+def test_rocksdb_state_store_tumbling_counts(spark, sf_smoke, tmp_path):
+    """The 100-TB streaming-state path: RocksDB state store (spillable,
+    off-heap) instead of the default in-memory HDFS-backed provider, which
+    OOMs at large key cardinality.  Same query, same results — the provider
+    is a config, not a semantics change."""
+    from fs2_kinesis_firehose_spark.streaming.replay import replay_parquet, run_to_memory
+    from fs2_kinesis_firehose_spark.streaming.windows import tumbling_counts
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = replay_parquet(spark, sf_smoke, "events")
+        got = run_to_memory(tumbling_counts(stream), output_mode="complete")
+        rocks_rows = {tuple(r) for r in got.collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    stream2 = replay_parquet(spark, sf_smoke, "events")
+    default_rows = {
+        tuple(r) for r in run_to_memory(tumbling_counts(stream2), output_mode="complete").collect()
+    }
+    assert rocks_rows == default_rows
+    assert len(rocks_rows) > 0
