@@ -46,4 +46,5 @@ def load_all() -> None:
         sinkq,
         streaming_q,
         temporal_q,
+        tpch_q,
     )

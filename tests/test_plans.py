@@ -85,3 +85,17 @@ def test_gemm_neardup_single_shuffle_no_bnlj(spark, sf_smoke):
     assert_plan_lacks(df, "BroadcastNestedLoopJoin")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan  # one group shuffle
+
+
+def test_tpch_q6_predicates_reach_scan(spark, sf_smoke):
+    df = q.QUERIES["tpch_q6_forecast_revenue"](spark, sf_smoke)
+    plan = assert_plan_contains(df, "PushedFilters")
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed, plan
+
+
+def test_tpch_q19_bracket_join_no_cartesian(spark, sf_smoke):
+    df = q.QUERIES["tpch_q19_discounted_revenue"](spark, sf_smoke)
+    assert_plan_lacks(df, "CartesianProduct")
+    assert_plan_lacks(df, "BroadcastNestedLoopJoin")
+    assert_plan_contains(df, "BroadcastHashJoin")  # keyed on partkey, brackets residual
