@@ -224,6 +224,84 @@ def verify_jaccard(
     )
 
 
+def _star_contraction_components(
+    pairs: DataFrame, key1: str, key2: str, max_iter: int
+) -> DataFrame:
+    """Distributed CC via alternating large-star / small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14
+    — public algorithm): converges in O(log n) rounds regardless of cluster
+    DIAMETER, where plain min-label propagation needs O(diameter) shuffles
+    (a pathological chain of near-dups = thousands of rounds at web scale).
+
+    Each round is two groupBy-min + join passes over the edge set; fixpoint
+    is detected with a cheap order-insensitive checksum (one aggregate, no
+    driver-side edge materialization).
+
+    Every round's edge set is ``localCheckpoint``-ed: iterative DataFrame
+    algorithms NEST the previous round's logical plan inside the next one,
+    so without lineage truncation the plan tree doubles per round and the
+    driver OOMs on plan analysis long before data is a problem (cache alone
+    does NOT truncate the logical plan)."""
+    u, v = "u", "v"
+    edges = pairs.select(
+        F.least(F.col(key1), F.col(key2)).alias(u),
+        F.greatest(F.col(key1), F.col(key2)).alias(v),
+    ).filter(F.col(u) != F.col(v)).distinct().localCheckpoint()
+
+    def checksum(e: DataFrame):
+        # bit_xor: order-insensitive and overflow-free under ANSI (sum of
+        # xxhash64 longs overflows)
+        return e.agg(
+            F.expr(f"bit_xor(xxhash64({u}, {v}))").alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetric neighborhoods; every neighbor larger than u links to the
+        # minimum of Γ(u) ∪ {u}
+        nbrs = e.union(e.select(F.col(v).alias(u), F.col(u).alias(v)))
+        mins = nbrs.groupBy(u).agg(F.least(F.min(v), F.first(u)).alias("m"))
+        return (
+            nbrs.join(mins, u)
+            .filter(F.col(v) > F.col(u))
+            .select(F.col("m").alias(u), F.col(v))
+            .select(F.least(u, v).alias(u), F.greatest(u, v).alias(v))
+            .filter(F.col(u) != F.col(v))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient edges to the larger endpoint; all smaller-or-equal
+        # neighbors (and the center) link to the neighborhood minimum
+        oriented = e.select(F.greatest(u, v).alias(u), F.least(u, v).alias(v))
+        mins = oriented.groupBy(u).agg(F.min(v).alias("m"))
+        linked = (
+            oriented.join(mins, u)
+            .select(F.col("m").alias(u), F.col(v))
+            .union(mins.select(F.col("m").alias(u), F.col(u).alias(v)))
+        )
+        return (
+            linked.select(F.least(u, v).alias(u), F.greatest(u, v).alias(v))
+            .filter(F.col(u) != F.col(v))
+            .distinct()
+        )
+
+    prev = checksum(edges)
+    for _ in range(max_iter):
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        cur = checksum(new_edges)
+        edges = new_edges
+        if (cur.h, cur.n) == (prev.h, prev.n):
+            break
+        prev = cur
+    # fixpoint: every edge is (component_min, node)
+    labels = edges.select(F.col(v).alias("key"), F.col(u).alias("component"))
+    roots = edges.select(F.col(u).alias("key")).distinct().withColumn(
+        "component", F.col("key")
+    )
+    return labels.union(roots).groupBy("key").agg(F.min("component").alias("component"))
+
+
 def connected_components(
     pairs: DataFrame,
     *,
@@ -240,9 +318,9 @@ def connected_components(
     - ≤ ``driver_threshold`` edges: collect the edge list and run union-find
       on the driver (exact, one pass) — what production dedup pipelines do;
       5M edges ≈ 80 MB, far below driver memory.
-    - larger: distributed min-label propagation — each pass every node adopts
-      the minimum label in its neighborhood, converging in O(cluster
-      diameter) shuffles with early exit on fixpoint.  No driver collect.
+    - larger: alternating large-star/small-star contraction
+      (``_star_contraction_components``) — O(log n) shuffle rounds
+      independent of cluster diameter, no driver collect.
     """
     n_edges = pairs.count()
     if n_edges <= driver_threshold:
@@ -267,47 +345,7 @@ def connected_components(
                 parent[hi] = lo
         rows = [(k, find(k)) for k in parent]
         return pairs.sparkSession.createDataFrame(rows, f"key {_key_ddl(pairs, key1)}, component {_key_ddl(pairs, key1)}")
-    edges = (
-        pairs.select(F.col(key1).alias("a"), F.col(key2).alias("b"))
-        .union(pairs.select(F.col(key2).alias("a"), F.col(key1).alias("b")))
-        .distinct()
-        .cache()
-    )
-    labels = (
-        edges.select(F.col("a").alias("key"))
-        .distinct()
-        .withColumn("component", F.col("key"))
-        .cache()
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.key)
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.key == neighbor_min.a, "left")
-            .select(
-                "key",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
-            )
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "key")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels
+    return _star_contraction_components(pairs, key1, key2, max_iter)
 
 
 def near_dedup_minhash(

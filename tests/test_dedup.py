@@ -82,12 +82,46 @@ def test_connected_components_clusters(spark):
     # driver union-find path (default threshold)
     comp = {r.key: r.component for r in D.connected_components(pairs).collect()}
     assert comp == expected
-    # distributed min-label-propagation path (forced via threshold=0)
+    # distributed large-star/small-star path (forced via threshold=0)
     comp_d = {
         r.key: r.component
         for r in D.connected_components(pairs, driver_threshold=0).collect()
     }
     assert comp_d == expected
+
+
+def test_connected_components_star_contraction_on_chain(spark):
+    """A long chain is the worst case for min-label propagation (O(diameter)
+    rounds); star contraction must collapse it in O(log n) rounds within the
+    default max_iter."""
+    chain = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(chain, "key1 long, key2 long")
+    comp = {
+        r.key: r.component
+        for r in D.connected_components(df, driver_threshold=0).collect()
+    }
+    assert set(comp.values()) == {0}
+    assert len(comp) == 201
+
+
+def test_connected_components_star_matches_union_find_random(spark):
+    import random
+
+    random.seed(7)
+    edges = list({
+        (a, b)
+        for a, b in (
+            (random.randrange(120), random.randrange(120)) for _ in range(180)
+        )
+        if a != b
+    })
+    df = spark.createDataFrame(edges, "key1 long, key2 long")
+    uf = {r.key: r.component for r in D.connected_components(df).collect()}
+    star = {
+        r.key: r.component
+        for r in D.connected_components(df, driver_threshold=0).collect()
+    }
+    assert uf == star
 
 
 def test_near_dedup_minhash_end_to_end(spark):
