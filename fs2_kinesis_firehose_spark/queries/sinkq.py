@@ -40,3 +40,36 @@ def firehose_delivery_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_records").alias("n_records"),
         F.sum("failed_records").alias("failed_records"),
     )
+
+
+@query(
+    "kinesis_roundtrip_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def kinesis_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full write+read loop: events → JSON framing → produce pipe → spool →
+    ``format("kinesis_spool")`` READ (shard = spool file, seq = byte offset)
+    → JSON parse → aggregate.  The oracle is the plain per-type counts, so a
+    hash-match proves byte-exact round-trip fidelity of the sink+source pair
+    — the read path the reference lacks."""
+    import tempfile
+
+    from fs2_kinesis_firehose_spark.sources import register_kinesis_spool_source
+
+    spool = tempfile.mkdtemp(prefix="kinesis-roundtrip-")
+    events = load_table(spark, sf_dir, "events")
+    framed = serialize_and_frame(events.select("event_id", "event_type"), "json", b"\n")
+    settings = ProducerSettings(stream_name="roundtrip", parallelism=2)
+    # deliver (eager: the read below needs the spool populated)
+    produce_acks(framed, settings, fake_client_factory(spool_dir=spool)).count()
+
+    register_kinesis_spool_source(spark)
+    back = spark.read.format("kinesis_spool").option("spoolDir", spool).load()
+    parsed = back.select(
+        F.get_json_object(F.col("value").cast("string"), "$.event_type").alias("event_type")
+    )
+    return parsed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
