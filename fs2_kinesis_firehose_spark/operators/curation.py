@@ -83,17 +83,42 @@ def stratified_sample(
     n_per_group: int,
     key_col: str = "doc_id",
     salt: str = "strat",
+    prefilter_oversample: float | None = 8.0,
 ) -> DataFrame:
     """Exactly ``n_per_group`` rows per group (fewer if the group is
     smaller), chosen deterministically: rank by md5-hash fraction within the
     group and keep the lowest ``n``.  Equivalent to a seeded uniform
     reservoir sample but stable across engines, partitionings, and re-runs.
-    One shuffle on the group key."""
+
+    **Scale design:** the ranking window sends a whole group to one task —
+    fatal when a group holds billions of rows.  With ``prefilter_oversample``
+    set (default), a broadcast of per-group counts first filters to rows
+    whose hash fraction < oversample·n/|group| — the window then ranks
+    ~oversample·n survivors per group instead of the full group.  The result
+    is IDENTICAL as long as the group's n-th smallest hash clears the
+    threshold; by Chernoff the miss probability is ≤ exp(-n·(ln 8 − 1 + 1/8))
+    ≈ e^(-1.2n) per group at oversample 8 — negligible at any fleet size for
+    n ≥ 20.  Pass ``None`` for the exact single-window path."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(group_col).orderBy(hash_fraction(key_col, salt), key_col)
+    frac = hash_fraction(key_col, salt)
+    base = df
+    if prefilter_oversample is not None:
+        counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gcnt"))
+        base = (
+            df.join(F.broadcast(counts), group_col)
+            .filter(
+                frac
+                < F.least(
+                    F.lit(1.0),
+                    F.lit(float(prefilter_oversample) * n_per_group) / F.col("_gcnt"),
+                )
+            )
+            .drop("_gcnt")
+        )
+    w = Window.partitionBy(group_col).orderBy(frac, key_col)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        base.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_per_group)
         .drop("_rn")
     )
@@ -136,6 +161,7 @@ def pack_sequences(
     group_col: str = "lang",
     key_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    shards: int = 1,
 ) -> DataFrame:
     """Next-fit sequence packing: within each group (docs ordered by key),
     append docs to the current sequence until the next one would exceed
@@ -144,19 +170,33 @@ def pack_sequences(
 
     The running bin id is a data-dependent reset — not a window expression —
     so each group is packed in an Arrow-batched ``applyInPandas`` with an
-    O(n) loop (sequential by nature; the parallelism axis is groups, exactly
-    how sessionization scales).  A doc larger than ``budget`` gets a
-    sequence of its own rather than being dropped (the packer's contract is
-    lossless; oversize handling belongs upstream).
+    O(n) loop.  A doc larger than ``budget`` gets a sequence of its own
+    rather than being dropped (lossless contract; oversize handling belongs
+    upstream).
+
+    **Scale knob:** with ``shards=1`` the parallelism axis is groups only —
+    at 100 TB one language would be a single pandas group (OOM + one-task
+    bottleneck).  ``shards=k`` packs within (group, hash-shard) instead:
+    each shard is an independent next-fit run whose seq_ids are offset into
+    disjoint ranges, so the output is still (group, key) → globally unique
+    sequence, at k× the parallelism and 1/k the per-task memory.  Packing
+    quality is unaffected (next-fit never looks across sequence boundaries
+    anyway); only the doc→sequence grouping differs from the shards=1
+    assignment, which is why the oracle-checked query pins shards=1.
     """
     out_schema = (
         f"{group_col} {df.schema[group_col].dataType.simpleString()}, "
         f"{key_col} {df.schema[key_col].dataType.simpleString()}, "
         f"{tokens_col} bigint, seq_id bigint"
     )
+    # seq ids per shard start at shard * offset; budget ≥1 token/doc means a
+    # shard can never produce more sequences than rows, so 2^40 spacing is
+    # collision-free for any realistic shard size
+    shard_offset = 1 << 40
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(key_col).reset_index(drop=True)
+        base = int(pdf["_shard"].iat[0]) * shard_offset if shards > 1 else 0
         seq_ids = []
         seq, fill = 1, 0
         for n in pdf[tokens_col].astype(int):
@@ -165,14 +205,16 @@ def pack_sequences(
                 fill = n
             else:
                 fill += n
-            seq_ids.append(seq)
+            seq_ids.append(base + seq)
         pdf = pdf[[group_col, key_col, tokens_col]].copy()
         pdf[tokens_col] = pdf[tokens_col].astype("int64")
         pdf["seq_id"] = seq_ids
         return pdf
 
-    return (
-        df.select(group_col, key_col, F.col(tokens_col).cast("bigint").alias(tokens_col))
-        .groupBy(group_col)
-        .applyInPandas(pack, out_schema)
+    base = df.select(
+        group_col, key_col, F.col(tokens_col).cast("bigint").alias(tokens_col)
+    ).withColumn(
+        "_shard",
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(max(shards, 1))).cast("int"),
     )
+    return base.groupBy(group_col, "_shard").applyInPandas(pack, out_schema)

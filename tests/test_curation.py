@@ -47,6 +47,40 @@ def test_stratified_sample_exact_counts_and_stability(spark):
     assert tiny.count() == 4
 
 
+def test_stratified_sample_prefilter_matches_exact(spark):
+    """The broadcast-count prefilter (scale path) must select the identical
+    sample as the exact full-window path."""
+    rows = [(i, f"g{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    exact = sorted(
+        r.doc_id
+        for r in C.stratified_sample(
+            df, group_col="lang", n_per_group=25, prefilter_oversample=None
+        ).collect()
+    )
+    fast = sorted(
+        r.doc_id
+        for r in C.stratified_sample(
+            df, group_col="lang", n_per_group=25, prefilter_oversample=8.0
+        ).collect()
+    )
+    assert exact == fast
+
+
+def test_pack_sequences_sharded_parallelism(spark):
+    """shards=k keeps the packing lossless with globally unique seq ids; no
+    sequence exceeds budget unless it is a single oversized doc."""
+    rows = [(i, "g", 3 + (i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = C.pack_sequences(df, budget=20, group_col="lang", shards=4).collect()
+    assert sorted(r.doc_id for r in out) == list(range(200))  # lossless
+    fills: dict = {}
+    for r in out:
+        fills.setdefault(r.seq_id, []).append(r.n_tokens)
+    for seq, toks in fills.items():
+        assert sum(toks) <= 20 or len(toks) == 1
+
+
 def test_pii_redact_planted(spark):
     df = spark.createDataFrame(
         [
