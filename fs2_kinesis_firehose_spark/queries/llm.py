@@ -625,6 +625,32 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_sample_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(CEIL((8 + (ascii(text[1]) % 8)) / 4.0) AS BIGINT) AS n_frames,
+           CAST((8 + (ascii(text[-1]) % 8)) * 3 AS BIGINT) AS frame_bytes
+    FROM documents
+    """,
+)
+def multimodal_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style 1:N frame sampling through the Arrow mapInPandas expansion
+    stage: every media row explodes to ceil(height/4) frame rows of
+    width×3 bytes each.  The fake decoder derives height/width from the
+    first/last payload byte, so the oracle reproduces the frame count and
+    frame size in SQL — verifying the 1-to-many batch shape end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_media(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")), "payload"
+    )
+    frames = M.sample_frames(media, every_n=4, fake=True)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max(F.length("frame_payload")).cast("bigint").alias("frame_bytes"),
+    )
+
+
+@query(
     "udtf_bigram_counts",
     oracle="""
     SELECT ngram, COUNT(*) AS n
