@@ -40,6 +40,11 @@ HEADLINE = [
     "firehose_delivery_accounting",
     "asof_join_latest_order",
     "embedding_neardup_blocked",
+    # round-2 additions: range join, 8-table TPC-H, sessionization, Gopher
+    "interval_join_incident_counts",
+    "tpch_q8_market_share",
+    "user_session_stats",
+    "gopher_quality_flags",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)
