@@ -532,6 +532,45 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bench_text_col: str = "text",
+    shingle_n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Training-corpus docs that share ≥ ``min_overlap`` distinct n-gram
+    shingles with ANY benchmark document — the eval-set decontamination
+    primitive (train/test leakage audit).
+
+    Plan shape: the benchmark's distinct shingles are tiny relative to the
+    corpus, so they BROADCAST; the corpus explodes its shingles once and
+    joins map-side (no shuffle of the corpus), then one aggregate counts
+    overlapping shingles per doc.  At 100 TB the cost is one corpus scan.
+    Returns (key, n_overlap)."""
+    bench_shingles = (
+        benchmark.select(
+            F.explode(T.word_shingles(bench_text_col, shingle_n)).alias("shingle")
+        )
+        .distinct()
+    )
+    corpus_shingles = corpus.select(
+        F.col(key_col), F.explode(T.word_shingles(text_col, shingle_n)).alias("shingle")
+    )
+    return (
+        corpus_shingles.join(F.broadcast(bench_shingles), "shingle")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 def embedding_neardup_pairs(

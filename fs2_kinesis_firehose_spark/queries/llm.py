@@ -222,6 +222,35 @@ def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    bench AS (
+        SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id < 10
+    ),
+    corpus AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id >= 10
+    )
+    SELECT doc_id, COUNT(*) AS n_overlap
+    FROM corpus JOIN bench USING (shingle)
+    GROUP BY doc_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: training docs sharing ≥3 distinct 3-gram
+    shingles with the held-out 'benchmark' slice (docs 0-9).  The benchmark
+    shingle set broadcasts, so the corpus is scanned once with a map-side
+    join — one aggregate, no corpus shuffle before it."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return D.contamination_overlap(
+        corpus, bench, shingle_n=3, min_overlap=3
+    )
+
+
+@query(
     "embedding_neardup_pairs",
     oracle="""
     SELECT key1, key2, cos_sim
