@@ -607,6 +607,26 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.gopher_quality(docs, "text", "doc_id")
 
 
+@query("bpe_learned_token_counts")  # rows-only: the global merge loop is not SQL-expressible
+def bpe_learned_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer trained on the corpus (one distributed word-count scan +
+    vocab-sized driver merge loop — the production trainer architecture),
+    then applied: per-doc subword counts under the learned 200-merge vocab.
+    Merge selection is deterministic (freq desc, lexicographic tie-break) so
+    row counts are stable; ground truth pytest covers hand-computed merges
+    (tests/test_bpe.py)."""
+    from fs2_kinesis_firehose_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_train(docs, "text", num_merges=200, min_count=2)
+    segged = B.bpe_segment(docs, merges, "text")
+    return segged.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        F.size(F.array_distinct("bpe_tokens")).alias("n_distinct_subwords"),
+    )
+
+
 @query(
     "doc_fingerprints",
     oracle=r"""
