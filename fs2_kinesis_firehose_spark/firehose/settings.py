@@ -64,6 +64,10 @@ class ProducerSettings:
             raise ValueError(
                 f"max_record_bytes must be in (0, {MAX_RECORD_BYTES}], got {self.max_record_bytes}"
             )
+        if self.max_record_bytes > self.max_batch_bytes:
+            # a single accepted record could otherwise overflow a request;
+            # lowering the request bound implicitly bounds records
+            object.__setattr__(self, "max_record_bytes", self.max_batch_bytes)
 
     # with* builders mirroring ProducerSettings.scala:27-42
     def with_batch_size(self, n: int) -> "ProducerSettings":

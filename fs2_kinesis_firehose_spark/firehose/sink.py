@@ -77,8 +77,14 @@ def _factory_key(factory: ClientFactory) -> Any:
         from pyspark import cloudpickle
 
         return ("pickled", cloudpickle.dumps(factory))
-    except Exception:
-        return ("id", id(factory))
+    except Exception as e:
+        # never fall back to id(): CPython reuses addresses after GC, so two
+        # factories could alias one slot and deliver to the wrong endpoint —
+        # the exact bug stable keying exists to prevent
+        raise TypeError(
+            "client factory must expose a `kwargs` attribute or be "
+            "cloudpickle-able to key the per-executor client cache"
+        ) from e
 
 
 def _executor_client(factory: ClientFactory) -> Any:

@@ -26,10 +26,13 @@ from pyspark.sql import functions as F
 
 
 def _floor_div(c: Column, w: Column) -> Column:
-    """Exact floor division on longs: (c - pmod(c, w)) is exactly divisible,
-    so the double division is exact (no truncation-toward-zero negatives bug,
-    no ulp misrounding at bucket boundaries)."""
-    return ((c - F.pmod(c, w)) / w).cast("long")
+    """Exact floor division on longs across the FULL long range: the
+    numerator (c - pmod(c, w)) is exactly divisible, and the division runs
+    in decimal(38) — double division would misround for |values| > 2^53
+    (e.g. nanosecond epochs ~1.7e18), silently bucketing a point one off
+    from its containing interval."""
+    exact = (c - F.pmod(c, w)).cast("decimal(38,0)")
+    return (exact / w.cast("decimal(38,0)")).cast("long")
 
 
 def interval_join(

@@ -131,7 +131,11 @@ def gopher_quality(df: DataFrame, text_col: str = "text", key_col: str = "doc_id
         n.alias("n_tokens"),
     )
 
-    bigrams = df.select(
+    # docs with <2 tokens have NO bigrams (word_shingles would emit the lone
+    # token as a degenerate 1-gram → fraction 1.0, diverging from the SQL
+    # oracle's empty comprehension → 0.0); filter first so both engines
+    # coalesce the fraction to 0
+    bigrams = df.filter(F.size(T.tokens(text_col)) >= 2).select(
         F.col(key_col),
         F.explode(T.word_shingles(text_col, 2, distinct=False)).alias("bg"),
     )

@@ -137,9 +137,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH prunes the O(n²) space; verification touches only candidates).
     Ground truth recall vs ngram_jaccard_pairs is asserted in pytest."""
     docs = load_table(spark, sf_dir, "documents")
-    # doc→shingles computed ONCE (persisted for the session) and shared by the
-    # signature and verify stages; cache is scoped to the driver's one-shot run
-    shingled = D.shingle_projection(docs, "text", "doc_id", shingle_n=3).persist()
+    # doc→shingles computed ONCE and shared by the signature and verify
+    # stages.  localCheckpoint (lazy) instead of persist: blocks are freed
+    # when the DataFrame is garbage-collected, so repeated invocations in a
+    # long session don't pin corpus-sized cache entries forever (persist
+    # would need an unpersist hook the lazy query contract doesn't have)
+    shingled = D.shingle_projection(docs, "text", "doc_id", shingle_n=3).localCheckpoint(
+        eager=False
+    )
     # 32 hashes / 8 bands (4 rows/band → S-curve knee ~0.59) measures 100%
     # recall vs the exact J≥0.7 pair set at sf0.1, at ~1.6× the speed of 64/16
     cands = D.minhash_lsh_candidates(

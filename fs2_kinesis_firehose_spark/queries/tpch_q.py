@@ -46,7 +46,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-03-15")
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        # orders is a FACT (the date filter keeps ~half of it): no broadcast
+        # hint — AQE picks BHJ at small SF and shuffle join at scale
+        l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(_rev()), 2).alias("revenue"))

@@ -87,6 +87,8 @@ class _WriterCore:
             raise ValueError(f"maxBatchBytes must be in (0, {MAX_BATCH_BYTES}]")
         if not (0 < self.max_record_bytes <= MAX_RECORD_BYTES):
             raise ValueError(f"maxRecordBytes must be in (0, {MAX_RECORD_BYTES}]")
+        # a single accepted record must never overflow a request
+        self.max_record_bytes = min(self.max_record_bytes, self.max_batch_bytes)
         self.retry = RetryPolicy(
             max_retries=int(self.options.get("maxretries", 6)),
             base_backoff_s=float(self.options.get("basebackoffms", 500)) / 1000.0,

@@ -44,7 +44,9 @@ def _shards(spool_dir: str) -> list[str]:
 
 
 def _read_records(path: str, start: int, end: int) -> Iterator[tuple[int, bytes]]:
-    """Yield (seq=byte offset, payload) for records in [start, end)."""
+    """Yield (seq=byte offset, payload) for records FULLY inside [start, end)
+    — a record straddling ``end`` belongs to the next batch (offsets are
+    record-aligned by ``_aligned_size``, this is defense in depth)."""
     with open(path, "rb") as f:
         f.seek(start)
         pos = start
@@ -53,11 +55,34 @@ def _read_records(path: str, start: int, end: int) -> Iterator[tuple[int, bytes]
             if len(header) < 4:
                 break
             n = int.from_bytes(header, "big")
+            if pos + 4 + n > end:
+                break
             payload = f.read(n)
             if len(payload) < n:
                 break
             yield pos, payload
             pos += 4 + n
+
+
+def _aligned_size(path: str, known_aligned: int = 0) -> int:
+    """Largest record-aligned offset ≤ the current file size, walking frames
+    from a previously known aligned position (a concurrent producer may have
+    flushed a header without its payload — snapshotting the raw file size
+    would put the NEXT batch's start mid-record and desynchronize framing)."""
+    size = os.path.getsize(path)
+    pos = known_aligned
+    with open(path, "rb") as f:
+        f.seek(pos)
+        while pos + 4 <= size:
+            header = f.read(4)
+            if len(header) < 4:
+                break
+            n = int.from_bytes(header, "big")
+            if pos + 4 + n > size:
+                break
+            f.seek(n, 1)
+            pos += 4 + n
+    return pos
 
 
 @dataclass
@@ -78,7 +103,7 @@ class KinesisSpoolBatchReader(DataSourceReader):
         out = []
         for s in _shards(self.spool_dir):
             path = os.path.join(self.spool_dir, s)
-            out.append(_ShardSlice(s[: -len(".spool")], path, 0, os.path.getsize(path)))
+            out.append(_ShardSlice(s[: -len(".spool")], path, 0, _aligned_size(path)))
         return out or [_ShardSlice("empty", "", 0, 0)]
 
     def read(self, partition: _ShardSlice) -> Iterator[tuple]:
@@ -95,12 +120,16 @@ class KinesisSpoolStreamReader(DataSourceStreamReader):
         self.spool_dir = options.get("spooldir") or options.get("spoolDir")
         if not self.spool_dir:
             raise ValueError("kinesis_spool requires .option('spoolDir', ...)")
+        self._aligned: dict[str, int] = {}  # per-shard last known aligned end
 
     def _snapshot(self) -> dict[str, int]:
-        return {
-            s[: -len(".spool")]: os.path.getsize(os.path.join(self.spool_dir, s))
-            for s in _shards(self.spool_dir)
-        }
+        out = {}
+        for s in _shards(self.spool_dir):
+            shard = s[: -len(".spool")]
+            path = os.path.join(self.spool_dir, s)
+            self._aligned[shard] = _aligned_size(path, self._aligned.get(shard, 0))
+            out[shard] = self._aligned[shard]
+        return out
 
     def initialOffset(self) -> dict:
         return {"offsets": json.dumps({})}

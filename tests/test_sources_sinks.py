@@ -147,3 +147,26 @@ def test_kinesis_spool_streaming_is_incremental(spark, tmp_path):
     run_once()
     vals = sorted(bytes(r.value) for r in spark.read.parquet(out).collect())
     assert vals == [b"r1", b"r2", b"r3"]
+
+
+def test_kinesis_spool_ignores_partial_trailing_record(spark, tmp_path):
+    """A concurrently-appending producer can leave a half-written record at
+    the file tail; the source must align offsets to the last complete record
+    and pick the rest up once it is whole."""
+    import os
+
+    from fs2_kinesis_firehose_spark.sources import register_kinesis_spool_source
+
+    spool = str(tmp_path / "spool")
+    _spool_write(spool, "s", [b"whole1"])
+    # simulate a torn write: header promises 100 bytes, only 3 present
+    with open(os.path.join(spool, "s.spool"), "ab") as f:
+        f.write((100).to_bytes(4, "big") + b"par")
+    register_kinesis_spool_source(spark)
+    rows = spark.read.format("kinesis_spool").option("spoolDir", spool).load().collect()
+    assert [bytes(r.value) for r in rows] == [b"whole1"]
+    # complete the torn record; it becomes visible
+    with open(os.path.join(spool, "s.spool"), "ab") as f:
+        f.write(b"x" * 97)
+    rows = spark.read.format("kinesis_spool").option("spoolDir", spool).load().collect()
+    assert sorted(len(bytes(r.value)) for r in rows) == [6, 100]

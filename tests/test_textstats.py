@@ -70,3 +70,15 @@ def test_gopher_quality_flags_degenerate_docs(spark):
     assert out[2].top_bigram_fraction > 0.4
     assert not out[3].keep  # no alphabetic words
     assert out[3].alpha_word_fraction == 0.0
+
+
+def test_gopher_quality_single_token_doc_has_zero_bigram_fraction(spark):
+    """A 1-token doc has NO bigrams: the fraction must coalesce to 0.0 (the
+    degenerate 1-gram would otherwise score 1.0 and diverge from the SQL
+    oracle's empty comprehension)."""
+    from fs2_kinesis_firehose_spark.operators.textstats import gopher_quality
+
+    df = spark.createDataFrame([(1, "loneword"), (2, "two words")], "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality(df).collect()}
+    assert out[1].top_bigram_fraction == 0.0
+    assert out[2].top_bigram_fraction == 1.0  # one bigram, trivially dominant
