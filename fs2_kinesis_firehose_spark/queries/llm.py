@@ -101,7 +101,12 @@ def ngram_jaccard_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stop-shingle-filtered exact Jaccard pairs: shingles in > 5% of docs are
     dropped before the inverted-index self-join — the mitigation for the one
     quadratic skew risk in the exact path (a shingle in k docs makes a k²
-    bucket).  J is computed over the filtered shingle space on both engines."""
+    bucket).  J is computed over the filtered shingle space on both engines.
+
+    On the NON-skewed fixture the filter costs more than it saves (one count
+    action + a broadcast anti-join, ~+2s at sf0.1) — it pays for itself only
+    when document-frequency skew exists, which is exactly the web-scale case
+    it guards against."""
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(
         docs, "text", "doc_id", shingle_n=3, threshold=0.7, max_df_fraction=0.05
