@@ -28,7 +28,7 @@ from fs2_kinesis_firehose_spark.tables import load_table
     "revenue_by_nation",
     oracle="""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) / 10000 AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -63,7 +63,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            (F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000, 0) / 10000).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.col("revenue").desc())
@@ -80,8 +80,8 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_linestatus,
            ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
            ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0) / 10000 AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) / 1000000 AS sum_charge,
            ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
            ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
            ROUND(AVG(l_discount), 6)                                        AS avg_disc,
@@ -101,8 +101,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            # 4dp/6dp-product sums are rescaled to their exact integer grid
+            # before rounding: ROUND(sum, 2) of a 4-decimal rational half-tie
+            # (k mod 100 == 50) flips with summation order between engines
+            # (~1% of rows are ties); round(sum*scale, 0) is order-immune as
+            # long as sum*scale < 2^53, which holds at the correctness SF
+            (F.round(F.sum(disc_price) * 10000, 0) / 10000).alias("sum_disc_price"),
+            (F.round(F.sum(disc_price * (1 + F.col("l_tax"))) * 1000000, 0) / 1000000).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),

@@ -28,7 +28,7 @@ def _rev():
     "tpch_q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0) / 10000 AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -51,7 +51,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg((F.round(F.sum(_rev()) * 10000, 0) / 10000).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -65,7 +65,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q5_local_supplier_volume",
     oracle="""
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0) / 10000 AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -94,14 +94,14 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg((F.round(F.sum(_rev()) * 10000, 0) / 10000).alias("revenue"))
     )
 
 
 @query(
     "tpch_q6_forecast_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT ROUND(SUM(l_extendedprice * l_discount) * 10000, 0) / 10000 AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -123,7 +123,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            (F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")) * 10000, 0) / 10000).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -133,7 +133,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0) / 10000 AS revenue,
            n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -159,7 +159,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg((F.round(F.sum(_rev()) * 10000, 0) / 10000).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -201,7 +201,7 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q19_discounted_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0) / 10000 AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem, part
     WHERE p_partkey = l_partkey
@@ -243,7 +243,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), (l.l_partkey == p.p_partkey) & bracket)
         .agg(
-            F.round(F.sum(_rev()), 2).alias("revenue"),
+            (F.round(F.sum(_rev()) * 10000, 0) / 10000).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -400,7 +400,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0) / 10000 AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -422,7 +422,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         l.filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+        .agg((F.round(F.sum(_rev()) * 10000, 0) / 10000).alias("total_revenue"))
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
