@@ -105,8 +105,14 @@ def stratified_sample(
     base = df
     if prefilter_oversample is not None:
         counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gcnt"))
+        # eqNullSafe, not a name join: groupBy keeps NULL as its own group, and
+        # a plain equi-join would silently drop NULL-group rows — the exact
+        # path treats NULL as a regular window partition, so both paths must
         base = (
-            df.join(F.broadcast(counts), group_col)
+            df.join(
+                F.broadcast(counts.withColumnRenamed(group_col, "_gkey")),
+                F.col(group_col).eqNullSafe(F.col("_gkey")),
+            )
             .filter(
                 frac
                 < F.least(
@@ -114,7 +120,7 @@ def stratified_sample(
                     F.lit(float(prefilter_oversample) * n_per_group) / F.col("_gcnt"),
                 )
             )
-            .drop("_gcnt")
+            .drop("_gkey", "_gcnt")
         )
     w = Window.partitionBy(group_col).orderBy(frac, key_col)
     return (

@@ -287,13 +287,25 @@ def _star_contraction_components(
         )
 
     prev = checksum(edges)
+    converged = False
     for _ in range(max_iter):
         new_edges = small_star(large_star(edges)).localCheckpoint()
         cur = checksum(new_edges)
         edges = new_edges
         if (cur.h, cur.n) == (prev.h, prev.n):
+            converged = True
             break
         prev = cur
+    if not converged:
+        # a partially-contracted edge set labels one true component as several
+        # — silently WRONG survivors; fail loudly instead (alternating-star
+        # converges in O(log n) rounds, so hitting this means max_iter is far
+        # too small for the graph, not a transient condition worth retrying)
+        raise RuntimeError(
+            f"connected-components star contraction did not reach a fixpoint "
+            f"within max_iter={max_iter} rounds; results would split true "
+            f"clusters — raise max_iter (O(log n) rounds suffice)"
+        )
     # fixpoint: every edge is (component_min, node)
     labels = edges.select(F.col(v).alias("key"), F.col(u).alias("component"))
     roots = edges.select(F.col(u).alias("key")).distinct().withColumn(

@@ -81,7 +81,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
            ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0) / 10000 AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) / 1000000 AS sum_charge,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_charge,
            ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
            ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
            ROUND(AVG(l_discount), 6)                                        AS avg_disc,
@@ -101,13 +101,25 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            # 4dp/6dp-product sums are rescaled to their exact integer grid
-            # before rounding: ROUND(sum, 2) of a 4-decimal rational half-tie
-            # (k mod 100 == 50) flips with summation order between engines
-            # (~1% of rows are ties); round(sum*scale, 0) is order-immune as
-            # long as sum*scale < 2^53, which holds at the correctness SF
+            # Product sums are tie-proofed by rescaling to their exact integer
+            # grid: ROUND(sum, 2) of a 4/6-decimal rational half-tie flips
+            # with summation order between engines (~1% of rows are ties).
+            # The 4dp grid snaps the FLOAT sum (sum*1e4 < 2^53 through ~sf1e6
+            # — safe); the 6dp grid would cross 2^53 near sf0.2, so sum_charge
+            # instead sums PER-ROW integers in exact decimal arithmetic —
+            # order-immune at any SF (per-row round is unambiguous: the true
+            # product*1e6 is an integer, float error ~1e-4 never reaches the
+            # .5 tie).  Both engines then convert the same exact integer to
+            # double and divide — bit-identical.
             (F.round(F.sum(disc_price) * 10000, 0) / 10000).alias("sum_disc_price"),
-            (F.round(F.sum(disc_price * (1 + F.col("l_tax"))) * 1000000, 0) / 1000000).alias("sum_charge"),
+            (
+                F.sum(
+                    F.round(disc_price * (1 + F.col("l_tax")) * 1000000, 0).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / 1000000
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),

@@ -55,12 +55,29 @@ def kinesis_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``format("kinesis_spool")`` READ (shard = spool file, seq = byte offset)
     → JSON parse → aggregate.  The oracle is the plain per-type counts, so a
     hash-match proves byte-exact round-trip fidelity of the sink+source pair
-    — the read path the reference lacks."""
+    — the read path the reference lacks.
+
+    EAGER by necessity (unlike every other registry entry): the read side
+    needs the spool populated, so construction runs the produce job.  The
+    spool path is DETERMINISTIC per sf_dir under one managed tmp root and is
+    wiped before each delivery — repeated catalog sweeps/bench passes reuse
+    the same directory instead of leaking a fresh mkdtemp per invocation."""
+    import hashlib
+    import shutil
     import tempfile
+    from pathlib import Path
 
     from fs2_kinesis_firehose_spark.sources import register_kinesis_spool_source
 
-    spool = tempfile.mkdtemp(prefix="kinesis-roundtrip-")
+    spool_dir = (
+        Path(tempfile.gettempdir())
+        / "fs2spark-spools"
+        / f"roundtrip-{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    if spool_dir.exists():
+        shutil.rmtree(spool_dir)
+    spool_dir.mkdir(parents=True)
+    spool = str(spool_dir)
     events = load_table(spark, sf_dir, "events")
     framed = serialize_and_frame(events.select("event_id", "event_type"), "json", b"\n")
     settings = ProducerSettings(stream_name="roundtrip", parallelism=2)

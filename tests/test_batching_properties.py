@@ -47,6 +47,36 @@ def test_slicer_greedy_byte_packing(payloads):
         assert len(req) == batch_size or nbytes + len(nxt[0]) > max_bytes
 
 
+@given(
+    payloads=payload_lists,
+    batch_size=st.integers(1, 50),
+    max_bytes=st.integers(1, 2000),
+    max_record=st.integers(1, 5000),
+)
+@settings(max_examples=300, deadline=None)
+def test_slicer_unclamped_parameters_never_overflow_request(payloads, batch_size, max_bytes, max_record):
+    """max_record_bytes > max_batch_bytes must NOT let a single record form an
+    over-quota request: the generator clamps internally, so the byte quota
+    holds for ANY caller, not just ProducerSettings-clamped ones."""
+    try:
+        requests = list(
+            slice_requests(
+                payloads,
+                batch_size=batch_size,
+                max_batch_bytes=max_bytes,
+                max_record_bytes=max_record,
+            )
+        )
+    except ValueError:
+        # a payload exceeded the (clamped) per-record limit — the documented
+        # fail-fast contract, still never an over-quota request
+        return
+    assert [p for req, _ in requests for p in req] == payloads
+    for req, nbytes in requests:
+        assert 1 <= len(req) <= batch_size
+        assert nbytes <= max_bytes
+
+
 def test_slicer_oversized_record_raises():
     with pytest.raises(ValueError, match="per-record limit"):
         list(

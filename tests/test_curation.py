@@ -67,6 +67,28 @@ def test_stratified_sample_prefilter_matches_exact(spark):
     assert exact == fast
 
 
+def test_stratified_sample_null_group_paths_agree(spark):
+    """NULL group values must survive BOTH paths identically: the prefilter's
+    count join is null-safe, so NULL forms its own group exactly like the
+    exact window path treats it."""
+    rows = [(i, None if i % 5 == 0 else f"g{i % 3}") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    exact = sorted(
+        (r.doc_id, r.lang)
+        for r in C.stratified_sample(
+            df, group_col="lang", n_per_group=15, prefilter_oversample=None
+        ).collect()
+    )
+    fast = sorted(
+        (r.doc_id, r.lang)
+        for r in C.stratified_sample(
+            df, group_col="lang", n_per_group=15, prefilter_oversample=8.0
+        ).collect()
+    )
+    assert exact == fast
+    assert sum(1 for _, lang in exact if lang is None) == 15  # NULL is a group
+
+
 def test_pack_sequences_sharded_parallelism(spark):
     """shards=k keeps the packing lossless with globally unique seq ids; no
     sequence exceeds budget unless it is a single oversized doc."""
