@@ -25,19 +25,20 @@ from fs2_kinesis_firehose_spark.functions import text as T
 END = "</w>"
 
 
-def bpe_train(
+def word_frequencies(
     df: DataFrame,
     text_col: str = "text",
     *,
-    num_merges: int = 50,
-    min_count: int = 1,
-) -> list[tuple[str, str]]:
-    """Learn ``num_merges`` BPE merges from the corpus.
-
-    Deterministic: the best pair each round is the most frequent, ties
-    broken by lexicographic order — stable across partitionings and runs.
-    ``min_count`` drops rare words BEFORE the driver collect, keeping the
-    driver payload at O(effective vocabulary)."""
+    min_count: int = 5,
+    max_vocab: int | None = 1_000_000,
+) -> DataFrame:
+    """(w, n) word-frequency table with the driver-collect bound enforced
+    DISTRIBUTIVELY: words below ``min_count`` drop first, then only the top
+    ``max_vocab`` by (count desc, word asc — deterministic tie-break) survive
+    via orderBy+limit (TakeOrdered: per-partition top-k, driver merges k×P
+    rows).  Without the cap, a 100 TB web corpus has 10⁸–10⁹ distinct tokens
+    and the collect that follows is a driver OOM; with it, the collect is
+    O(max_vocab) regardless of corpus cardinality."""
     counts = (
         df.select(F.explode(T.tokens(text_col)).alias("w"))
         .filter(F.col("w") != "")
@@ -45,7 +46,33 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
-    word_counts = {r.w: r.n for r in counts.collect()}
+    if max_vocab is not None:
+        counts = counts.orderBy(F.col("n").desc(), F.col("w").asc()).limit(max_vocab)
+    return counts
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    num_merges: int = 50,
+    min_count: int = 5,
+    max_vocab: int | None = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Deterministic: the best pair each round is the most frequent, ties
+    broken by lexicographic order — stable across partitionings and runs.
+    The driver payload is bounded at O(min(effective vocabulary, max_vocab))
+    by ``word_frequencies``: ``min_count`` (default 5 — web-scale corpora
+    have unbounded hapax counts) prunes rare words and ``max_vocab`` caps the
+    collect distributively, both BEFORE any row reaches the driver."""
+    word_counts = {
+        r.w: r.n
+        for r in word_frequencies(
+            df, text_col, min_count=min_count, max_vocab=max_vocab
+        ).collect()
+    }
     vocab: dict[tuple[str, ...], int] = {
         tuple(list(w) + [END]): n for w, n in word_counts.items()
     }

@@ -13,7 +13,7 @@ def test_bpe_train_hand_computed_merges(spark):
     df = spark.createDataFrame(
         [(1, "low low low low low"), (2, "lower lower")], "id long, text string"
     )
-    merges = B.bpe_train(df, num_merges=3)
+    merges = B.bpe_train(df, num_merges=3, min_count=1)
     assert merges[0] == ("l", "o")
     assert merges[1] == ("lo", "w")  # (lo,w)=7 now dominates
     assert merges[2] == ("low", "</w>")  # low</w> x5
@@ -31,7 +31,7 @@ def test_bpe_segment_roundtrip(spark):
     df = spark.createDataFrame(
         [(1, "low low low low low"), (2, "lower lower")], "id long, text string"
     )
-    merges = B.bpe_train(df, num_merges=10)
+    merges = B.bpe_train(df, num_merges=10, min_count=1)
     out = {r.id: r.bpe_tokens for r in B.bpe_segment(df, merges).collect()}
     # with enough merges the frequent word collapses to one token
     assert out[1] == ["low</w>"] * 5
@@ -47,3 +47,19 @@ def test_bpe_min_count_prunes_rare_words(spark):
     merges = B.bpe_train(df, num_merges=30, min_count=2)
     flat = {a for a, b in merges} | {b for a, b in merges} | {a + b for a, b in merges}
     assert not any("r" == s or "rare" in s for s in flat)  # 'rare' never trained on
+
+
+def test_bpe_vocab_collect_is_bounded_adversarially(spark):
+    """High-cardinality vocab (one unique token per row) must NOT reach the
+    driver: max_vocab caps the collected word table distributively, keeping
+    the most frequent words under a deterministic tie-break."""
+    rows = [(i, f"common{i % 3} uniq{i}") for i in range(20_000)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    wf = B.word_frequencies(df, min_count=1, max_vocab=50)
+    assert wf.count() == 50  # 20_003 distinct words in the corpus
+    kept = {r.w for r in wf.collect()}
+    assert {"common0", "common1", "common2"} <= kept  # top-by-count survive
+    # training under the cap learns ONLY from the kept words
+    merges = B.bpe_train(df, num_merges=5, min_count=1, max_vocab=3)
+    flat = {a for a, b in merges} | {b for a, b in merges}
+    assert flat and not any("q" in s for s in flat)  # no 'uniq*' leakage
