@@ -4,10 +4,11 @@ with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 Same opaque-bytes contract as the reference's Record payload
 (RecordOps.scala:26 — a ByteBuffer the engine never interprets); the *Spark*
 side (schema, partition flow, UDF signatures, batch shapes) is real and
-tested.  The actual codec calls are stubbed: the container has no
-image/audio libraries, so ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``fake=True`` selects the deterministic fake
-decoder (header-derived, reproducible everywhere).
+tested.  Codec calls are gated behind an OPTIONAL dependency: when Pillow is
+importable, ``decode_image`` decodes real JPEG/PNG bytes (skip-marked pytest
+exercises that path); otherwise it raises ``NotImplementedError`` unless
+``fake=True`` selects the deterministic fake decoder (header-derived,
+reproducible everywhere — the CI and oracle path).
 
 At 100 TB: binary payloads dominate row size — the decode stage is
 ``mapInPandas`` so each task streams Arrow batches without materializing the
@@ -70,13 +71,30 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return np.tile(tile, reps)[:need].reshape(h, w, 3)
 
 
+try:  # optional dependency: real codecs only when Pillow is importable
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - absent in the CI container
+    _PILImage = None
+
+
 def decode_image(payload: bytes, *, fake: bool = False) -> np.ndarray:
+    """Decode image bytes to an (H, W, 3) uint8 array.
+
+    ``fake=True`` selects the deterministic header-derived decoder (the CI /
+    oracle path — no codec dependency, reproducible everywhere).  The real
+    path decodes via Pillow when importable (JPEG/PNG/...; converted to RGB);
+    without Pillow it raises rather than silently degrading."""
     if fake:
         return _fake_decode(payload)
-    raise NotImplementedError(
-        "real image decoding requires an image library not present in this "
-        "container; pass fake=True for the deterministic test decoder"
-    )
+    if _PILImage is None:
+        raise NotImplementedError(
+            "real image decoding requires Pillow, which is not installed; "
+            "pass fake=True for the deterministic test decoder"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("RGB"))
 
 
 def extract_image_features(df_media: DataFrame, *, fake: bool = True) -> DataFrame:

@@ -27,9 +27,34 @@ def test_media_contract_schema(spark):
     assert row.meta.sha256 == hashlib.sha256(b"abcdefgh" * 10).hexdigest()
 
 
+@pytest.mark.skipif(M._PILImage is not None, reason="Pillow installed: real decode available")
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x00\x01")
+
+
+@pytest.mark.skipif(M._PILImage is None, reason="Pillow not installed")
+def test_real_codec_decodes_actual_png(spark):
+    """With Pillow present, decode_image handles REAL encoded bytes and the
+    full mapInPandas feature stage runs on them (fake=False)."""
+    import io
+
+    import numpy as np
+
+    ref = np.arange(6 * 5 * 3, dtype=np.uint8).reshape(6, 5, 3)
+    buf = io.BytesIO()
+    M._PILImage.fromarray(ref).save(buf, format="PNG")
+    png = buf.getvalue()
+    assert (M.decode_image(png) == ref).all()  # PNG is lossless
+
+    media = M.attach_media(
+        spark.createDataFrame([(1, png)], "doc_id long, payload binary"),
+        "payload",
+        media_type="image/png",
+    )
+    row = M.extract_image_features(media, fake=False).first()
+    assert (row.height, row.width, row.n_channels) == (6, 5, 3)
+    assert row.mean_intensity == round(float(ref.mean()), 6)
 
 
 def test_fake_decode_deterministic_dimensions():
