@@ -473,6 +473,108 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", *, bits: int = 60
+) -> DataFrame:
+    """(key, simhash) — ENGINE-PORTABLE SimHash fingerprints.
+
+    Identical shape to ``simhash`` (explode distinct tokens → one shuffle with
+    per-bit vote aggregates, zero Python) but the per-token hash is the first
+    ``bits/4`` hex chars of **md5** converted to a bigint — bit-identical in
+    Spark (``conv(substring(md5(t),1,15),16,10)``) and DuckDB
+    (``CAST('0x'||substr(md5(t),1,15) AS BIGINT)``), the same portability
+    trick ``curation.hash_fraction`` uses.  60 bits (not 64) keeps the value
+    strictly inside a signed bigint on both engines.  xxhash64 ``simhash``
+    stays the production path (~cheaper hash); this variant exists so the
+    ENTIRE candidate pipeline (fingerprint → banding → Hamming verify) is
+    reproducible by the SQL oracle."""
+    toks = df.select(
+        F.col(key_col), F.explode(T.distinct_tokens(text_col)).alias("_tok")
+    ).select(
+        key_col,
+        F.conv(F.substring(F.md5("_tok"), 1, bits // 4), 16, 10)
+        .cast("long")
+        .alias("_th"),
+    )
+    vote_aggs = [
+        F.sum(
+            F.shiftrightunsigned(F.col("_th"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"_v{i}")
+        for i in range(bits)
+    ]
+    voted = toks.groupBy(key_col).agg(*vote_aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp.bitwiseOR(F.shiftleft((F.col(f"_v{i}") > 0).cast("long"), i))
+    fingerprints = voted.select(F.col(key_col), fp.alias("simhash"))
+    return df.select(key_col).join(fingerprints, key_col, "left").withColumn(
+        "simhash", F.coalesce(F.col("simhash"), F.lit(0).cast("long"))
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All pairs (key1 < key2) with portable-SimHash Hamming ≤ ``max_hamming``
+    — EXACTLY, not probabilistically.
+
+    With ``max_hamming < bands`` the pigeonhole principle guarantees at least
+    one of the ``bands`` equal-width bands is identical for every qualifying
+    pair, so band-collision candidate generation (one shuffle on
+    (band, band_val), O(Σ bucket²) — never all-pairs) has recall 1.0 by
+    construction and the Hamming filter makes the band pruning invisible in
+    the output.  That is what lets the SQL oracle verify this pipeline
+    end-to-end: it recomputes the identical fingerprints (md5-based) and the
+    exhaustive Hamming join, and a hash-match proves banding + verification
+    dropped nothing.  Returns (key1, key2, hamming)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands}: band collision no "
+            f"longer guarantees recall 1.0 — raise bands or lower max_hamming"
+        )
+    width = bits // bands
+    fps = simhash_portable(df, text_col, key_col, bits=bits)
+    banded = fps.select(
+        key_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(key_col, "simhash", "b.band", "b.band_val")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .select(
+            F.col(f"l.{key_col}").alias("key1"),
+            F.col(f"r.{key_col}").alias("key2"),
+            hamming64(F.col("l.simhash"), F.col("r.simhash")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, inverted-index join)
 # ---------------------------------------------------------------------------

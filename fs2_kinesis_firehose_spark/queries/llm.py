@@ -231,6 +231,48 @@ def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portable-SimHash oracle: DuckDB recomputes the IDENTICAL md5-based
+# fingerprints (hex→bigint, per-bit votes, sign bits) and then the exhaustive
+# O(n²) Hamming join; the Spark side prunes via 4×15-bit banding, which is
+# recall-1.0 by pigeonhole for Hamming ≤ 3 — so the two results must match
+# exactly, verifying fingerprinting + banding + Hamming verify end-to-end.
+_SIMHASH_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th, range(60) t(i)
+        GROUP BY doc_id, i
+    ),
+    fp AS (
+        SELECT doc_id, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS f
+        FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS key1, b.doc_id AS key2,
+           CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 3
+"""
+
+
+@query("simhash_neardup_pairs", oracle=_SIMHASH_ORACLE)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, oracle-checked END-TO-END: md5-based 60-bit
+    fingerprints are bit-identical across engines, and banding (4×15 bits)
+    has guaranteed recall 1.0 for the Hamming ≤ 3 contract (pigeonhole), so
+    the banded+verified Spark output equals DuckDB's exhaustive Hamming join
+    — the xxhash64 ``simhash_candidates`` path stays as the cheaper
+    production variant (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_neardup_pairs(docs, "text", "doc_id", bits=60, bands=4, max_hamming=3)
+
+
 @query(
     "benchmark_contamination",
     oracle=f"""

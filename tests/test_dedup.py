@@ -211,3 +211,31 @@ def test_embedding_neardup_blocked_matches_exact_for_identical(spark):
     }
     assert pairs[(1, 2)] == 1.0
     assert (1, 3) in pairs and (1, 4) not in pairs
+
+
+def test_simhash_portable_banding_is_exact_vs_bruteforce(spark):
+    """Banded candidate generation + Hamming filter must equal the exhaustive
+    O(n²) Hamming join (pigeonhole: ham <= 3 with 4 bands ⇒ one clean band)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"alpha beta gamma delta w{i % 6} x{i % 11}") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = {
+        (r.key1, r.key2): r.hamming
+        for r in D.simhash_neardup_pairs(df, "text", "doc_id").collect()
+    }
+    fps = D.simhash_portable(df, "text", "doc_id")
+    a = fps.select(F.col("doc_id").alias("key1"), F.col("simhash").alias("f1"))
+    b = fps.select(F.col("doc_id").alias("key2"), F.col("simhash").alias("f2"))
+    brute = {
+        (r.key1, r.key2): r.ham
+        for r in a.join(b, F.col("key1") < F.col("key2"))
+        .select("key1", "key2", D.hamming64(F.col("f1"), F.col("f2")).cast("int").alias("ham"))
+        .filter(F.col("ham") <= 3)
+        .collect()
+    }
+    assert banded == brute and brute  # non-empty on this near-dup-heavy fixture
+
+    with pytest.raises(ValueError, match="pigeonhole|recall"):
+        D.simhash_neardup_pairs(df, max_hamming=4, bands=4)
