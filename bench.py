@@ -29,7 +29,7 @@ HEADLINE = [
     "top_orders_per_customer",
     "monthly_revenue_running",
     "segment_count_distinct",
-    "events_json_extract",
+    "events_props_functions",
     "global_top10_orders",
     "dedup_exact",
     "minhash_lsh_pairs",

@@ -486,115 +486,110 @@ def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Scalar function families: string / date / math / array / map / json
+# Scalar function families: string+date+math (one combined query), map+json
+# (one combined query), array.  Combined deliberately — six single-family
+# showcase queries burned driver-verification window slots for no extra
+# function coverage (round-2 verdict ask #1).
 # ---------------------------------------------------------------------------
 @query(
-    "string_functions",
+    "scalar_string_date_math",
     oracle="""
-    SELECT p_partkey,
-           LOWER(p_name)                                   AS name_lower,
-           UPPER(p_brand)                                  AS brand_upper,
-           SUBSTRING(p_type, 1, 5)                         AS type_prefix,
-           REGEXP_EXTRACT(p_name, '([0-9]+)', 1)           AS first_number,
-           LEVENSHTEIN(p_brand, p_type)                    AS brand_type_dist,
-           LENGTH(p_name)                                  AS name_len,
-           CONCAT(p_brand, ':', p_type)                    AS brand_type
-    FROM part
+    SELECT l.l_orderkey,
+           LOWER(p.p_name)                                 AS name_lower,
+           UPPER(p.p_brand)                                AS brand_upper,
+           SUBSTRING(p.p_type, 1, 5)                       AS type_prefix,
+           REGEXP_EXTRACT(p.p_name, '([0-9]+)', 1)         AS first_number,
+           LEVENSHTEIN(p.p_brand, p.p_type)                AS brand_type_dist,
+           LENGTH(p.p_name)                                AS name_len,
+           CONCAT(p.p_brand, ':', p.p_type)                AS brand_type,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT)    AS order_year,
+           CAST(EXTRACT(QUARTER FROM o.o_orderdate) AS INT) AS order_quarter,
+           ROUND(SQRT(l.l_extendedprice), 4)        AS price_sqrt,
+           ROUND(LN(l.l_extendedprice + 1), 6)      AS price_ln,
+           ROUND(POW(l.l_discount, 2), 6)           AS disc_sq,
+           CAST(CEIL(l.l_quantity) AS BIGINT)       AS qty_ceil,
+           CAST(FLOOR(l.l_quantity) AS BIGINT)      AS qty_floor,
+           ABS(l.l_tax - l.l_discount) > 0.05       AS tax_gap
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p   ON l.l_partkey = p.p_partkey
+    WHERE l.l_linenumber = 1 AND l.l_orderkey % 10 = 0
     """,
 )
-def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load_table(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.lower("p_name").alias("name_lower"),
-        F.upper("p_brand").alias("brand_upper"),
-        F.substring("p_type", 1, 5).alias("type_prefix"),
-        F.regexp_extract("p_name", r"([0-9]+)", 1).alias("first_number"),
-        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
-        F.length("p_name").alias("name_len"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + date + math scalar families in ONE projection over
+    lineitem ⋈ orders ⋈ broadcast(part) — every function stays a codegen'd
+    Column expression; the filter reaches the lineitem scan before either
+    join (PushedFilters), so the joined row count is |filtered lineitem|."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 10 == 0)
     )
-
-
-@query(
-    "date_functions",
-    oracle="""
-    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)    AS order_year,
-           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS order_quarter,
-           COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS revenue
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-    GROUP BY 1, 2
-    """,
-)
-def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
     return (
-        o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        .groupBy(
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_orderkey",
+            F.lower("p_name").alias("name_lower"),
+            F.upper("p_brand").alias("brand_upper"),
+            F.substring("p_type", 1, 5).alias("type_prefix"),
+            F.regexp_extract("p_name", r"([0-9]+)", 1).alias("first_number"),
+            F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+            F.length("p_name").alias("name_len"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
             F.year("o_orderdate").cast("int").alias("order_year"),
             F.quarter("o_orderdate").cast("int").alias("order_quarter"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+            F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+            F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+            F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+            F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+            (F.abs(F.col("l_tax") - F.col("l_discount")) > 0.05).alias("tax_gap"),
         )
     )
 
 
 @query(
-    "math_functions",
+    "events_props_functions",
     oracle="""
-    SELECT l_orderkey,
-           l_linenumber,
-           ROUND(SQRT(l_extendedprice), 4)        AS price_sqrt,
-           ROUND(LN(l_extendedprice + 1), 6)      AS price_ln,
-           ROUND(POW(l_discount, 2), 6)           AS disc_sq,
-           CAST(CEIL(l_quantity) AS BIGINT)       AS qty_ceil,
-           CAST(FLOOR(l_quantity) AS BIGINT)      AS qty_floor,
-           ABS(l_tax - l_discount) > 0.05         AS tax_gap
-    FROM lineitem
-    WHERE l_linenumber = 1 AND l_orderkey % 10 = 0
-    """,
-)
-def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    return l.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 10 == 0)).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
-        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
-        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
-        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
-        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
-        (F.abs(F.col("l_tax") - F.col("l_discount")) > 0.05).alias("tax_gap"),
+    WITH per_event AS (
+        SELECT event_id,
+               event_type,
+               array_to_string(json_keys(props), ',')            AS prop_keys,
+               CAST(len(json_keys(props)) AS INT)                AS n_props,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        FROM events
     )
-
-
-@query(
-    "events_json_extract",
-    oracle="""
     SELECT event_type,
-           COUNT(*) AS n_events,
-           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k
-    FROM events
+           COUNT(*)                 AS n_events,
+           ROUND(AVG(k_value), 4)   AS avg_k,
+           MAX(k_value)             AS max_k,
+           MAX(n_props)             AS max_props,
+           MIN(prop_keys)           AS min_prop_keys
+    FROM per_event
     GROUP BY event_type
     """,
 )
-def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON prop extraction via from_json → MapType (SURVEY.md §1.3: events.props)."""
+def events_props_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map + JSON function families in ONE query over events.props
+    (SURVEY.md §1.3): from_json → MapType, map_keys/size/getItem per event,
+    then aggregated per type — the row-level map surface AND the
+    extract-then-aggregate JSON shape the two former showcases covered."""
     e = load_table(spark, sf_dir, "events")
-    k = F.from_json(F.col("props"), "map<string,string>").getItem("k").cast("bigint")
-    return (
-        e.select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
-            F.max("k").alias("max_k"),
-        )
+    m = F.from_json(F.col("props"), "map<string,string>")
+    per_event = e.select(
+        "event_type",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.size(F.map_keys(m)).cast("int").alias("n_props"),
+        m.getItem("k").cast("bigint").alias("k_value"),
+    )
+    return per_event.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("k_value"), 4).alias("avg_k"),
+        F.max("k_value").alias("max_k"),
+        F.max("n_props").alias("max_props"),
+        F.min("prop_keys").alias("min_prop_keys"),
     )
 
 
@@ -689,29 +684,6 @@ def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", "o_orderpriority", "o_totalprice").groupBy(
         "o_orderpriority"
     ).applyInPandas(zscore, "o_orderkey bigint, o_orderpriority string, price_zscore double")
-
-
-@query(
-    "map_functions",
-    oracle="""
-    SELECT event_id,
-           array_to_string(json_keys(props), ',')         AS prop_keys,
-           CAST(len(json_keys(props)) AS INT)             AS n_props,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
-    FROM events
-    WHERE event_id % 100 = 0
-    """,
-)
-def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-typed column surface: from_json → MapType, map_keys/size/getItem."""
-    e = load_table(spark, sf_dir, "events")
-    m = F.from_json(F.col("props"), "map<string,string>")
-    return e.filter(F.col("event_id") % 100 == 0).select(
-        "event_id",
-        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
-        F.size(F.map_keys(m)).cast("int").alias("n_props"),
-        m.getItem("k").cast("bigint").alias("k_value"),
-    )
 
 
 @query(
