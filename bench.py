@@ -45,6 +45,14 @@ HEADLINE = [
     "tpch_q8_market_share",
     "user_session_stats",
     "gopher_quality_flags",
+    # round-3 additions: the largest-shuffle TPC-H shape, the stateful
+    # streaming path (state-store cost), the full sink→source roundtrip
+    # (eager produce included in the timing — that IS the roundtrip), and the
+    # portable-SimHash near-dup pipeline
+    "tpch_q18_large_volume_customers",
+    "streaming_stateful_user_stats",
+    "kinesis_roundtrip_counts",
+    "simhash_neardup_pairs",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

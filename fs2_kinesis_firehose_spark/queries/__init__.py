@@ -37,8 +37,89 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# ---------------------------------------------------------------------------
+# Driver-window priority.
+#
+# The grading driver verifies only the FIRST 50 registered queries per round.
+# Round 2 registered 17 new queries ahead of everything else and silently
+# evicted the entire sink/streaming/temporal/TPC-H surface from verification
+# (round-2 verdict, top ask).  Registration order is therefore an explicit,
+# reviewed artifact: ``_WINDOW_PRIORITY`` lists the window head-first —
+# (1) every query that has never had a driver correctness row, (2) queries
+# whose implementation changed this round, (3) flagship operators re-verified
+# every round.  ``tests/test_driver_window.py`` pins the resulting first-50
+# against the checked-in ``driver_window.txt`` and fails if any never-green
+# query (not in ``verified_green.json``) falls outside the window — a module
+# reorder can no longer silently drop verification coverage.  Queries rotated
+# OUT of the window all have a green row in a prior round's CORRECTNESS file
+# (see README rotation note).
+# ---------------------------------------------------------------------------
+_WINDOW_PRIORITY: list[str] = [
+    # Tier A sink + read path (reference flagship)
+    "firehose_delivery_accounting",
+    "kinesis_roundtrip_counts",
+    # streaming surface (all 7)
+    "streaming_tumbling_counts",
+    "streaming_sliding_stats",
+    "streaming_session_counts",
+    "streaming_dedup_counts",
+    "streaming_static_join_revenue",
+    "streaming_stream_stream_join",
+    "streaming_stateful_user_stats",
+    # temporal operators
+    "interval_join_incident_counts",
+    "user_session_stats",
+    "hourly_daily_event_rollup",
+    # TPC-H suite (all 11)
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue",
+    # never-driver-verified relational / llm
+    "event_type_pivot",
+    "nation_balance_unpivot",
+    "approx_distinct_users",
+    "simhash_neardup_pairs",
+    "simhash_candidates",
+    "bpe_learned_token_counts",
+    # new this round (consolidated scalar families)
+    "scalar_string_date_math",
+    "events_props_functions",
+    # displaced relational tail (green in r01 only; verdict done-list)
+    "customer_order_left_join",
+    "salted_join_priority_revenue",
+    "asof_join_latest_order",
+    "grouping_sets_order_stats",
+    "distinct_segments",
+    "applyinpandas_zscore",
+    "pandas_udaf_geomean",
+    # implementation touched this round → re-verify
+    "pricing_summary",
+    "stratified_sample_docs",
+    "near_dedup_survivors",
+    # flagship operators, re-verified every round
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "dedup_exact",
+    "cosine_topk_bruteforce",
+    "ann_lsh_topk",
+    "ivf_topk",
+    "embedding_neardup_blocked",
+    "gopher_quality_flags",
+    "benchmark_contamination",
+]
+
+
 def load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries, then apply the explicit
+    driver-window ordering (idempotent)."""
     from fs2_kinesis_firehose_spark.queries import (  # noqa: F401
         curation_q,
         llm,
@@ -48,3 +129,11 @@ def load_all() -> None:
         temporal_q,
         tpch_q,
     )
+
+    ordered = {n: QUERIES[n] for n in _WINDOW_PRIORITY if n in QUERIES}
+    ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    o_ordered = {n: ORACLES[n] for n in ordered if n in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(o_ordered)
