@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from fs2_kinesis_firehose_spark.functions import text as T
 from fs2_kinesis_firehose_spark.functions import vectors as V
@@ -806,3 +807,71 @@ def embedding_neardup_pairs_blocked(
         return pd.DataFrame({"key1": lo, "key2": hi, "cos_sim": cos[ii, jj]})
 
     return rep.groupBy("_g1", "_g2").applyInPandas(emit, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Span-level (C4-style) exact dedup
+# ---------------------------------------------------------------------------
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    span_tokens: int = 10,
+) -> DataFrame:
+    """C4-style intra-corpus span deduplication (Raffel et al. 2020, public):
+    chop every document into consecutive ``span_tokens``-token spans, drop
+    every span that occurred earlier in the corpus (global first-occurrence
+    wins, ordered by (key, span index) — deterministic), and reassemble what
+    remains.  C4 does this over three-sentence spans; the fixture corpus has
+    no sentence boundaries, so spans are fixed token windows.
+
+    Output: (key_col, n_spans, n_kept, text_kept) — ``text_kept`` is the
+    surviving spans re-joined in order ('' when every span was dropped).
+
+    Plan shape (100 TB discipline): tokenize+slice stays in codegen; the
+    first-occurrence rank is ONE shuffle partitioned by span text (identical
+    key-distribution behavior to ``exact_dedup``'s sha256 groupBy — hot spans
+    hash-spread across reducers); reassembly is ONE shuffle back on the doc
+    key.  Both are inherent to the semantics (global span identity, per-doc
+    output).  No Python, no driver materialization, no skew beyond the span
+    frequency distribution itself (a pathological corpus-wide boilerplate
+    span lands on one reducer as one group — row_number over it is linear).
+    """
+    words = T.tokens(text_col)
+    n_spans = F.ceil(F.size(words) / F.lit(span_tokens)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(words, i * span_tokens + 1, span_tokens), " "),
+    )
+    exploded = df.select(
+        F.col(key_col),
+        n_spans.alias("n_spans"),
+        F.posexplode(spans).alias("span_idx", "span_text"),
+    )
+    first = W.partitionBy("span_text").orderBy(key_col, "span_idx")
+    kept = (
+        exploded.withColumn("_rk", F.row_number().over(first))
+        .filter(F.col("_rk") == 1)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("span_idx", "span_text"))),
+                    lambda s: s["span_text"],
+                ),
+                " ",
+            ).alias("text_kept"),
+        )
+    )
+    return (
+        df.select(key_col, n_spans.alias("n_spans"))
+        .join(kept, key_col, "left")
+        .select(
+            key_col,
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+        )
+    )

@@ -89,9 +89,11 @@ _WINDOW_PRIORITY: list[str] = [
     "simhash_neardup_pairs",
     "simhash_candidates",
     "bpe_learned_token_counts",
-    # new this round (consolidated scalar families)
+    # new this round (consolidated scalar families + LM/span-dedup operators)
     "scalar_string_date_math",
     "events_props_functions",
+    "lm_perplexity_scores",
+    "span_dedup_stats",
     # displaced relational tail (green in r01 only; verdict done-list)
     "customer_order_left_join",
     "salted_join_priority_revenue",

@@ -833,3 +833,89 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style n-gram LM perplexity + C4-style span dedup (round 3)
+# ---------------------------------------------------------------------------
+@query(
+    "lm_perplexity_scores",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    big AS (
+        SELECT doc_id, w[CAST(t.i AS INT)] AS w1, w[CAST(t.i AS INT) + 1] AS w2
+        FROM words, UNNEST(range(1, len(w))) AS t(i)
+    ),
+    bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+    v AS (
+        SELECT COUNT(DISTINCT tok) AS v
+        FROM (SELECT w1 AS tok FROM big UNION ALL SELECT w2 FROM big)
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               ln(COALESCE(bi.c12, 0) + 1) - ln(u.c1 + (SELECT v FROM v)) AS logp,
+               CASE WHEN bi.c12 IS NULL THEN 1 END AS oov
+        FROM big b
+        LEFT JOIN bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+        JOIN uni u ON b.w1 = u.w1
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(oov) AS oov_bigrams,
+               ROUND(-SUM(logp) / COUNT(*), 4) AS cross_entropy
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           COALESCE(a.oov_bigrams, 0) AS oov_bigrams,
+           a.cross_entropy
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal (Wenzek et al. 2019): per-document bigram
+    cross-entropy under a Laplace-smoothed LM trained on the corpus itself.
+    Train = one scan + two groupBy aggs (pruned distributively at scale);
+    score = explode + broadcast LM joins + per-doc agg.  The 4-decimal round
+    absorbs float-sum reassociation between engines (error ~1e-13 against a
+    5e-5 boundary)."""
+    from fs2_kinesis_firehose_spark.operators import lm as LM
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = LM.train_bigram_lm(docs, "text", "doc_id")
+    return LM.score_cross_entropy(docs, model, "text", "doc_id")
+
+
+@query(
+    "span_dedup_stats",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    spans AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS span_idx,
+               array_to_string(w[CAST(t.i*10+1 AS INT):CAST(t.i*10+10 AS INT)], ' ') AS span_text
+        FROM words, UNNEST(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)
+    ),
+    kept AS (
+        SELECT doc_id, span_idx, span_text,
+               ROW_NUMBER() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rk
+        FROM spans
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(span_text, ' ' ORDER BY span_idx) AS text_kept
+        FROM kept WHERE rk = 1 GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(ceil(len(w.w) / 10.0) AS INT) AS n_spans,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           COALESCE(a.text_kept, '') AS text_kept
+    FROM words w LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span dedup (Raffel et al. 2020): drop every repeated
+    10-token span corpus-wide (first occurrence by (doc_id, span_idx) wins)
+    and reassemble documents.  One shuffle on span text + one back on the doc
+    key — the same two-shuffle shape as exact dedup + reassembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.span_dedup(docs, "text", "doc_id", span_tokens=10)
