@@ -75,6 +75,8 @@ _WINDOW_PRIORITY: list[str] = [
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q13_customer_distribution",
     "tpch_q8_market_share",
     "tpch_q10_returned_items",
     "tpch_q14_promo_effect",
