@@ -220,3 +220,77 @@ def ivf_topk(
     cells = ivf_probe_cells(centroids, query_vec, nprobe)
     candidates = df_assigned.filter(F.col("ivf_cell").isin(cells))
     return brute_force_topk(candidates, query_vec, k, vec_col, key_col)
+
+
+def ann_recall_eval(
+    df_bucketed: DataFrame,
+    dim: int,
+    *,
+    n_queries: int = 8,
+    k: int = 10,
+    multiprobe_hamming: int = 2,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of the sign-LSH probe path vs exact brute force, for the
+    first ``n_queries`` corpus vectors as queries — ONE Spark plan, no
+    driver loop over queries.
+
+    Output: (query_id, n_ann, n_common, recall_at_k).  The query set is a
+    broadcast (n_queries rows); every corpus row scores against every query
+    (codegen'd dot chain), the ANN side keeps rows within
+    ``multiprobe_hamming`` bucket bits of the query's bucket, and per-query
+    top-k on both sides is a window over query_id.
+
+    Scale note: exact ground truth is inherently O(queries × corpus) — this
+    is the OFFLINE quality harness you run on a corpus sample to tune
+    n_planes/probe width, not a serving-path query.  The ANN candidate side
+    alone is the production read path (bucket-pruned, see ``ann_topk``).
+    """
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(
+        df_bucketed.filter(F.col(key_col) < n_queries).select(
+            F.col(key_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col("bucket").alias("_qbucket"),
+        )
+    )
+    cos = F.round(
+        V.dot(F.col(vec_col), F.col("_qv"), dim)
+        / (V.norm(F.col(vec_col), dim) * V.norm(F.col("_qv"), dim)),
+        6,
+    )
+    scored = df_bucketed.crossJoin(q).select(
+        "query_id",
+        F.col(key_col),
+        cos.alias("cos_sim"),
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("_qbucket"))).alias("_ham"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(key_col))
+    exact = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", key_col)
+    )
+    ann = (
+        scored.filter(F.col("_ham") <= multiprobe_hamming)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", key_col)
+    )
+    n_ann = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    common = (
+        exact.join(ann, ["query_id", key_col])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        n_ann.join(common, "query_id", "left")
+        .select(
+            "query_id",
+            "n_ann",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.round(F.coalesce("n_common", F.lit(0)) / F.lit(float(k)), 2).alias("recall_at_k"),
+        )
+    )

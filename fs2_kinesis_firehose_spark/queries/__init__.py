@@ -96,6 +96,7 @@ _WINDOW_PRIORITY: list[str] = [
     "events_props_functions",
     "lm_perplexity_scores",
     "span_dedup_stats",
+    "ann_recall_at_k",
     # displaced relational tail (green in r01 only; verdict done-list)
     "customer_order_left_join",
     "salted_join_priority_revenue",

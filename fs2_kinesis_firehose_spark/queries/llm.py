@@ -919,3 +919,73 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — the same two-shuffle shape as exact dedup + reassembly."""
     docs = load_table(spark, sf_dir, "documents")
     return D.span_dedup(docs, "text", "doc_id", span_tokens=10)
+
+
+# Recall evaluation of the ANN path vs exact ground truth, 8 queries in one
+# plan.  Same literal-hyperplane restatement as _ann_oracle; query vectors
+# are corpus rows, so their buckets come from the same bucket expression.
+def _ann_recall_oracle() -> str:
+    planes = S._hyperplanes(64, 6, seed=42)
+    plane_sql = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+
+    def bucket_expr(vec: str) -> str:
+        return " + ".join(
+            f"{1 << i} * (CASE WHEN list_inner_product({vec}, {plane_sql[i]}) > 0 "
+            f"THEN 1 ELSE 0 END)"
+            for i in range(6)
+        )
+
+    return f"""
+    WITH b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               ({bucket_expr('CAST(embedding AS DOUBLE[])')}) AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM b WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, b.vec_id,
+               ROUND(list_inner_product(b.v, q.qv)
+                     / (SQRT(list_inner_product(b.v, b.v))
+                        * SQRT(list_inner_product(q.qv, q.qv))), 6) AS cos_sim,
+               bit_count(xor(b.bucket, q.qbucket)) AS ham
+        FROM b, q
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 10
+    ),
+    ann AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id ASC) AS rn
+            FROM scored WHERE ham <= 2
+        ) WHERE rn <= 10
+    ),
+    annc AS (SELECT query_id, COUNT(*) AS n_ann FROM ann GROUP BY query_id),
+    common AS (
+        SELECT e.query_id, COUNT(*) AS n_common
+        FROM exact e JOIN ann a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT annc.query_id, annc.n_ann,
+           COALESCE(common.n_common, 0) AS n_common,
+           ROUND(COALESCE(common.n_common, 0) / 10.0, 2) AS recall_at_k
+    FROM annc LEFT JOIN common USING (query_id)
+    """
+
+
+@query("ann_recall_at_k", oracle=_ann_recall_oracle())
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of sign-LSH multi-probe ANN vs exact brute force over 8
+    query vectors in one plan (broadcast query set, windowed top-k per
+    query) — the offline quality harness for tuning n_planes/probe width.
+    Oracle replays bucketing, probing, both rankings, and the recall join
+    with identical literal hyperplanes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = S.random_hyperplane_lsh(emb, dim=64, n_planes=6)
+    return S.ann_recall_eval(bucketed, dim=64, n_queries=8, k=10, multiprobe_hamming=2)

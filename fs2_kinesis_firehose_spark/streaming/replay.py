@@ -34,10 +34,20 @@ def replay_parquet(
         tempfile.gettempdir(), f"replay-{name}-{uuid.uuid4().hex[:8]}"
     )
     os.makedirs(staging, exist_ok=True)
+    # a table is either one parquet file (the driver fixture layout) or a
+    # directory of part files (anything Spark itself wrote, e.g. the sf1
+    # scale fixture) — stage every data file flat under a per-copy prefix
+    if os.path.isdir(src):
+        parts = sorted(
+            e.path for e in os.scandir(src) if e.is_file() and e.name.endswith(".parquet")
+        )
+    else:
+        parts = [src]
     for i in range(copies):
-        dst = os.path.join(staging, f"{name}-{i}.parquet")
-        if not os.path.exists(dst):
-            shutil.copy(src, dst)
+        for j, part in enumerate(parts):
+            dst = os.path.join(staging, f"{name}-{i}-{j}.parquet")
+            if not os.path.exists(dst):
+                shutil.copy(part, dst)
     schema = spark.read.parquet(src).schema  # raw footer schema (nanosAsLong)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
