@@ -7,6 +7,10 @@ here is the event-time surface the north star adds (SURVEY.md §2 Tier B
 "streaming" row).
 """
 
+from fs2_kinesis_firehose_spark.streaming.progress import (
+    ProgressCapture,
+    throughput_summary,
+)
 from fs2_kinesis_firehose_spark.streaming.replay import replay_parquet, run_to_memory
 from fs2_kinesis_firehose_spark.streaming.windows import (
     session_counts,
@@ -16,6 +20,8 @@ from fs2_kinesis_firehose_spark.streaming.windows import (
 )
 
 __all__ = [
+    "ProgressCapture",
+    "throughput_summary",
     "replay_parquet",
     "run_to_memory",
     "session_counts",
