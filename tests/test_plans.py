@@ -99,3 +99,41 @@ def test_tpch_q19_bracket_join_no_cartesian(spark, sf_smoke):
     assert_plan_lacks(df, "CartesianProduct")
     assert_plan_lacks(df, "BroadcastNestedLoopJoin")
     assert_plan_contains(df, "BroadcastHashJoin")  # keyed on partkey, brackets residual
+
+
+def test_tpch_q7_broadcasts_all_dims_pushes_shipdate(spark, sf_smoke):
+    df = q.QUERIES["tpch_q7_volume_shipping"](spark, sf_smoke)
+    plan = assert_plan_contains(df, "PushedFilters")
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400], plan
+    # supplier, customer, nation x2 all broadcast; lineitem x orders is the
+    # only non-broadcast join
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert_plan_lacks(df, "CartesianProduct")
+
+
+def test_lm_scoring_broadcasts_model_tables(spark, sf_smoke):
+    df = q.QUERIES["lm_perplexity_scores"](spark, sf_smoke)
+    plan = explain_str(df)
+    # bigram + unigram + vocab joins all broadcast — the corpus is never
+    # shuffled for the LM lookup
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert_plan_lacks(df, "CartesianProduct")
+    # no Python in the plan: scoring is pure codegen + broadcast joins
+    assert "Python" not in plan, plan
+
+
+def test_span_dedup_two_inherent_shuffles_no_python(spark, sf_smoke):
+    df = q.QUERIES["span_dedup_stats"](spark, sf_smoke)
+    plan = explain_str(df)
+    assert "Python" not in plan, plan
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # one shuffle on span_text (first-occurrence window), one back on doc_id
+    # (reassembly + left join); nothing else
+    assert executed.count("Exchange hashpartitioning") <= 3, executed
+
+
+def test_ann_recall_broadcasts_query_set(spark, sf_smoke):
+    df = q.QUERIES["ann_recall_at_k"](spark, sf_smoke)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert_plan_lacks(df, "CartesianProduct")
