@@ -82,19 +82,26 @@ def decode_image(payload: bytes, *, fake: bool = False) -> np.ndarray:
 
     ``fake=True`` selects the deterministic header-derived decoder (the CI /
     oracle path — no codec dependency, reproducible everywhere).  The real
-    path decodes via Pillow when importable (JPEG/PNG/...; converted to RGB);
-    without Pillow it raises rather than silently degrading."""
+    path prefers Pillow (full format coverage) when importable; PNG bytes
+    always decode via the pure-stdlib codec (`operators/png.py`) as the
+    guaranteed floor, so real-media decode runs even without Pillow.  Other
+    formats without Pillow raise rather than silently degrading."""
     if fake:
         return _fake_decode(payload)
-    if _PILImage is None:
-        raise NotImplementedError(
-            "real image decoding requires Pillow, which is not installed; "
-            "pass fake=True for the deterministic test decoder"
-        )
-    import io
+    if _PILImage is not None:
+        import io
 
-    with _PILImage.open(io.BytesIO(payload)) as img:
-        return np.asarray(img.convert("RGB"))
+        with _PILImage.open(io.BytesIO(payload)) as img:
+            return np.asarray(img.convert("RGB"))
+    from fs2_kinesis_firehose_spark.operators import png as _png
+
+    if _png.is_png(bytes(payload)):
+        return _png.decode_png(payload)
+    raise NotImplementedError(
+        "real decoding of non-PNG formats requires Pillow, which is not "
+        "installed; PNG decodes via the stdlib codec, or pass fake=True "
+        "for the deterministic test decoder"
+    )
 
 
 def extract_image_features(df_media: DataFrame, *, fake: bool = True) -> DataFrame:

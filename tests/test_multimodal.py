@@ -28,23 +28,22 @@ def test_media_contract_schema(spark):
 
 
 @pytest.mark.skipif(M._PILImage is not None, reason="Pillow installed: real decode available")
-def test_decode_stub_raises_without_fake():
+def test_decode_non_png_raises_without_pillow():
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x00\x01")
+        M.decode_image(b"\x00\x01")  # not a PNG; no Pillow -> explicit error
 
 
-@pytest.mark.skipif(M._PILImage is None, reason="Pillow not installed")
 def test_real_codec_decodes_actual_png(spark):
-    """With Pillow present, decode_image handles REAL encoded bytes and the
-    full mapInPandas feature stage runs on them (fake=False)."""
-    import io
-
+    """decode_image handles REAL encoded PNG bytes — via Pillow when present,
+    else the pure-stdlib codec — and the full mapInPandas feature stage runs
+    on them (fake=False).  Runs unconditionally: PNG decode has no optional
+    dependency."""
     import numpy as np
 
+    from fs2_kinesis_firehose_spark.operators.png import encode_png
+
     ref = np.arange(6 * 5 * 3, dtype=np.uint8).reshape(6, 5, 3)
-    buf = io.BytesIO()
-    M._PILImage.fromarray(ref).save(buf, format="PNG")
-    png = buf.getvalue()
+    png = encode_png(ref)
     assert (M.decode_image(png) == ref).all()  # PNG is lossless
 
     media = M.attach_media(
