@@ -48,13 +48,22 @@ def replay_parquet(
             dst = os.path.join(staging, f"{name}-{i}-{j}.parquet")
             if not os.path.exists(dst):
                 shutil.copy(part, dst)
-    schema = spark.read.parquet(src).schema  # raw footer schema (nanosAsLong)
+    schema = spark.read.parquet(src).schema  # raw footer schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(staging)
     if name == "events":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # Same normalization as tables.load_table: parquet TIMESTAMP(NANOS)
+        # surfaces as long (≤4.0 nanosAsLong) or TIMESTAMP_NTZ (4.1+); either
+        # way downstream watermarks/windows get microsecond TimestampType.
+        from pyspark.sql.types import LongType, TimestampNTZType
+
+        ts_type = schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

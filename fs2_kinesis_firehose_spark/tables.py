@@ -48,13 +48,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): read as long (see session.py
-        # nanosAsLong) and truncate to Spark's microsecond TimestampType.
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark versions surface
+        # differently: ≤4.0 honours nanosAsLong (long epoch-nanos); 4.1 reads
+        # TIMESTAMP_NTZ directly.  Normalize both to microsecond TimestampType
+        # so downstream code (unix_micros, windows, watermarks) sees ONE type.
         # Integer DIV, not `/` — epoch-nanos (~1.7e18) overflow double mantissa.
-        from pyspark.sql.types import LongType
+        # NTZ→LTZ cast is instant-preserving under the pinned UTC session tz,
+        # matching how the DuckDB oracle reads the same naive timestamps.
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
