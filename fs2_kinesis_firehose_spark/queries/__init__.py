@@ -97,6 +97,7 @@ _WINDOW_PRIORITY: list[str] = [
     "lm_perplexity_scores",
     "span_dedup_stats",
     "ann_recall_at_k",
+    "doc_chunk_stats",
     # displaced relational tail (green in r01 only; verdict done-list)
     "customer_order_left_join",
     "salted_join_priority_revenue",

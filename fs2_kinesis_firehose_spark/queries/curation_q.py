@@ -177,3 +177,37 @@ def packed_sequence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill_ratio"
         ),
     )
+
+
+@query(
+    "doc_chunk_stats",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(s.start AS INT) // 48 AS chunk_idx,
+               CAST(s.start AS INT) AS chunk_start,
+               t[CAST(s.start AS INT) + 1 : CAST(s.start AS INT) + 64] AS ctoks
+        FROM toks,
+             UNNEST(range(0, greatest(len(t) - 17, 0) + 1, 48)) AS s(start)
+    )
+    SELECT doc_id, chunk_idx, chunk_start,
+           len(ctoks) AS chunk_tokens,
+           md5(array_to_string(ctoks, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (chunk_size=64, overlap=16): every document
+    exploded into BERT-style overlapping token chunks with an md5 chunk
+    identity.  Narrow maps only (split -> sequence -> transform -> explode) —
+    zero shuffles, runs at scan speed; the oracle replays the identical start
+    grid with range() and 1-based inclusive list slicing."""
+    from fs2_kinesis_firehose_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, text_col="text", chunk_size=64, overlap=16)
