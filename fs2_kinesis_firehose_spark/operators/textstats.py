@@ -161,3 +161,99 @@ def gopher_quality(df: DataFrame, text_col: str = "text", key_col: str = "doc_id
         & (F.col("n_tokens") >= 50)
     )
     return out.withColumn("keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# Full Gopher repetition signals (Rae et al. 2021, Table A1 — public)
+# ---------------------------------------------------------------------------
+TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """The 9 published Gopher repetition signals per document:
+
+    - ``top_{2,3,4}gram_char_frac`` — largest character share claimed by any
+      single word n-gram (count × non-space chars of the gram / non-space
+      chars of the doc); thresholds 0.20 / 0.18 / 0.16.
+    - ``dup_{5..10}gram_char_frac`` — character share of all n-grams that
+      occur ≥2 times (overlapping occurrences counted multiply, the
+      RedPajama/Dolma convention); thresholds 0.15 … 0.10.
+    - ``keep_repetition`` — conjunction of all nine bounds.
+
+    Denominator is the doc's non-whitespace character count (= Σ word
+    lengths), so the fraction is whitespace-normalization-invariant.
+
+    Scale shape: ONE pass builds (key, n, gram) for all nine n via a single
+    tokenize + 9 in-row shingle transforms + one explode (tokens projected
+    once — the inline-N-times codegen trap in functions/text.py:56 doesn't
+    apply at N=9 over a shared array column), then the same two-level
+    aggregate as gopher_quality: count per (key, n, gram), max/sum per
+    (key, n), conditional-agg pivot per key.  Two shuffles total on the doc
+    key, zero Python — the statistic over a 100 TB corpus is one wide
+    explode away from scan speed, and the explode factor is a fixed ×9.
+    """
+    ns = sorted(TOP_NGRAM_THRESHOLDS) + sorted(DUP_NGRAM_THRESHOLDS)
+    toks = T.tokens(text_col)
+    total_chars = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
+
+    wdf = df.select(F.col(key_col), toks.alias("_w"), total_chars.alias("total_chars"))
+
+    def shingles(n: int) -> Column:
+        win = F.transform(
+            F.sequence(F.lit(0), F.size("_w") - n),
+            lambda i: F.array_join(F.slice("_w", i + 1, n), " "),
+        )
+        return F.when(F.size("_w") >= n, win).otherwise(F.array().cast("array<string>"))
+
+    grams = wdf.select(
+        F.col(key_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(n).alias("n"), shingles(n).alias("grams")) for n in ns])
+        ).alias("s"),
+    ).select(key_col, F.col("s.n").alias("n"), F.explode("s.grams").alias("g"))
+
+    counts = grams.groupBy(key_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.groupBy(key_col, "n").agg(
+        F.max(F.col("c") * (F.length("g") - (F.col("n") - 1))).alias("topc"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * (F.length("g") - (F.col("n") - 1))).otherwise(
+                F.lit(0)
+            )
+        ).alias("dupc"),
+    )
+    wide = stats.groupBy(key_col).agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("topc"))).alias(f"_t{n}")
+            for n in TOP_NGRAM_THRESHOLDS
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dupc"))).alias(f"_d{n}")
+            for n in DUP_NGRAM_THRESHOLDS
+        ],
+    )
+
+    out = wdf.select(key_col, "total_chars").join(wide, key_col, "left")
+
+    def frac(raw: Column) -> Column:
+        return F.when(
+            F.col("total_chars") > 0,
+            F.coalesce(raw, F.lit(0)).cast("double") / F.col("total_chars").cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    for n in TOP_NGRAM_THRESHOLDS:
+        out = out.withColumn(f"top_{n}gram_char_frac", frac(F.col(f"_t{n}")))
+    for n in DUP_NGRAM_THRESHOLDS:
+        out = out.withColumn(f"dup_{n}gram_char_frac", frac(F.col(f"_d{n}")))
+    keep = F.lit(True)
+    for n, thr in TOP_NGRAM_THRESHOLDS.items():
+        keep = keep & (F.col(f"top_{n}gram_char_frac") <= thr)
+    for n, thr in DUP_NGRAM_THRESHOLDS.items():
+        keep = keep & (F.col(f"dup_{n}gram_char_frac") <= thr)
+    return out.select(
+        key_col,
+        "total_chars",
+        *[f"top_{n}gram_char_frac" for n in TOP_NGRAM_THRESHOLDS],
+        *[f"dup_{n}gram_char_frac" for n in DUP_NGRAM_THRESHOLDS],
+        keep.alias("keep_repetition"),
+    )

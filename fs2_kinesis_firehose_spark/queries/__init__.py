@@ -98,6 +98,7 @@ _WINDOW_PRIORITY: list[str] = [
     "span_dedup_stats",
     "ann_recall_at_k",
     "doc_chunk_stats",
+    "gopher_repetition_flags",
     # displaced relational tail (green in r01 only; verdict done-list)
     "customer_order_left_join",
     "salted_join_priority_revenue",

@@ -989,3 +989,75 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     bucketed = S.random_hyperplane_lsh(emb, dim=64, n_planes=6)
     return S.ann_recall_eval(bucketed, dim=64, n_queries=8, k=10, multiprobe_hamming=2)
+
+
+@query(
+    "gopher_repetition_flags",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS w,
+               length(regexp_replace(trim(text), '\s+', '', 'g')) AS total_chars
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, n.n AS n,
+               array_to_string(w[CAST(t.i AS INT) : CAST(t.i + n.n - 1 AS INT)], ' ') AS g
+        FROM words,
+             (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) AS n(n),
+             UNNEST(range(1, len(w) - n.n + 2)) AS t(i)
+        WHERE len(w) >= n.n
+    ),
+    counts AS (
+        SELECT doc_id, n, g, COUNT(*) AS c, length(g) - (n - 1) AS chars
+        FROM grams GROUP BY doc_id, n, g
+    ),
+    stats AS (
+        SELECT doc_id, n,
+               MAX(c * chars) AS topc,
+               SUM(CASE WHEN c >= 2 THEN c * chars ELSE 0 END) AS dupc
+        FROM counts GROUP BY doc_id, n
+    ),
+    wide AS (
+        SELECT doc_id,
+               MAX(CASE WHEN n = 2 THEN topc END) AS t2,
+               MAX(CASE WHEN n = 3 THEN topc END) AS t3,
+               MAX(CASE WHEN n = 4 THEN topc END) AS t4,
+               MAX(CASE WHEN n = 5 THEN dupc END) AS d5,
+               MAX(CASE WHEN n = 6 THEN dupc END) AS d6,
+               MAX(CASE WHEN n = 7 THEN dupc END) AS d7,
+               MAX(CASE WHEN n = 8 THEN dupc END) AS d8,
+               MAX(CASE WHEN n = 9 THEN dupc END) AS d9,
+               MAX(CASE WHEN n = 10 THEN dupc END) AS d10
+        FROM stats GROUP BY doc_id
+    ),
+    fr AS (
+        SELECT w.doc_id, w.total_chars,
+               CASE WHEN total_chars > 0 THEN COALESCE(t2, 0) / CAST(total_chars AS DOUBLE) ELSE 0.0 END AS top_2gram_char_frac,
+               CASE WHEN total_chars > 0 THEN COALESCE(t3, 0) / CAST(total_chars AS DOUBLE) ELSE 0.0 END AS top_3gram_char_frac,
+               CASE WHEN total_chars > 0 THEN COALESCE(t4, 0) / CAST(total_chars AS DOUBLE) ELSE 0.0 END AS top_4gram_char_frac,
+               CASE WHEN total_chars > 0 THEN COALESCE(d5, 0) / CAST(total_chars AS DOUBLE) ELSE 0.0 END AS dup_5gram_char_frac,
+               CASE WHEN total_chars > 0 THEN COALESCE(d6, 0) / CAST(total_chars AS DOUBLE) ELSE 0.0 END AS dup_6gram_char_frac,
+               CASE WHEN total_chars > 0 THEN COALESCE(d7, 0) / CAST(total_chars AS DOUBLE) ELSE 0.0 END AS dup_7gram_char_frac,
+               CASE WHEN total_chars > 0 THEN COALESCE(d8, 0) / CAST(total_chars AS DOUBLE) ELSE 0.0 END AS dup_8gram_char_frac,
+               CASE WHEN total_chars > 0 THEN COALESCE(d9, 0) / CAST(total_chars AS DOUBLE) ELSE 0.0 END AS dup_9gram_char_frac,
+               CASE WHEN total_chars > 0 THEN COALESCE(d10, 0) / CAST(total_chars AS DOUBLE) ELSE 0.0 END AS dup_10gram_char_frac
+        FROM words w LEFT JOIN wide ON w.doc_id = wide.doc_id
+    )
+    SELECT *,
+           (top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+            AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+            AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+            AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+            AND dup_10gram_char_frac <= 0.10) AS keep_repetition
+    FROM fr
+    """,
+)
+def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All nine published Gopher repetition bounds (Rae et al. 2021 Table A1):
+    top-{2,3,4}-gram char fraction and duplicated-{5..10}-gram char fraction,
+    one explode pass + two doc-key shuffles (operators/textstats.py:
+    gopher_repetition).  Fractions are single divisions of exact integer
+    tallies, so no rounding is needed for cross-engine equality."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.gopher_repetition(docs, "text", "doc_id")
