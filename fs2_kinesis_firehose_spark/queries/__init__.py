@@ -99,6 +99,7 @@ _WINDOW_PRIORITY: list[str] = [
     "ann_recall_at_k",
     "doc_chunk_stats",
     "gopher_repetition_flags",
+    "semantic_dedup_survivors",
     # displaced relational tail (green in r01 only; verdict done-list)
     "customer_order_left_join",
     "salted_join_priority_revenue",

@@ -1061,3 +1061,56 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     tallies, so no rounding is needed for cross-engine equality."""
     docs = load_table(spark, sf_dir, "documents")
     return TS.gopher_repetition(docs, "text", "doc_id")
+
+
+def _semdedup_oracle() -> str:
+    """SemDeDup restated: same seeded centroids as the IVF queries (literal
+    arrays), same argmin cell rule, same ROUND(cos,6) edge predicate, then the
+    recursive-CTE reachability closure used by near_dedup_survivors."""
+    cents = S.seeded_centroids(64, 16, seed=7, scale=0.125)
+    cent_sql = ["[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents]
+    c2 = [repr(S._seq_sq_norm(c)) for c in cents]
+    dist_list = (
+        "["
+        + ", ".join(
+            f"{c2[i]} - 2.0 * list_inner_product(vv, {cent_sql[i]})" for i in range(len(cents))
+        )
+        + "]"
+    )
+    return f"""
+    WITH RECURSIVE
+    b AS (
+        SELECT vec_id, vv, list_position({dist_list}, list_min({dist_list})) AS cell
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings)
+    ),
+    edges AS (
+        SELECT a.vec_id AS k1, c.vec_id AS k2
+        FROM b a JOIN b c ON a.cell = c.cell AND a.vec_id < c.vec_id
+        WHERE ROUND(list_inner_product(a.vv, c.vv)
+                    / (SQRT(list_inner_product(a.vv, a.vv))
+                       * SQRT(list_inner_product(c.vv, c.vv))), 6) >= 0.4
+    ),
+    sym AS (SELECT k1 AS a, k2 AS bb FROM edges UNION SELECT k2, k1 FROM edges),
+    reach AS (
+        SELECT a AS node, bb AS reach FROM sym
+        UNION
+        SELECT r.node, e.bb FROM reach r JOIN sym e ON r.reach = e.a
+    ),
+    comp AS (SELECT node, LEAST(node, MIN(reach)) AS component FROM reach GROUP BY node)
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT node FROM comp WHERE component < node)
+    """
+
+
+@query("semantic_dedup_survivors", oracle=_semdedup_oracle())
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cell-blocked cosine dedup over
+    the embeddings table, one min-key survivor per semantic cluster
+    (operators/semdedup.py).  Seeded centroids keep the cells — and therefore
+    the whole pipeline — engine-portable for the oracle."""
+    from fs2_kinesis_firehose_spark.operators import semdedup as SD
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.seeded_centroids(64, 16, seed=7, scale=0.125)
+    return SD.semantic_dedup(emb, cents, threshold=0.4, dim=64).select("vec_id", "label")
