@@ -294,3 +294,43 @@ def ann_recall_eval(
             F.round(F.coalesce("n_common", F.lit(0)) / F.lit(float(k)), 2).alias("recall_at_k"),
         )
     )
+
+
+def ivf_assign_blas(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """``ivf_assign`` evaluated as one numpy GEMM per Arrow batch
+    (``mapInPandas``) instead of per-row interpreted HOF folds — measured
+    ~100× on assignment-dominated pipelines (the HOF argmin costs ~2 ms/row;
+    see _centroid_dist_exprs for why IT can't be codegen'd).
+
+    Same argmin-of(|c|² − 2·v·c) rule, same first-min tie-break
+    (np.argmin); the only delta is float summation order (BLAS pairwise vs
+    sequential fold), which can flip a cell only when two centroid distances
+    agree to ~1 ulp — measure-zero for real embeddings, and
+    tests/test_semdedup.py asserts exact agreement with ``ivf_assign`` on the
+    fixtures.  Use THIS in bulk pipelines (SemDeDup); the HOF form remains
+    the oracle-exact reference.
+    """
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = np.einsum("ij,ij->i", C, C)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    fields = df.schema.fieldNames()
+    # fresh StructType — StructType.add MUTATES the receiver, and df.schema
+    # is the DataFrame's cached schema object
+    out_schema = StructType(list(df.schema.fields) + [StructField("ivf_cell", IntegerType())])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d = c2[None, :] - 2.0 * (X @ C.T)
+                pdf = pdf.assign(ivf_cell=d.argmin(axis=1).astype("int32"))
+            else:
+                pdf = pdf.assign(ivf_cell=pd.Series([], dtype="int32"))
+            yield pdf[fields + ["ivf_cell"]]
+
+    return df.mapInPandas(assign, out_schema)

@@ -1113,4 +1113,4 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = S.seeded_centroids(64, 16, seed=7, scale=0.125)
-    return SD.semantic_dedup(emb, cents, threshold=0.4, dim=64).select("vec_id", "label")
+    return SD.semantic_dedup(emb, cents, threshold=0.4).select("vec_id", "label")
