@@ -837,16 +837,28 @@ def span_dedup(
     frequency distribution itself (a pathological corpus-wide boilerplate
     span lands on one reducer as one group — row_number over it is linear).
     """
+    from pyspark.sql.window import Window
+
     words = T.tokens(text_col)
     n_spans = F.ceil(F.size(words) / F.lit(span_tokens)).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), n_spans - 1),
-        lambda i: F.array_join(F.slice(words, i * span_tokens + 1, span_tokens), " "),
+    # spans built from token rows + lead window (codegen; cf.
+    # functions/text.py:word_ngram_rows).  concat_ws SKIPS null leads, which
+    # reproduces the clamped short tail span exactly; span starts are the
+    # positions divisible by span_tokens.
+    tok = df.select(F.col(key_col), F.posexplode(words).alias("_pos", "_tok"))
+    w = Window.partitionBy(key_col).orderBy("_pos")
+    span_text = F.concat_ws(
+        " ", F.col("_tok"), *[F.lead("_tok", j).over(w) for j in range(1, span_tokens)]
     )
-    exploded = df.select(
-        F.col(key_col),
-        n_spans.alias("n_spans"),
-        F.posexplode(spans).alias("span_idx", "span_text"),
+    exploded = (
+        tok.select(
+            F.col(key_col),
+            (F.col("_pos") / span_tokens).cast("int").alias("span_idx"),
+            F.col("_pos").alias("_start"),
+            span_text.alias("span_text"),
+        )
+        .filter(F.col("_start") % span_tokens == 0)
+        .drop("_start")
     )
     first = W.partitionBy("span_text").orderBy(key_col, "span_idx")
     kept = (

@@ -73,23 +73,21 @@ def _map_unk(pairs: DataFrame, vocab: DataFrame) -> DataFrame:
 
 
 def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Explode each document into (id, w1, w2) bigram rows (codegen only).
+    """Explode each document into (id, w1, w2) bigram rows.
 
+    ``posexplode`` + one ``lead`` window pass — fully codegen'd, no
+    per-bigram struct/array allocation (the HOF ``transform`` build this
+    replaces is interpreted; see functions/text.py:word_ngram_rows).
     Documents with fewer than 2 tokens produce no rows — callers re-join the
     source table to surface them with ``n_bigrams = 0``.
     """
-    words = T.tokens(text_col)
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 1),
-        lambda i: F.struct(
-            F.element_at(words, i).alias("w1"),
-            F.element_at(words, i + 1).alias("w2"),
-        ),
-    )
+    from pyspark.sql.window import Window
+
+    tok = df.select(F.col(id_col), F.posexplode(T.tokens(text_col)).alias("_pos", "_tok"))
+    nxt = F.lead("_tok", 1).over(Window.partitionBy(id_col).orderBy("_pos"))
     return (
-        df.filter(F.size(T.tokens(text_col)) >= 2)
-        .select(F.col(id_col), F.explode(pairs).alias("p"))
-        .select(id_col, "p.w1", "p.w2")
+        tok.select(F.col(id_col), F.col("_tok").alias("w1"), nxt.alias("w2"))
+        .filter(F.col("w2").isNotNull())
     )
 
 
