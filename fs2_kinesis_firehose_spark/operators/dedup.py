@@ -544,7 +544,10 @@ def simhash_neardup_pairs(
             f"longer guarantees recall 1.0 — raise bands or lower max_hamming"
         )
     width = bits // bands
-    fps = simhash_portable(df, text_col, key_col, bits=bits)
+    # the fingerprint pipeline (md5 + 60 vote aggregates) feeds BOTH sides of
+    # the band self-join; without materialization the self-join plan
+    # evaluates it twice
+    fps = simhash_portable(df, text_col, key_col, bits=bits).localCheckpoint(eager=False)
     banded = fps.select(
         key_col,
         "simhash",

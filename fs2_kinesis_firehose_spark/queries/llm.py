@@ -219,7 +219,9 @@ def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Same-vocabulary fixture docs make loose thresholds noisy — simhash is a
     topic-level fingerprint; ≤3 keeps candidates near-duplicate-grade.)"""
     docs = load_table(spark, sf_dir, "documents")
-    with_sh = D.simhash(docs, "text")
+    # fingerprints feed the banding AND both join sides below — materialize
+    # once instead of three plan copies of the 64-vote aggregate
+    with_sh = D.simhash(docs, "text").localCheckpoint(eager=False)
     cands = D.simhash_candidates(with_sh, "doc_id", bands=4)
     sh1 = with_sh.select(F.col("doc_id").alias("key1"), F.col("simhash").alias("sh1"))
     sh2 = with_sh.select(F.col("doc_id").alias("key2"), F.col("simhash").alias("sh2"))
