@@ -137,3 +137,43 @@ def test_ann_recall_broadcasts_query_set(spark, sf_smoke):
     plan = explain_str(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert_plan_lacks(df, "CartesianProduct")
+
+
+def test_chunking_is_pure_narrow_maps(spark, sf_smoke):
+    """doc_chunk_stats must have ZERO shuffles — split/sequence/transform/
+    posexplode are all narrow; parallelism comes from file splits."""
+    df = q.QUERIES["doc_chunk_stats"](spark, sf_smoke)
+    plan = explain_str(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_semdedup_single_shuffle_gemm_stage(spark, sf_smoke):
+    """semantic_pairs: one Exchange (groupBy cell) feeding the Arrow GEMM
+    stage; never a join (no pair-wise expression eval), never a cartesian."""
+    import numpy as np
+
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+    from fs2_kinesis_firehose_spark.operators.semdedup import semantic_pairs
+    from fs2_kinesis_firehose_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    cents = S.seeded_centroids(64, 16, seed=7, scale=0.125)
+    import re
+
+    plan = explain_str(semantic_pairs(emb, cents, threshold=0.4))
+    # formatted mode lists each operator twice (tree + detail) — count the
+    # numbered detail entries
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_gopher_repetition_grams_stay_codegen(spark, sf_smoke):
+    """The 9-n gram build must be window lead + concat_ws — no higher-order
+    transform/slice (interpreted, allocation-per-gram) in the plan."""
+    df = q.QUERIES["gopher_repetition_flags"](spark, sf_smoke)
+    plan = explain_str(df)
+    assert "concat_ws" in plan, plan
+    assert "transform(" not in plan, plan
+    # gram construction shuffles key on the doc id only
+    assert "CartesianProduct" not in plan, plan
