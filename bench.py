@@ -53,6 +53,12 @@ HEADLINE = [
     "streaming_stateful_user_stats",
     "kinesis_roundtrip_counts",
     "simhash_neardup_pairs",
+    # round-3 additions: full Gopher repetition (widest explode in the repo),
+    # SemDeDup (cell-blocked pair join + CC), sliding-window chunking (pure
+    # narrow-map explode — the scan-speed baseline)
+    "gopher_repetition_flags",
+    "semantic_dedup_survivors",
+    "doc_chunk_stats",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)
@@ -84,15 +90,17 @@ def main() -> None:
         except Exception as exc:  # never let warmup sink the bench
             print(f"  warmup {name} failed: {exc}", file=sys.stderr)
 
-    # two timed passes per query, keep the min: one-off JIT/GC/page-cache
-    # stalls otherwise add multi-second noise to a single-shot measurement.
-    # The DataFrame cache is cleared before every pass so the min reflects
-    # cold-cache execution, not a second pass reading a populated persist.
+    # three timed passes per query, keep the min: one-off JIT/GC/page-cache
+    # stalls and noisy-neighbor windows otherwise add multi-second noise to a
+    # single-shot measurement (observed: the SAME query measuring 0.6s and
+    # 7.4s across runs on a shared box — min-of-2 loses when a noise window
+    # covers both passes).  The DataFrame cache is cleared before every pass
+    # so the min reflects cold-cache execution, not a populated persist.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = q.QUERIES[name]
         best = None
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
