@@ -211,3 +211,60 @@ def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_documents(docs, text_col="text", chunk_size=64, overlap=16)
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTRING(md5(g), 1, 8)) AS BIGINT) % 10000 AS bucket
+        FROM (
+            SELECT doc_id, unnest(w) AS g FROM words
+            UNION ALL
+            SELECT doc_id, w[CAST(t.i AS INT)] || ' ' || w[CAST(t.i AS INT) + 1] AS g
+            FROM words, UNNEST(range(1, len(w))) AS t(i)
+        )
+    ),
+    tfeats AS (
+        SELECT f.doc_id, f.bucket
+        FROM feats f JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en'
+    ),
+    rawc AS (SELECT bucket, COUNT(*) AS rc FROM feats GROUP BY 1),
+    tgtc AS (SELECT bucket, COUNT(*) AS tc FROM tfeats GROUP BY 1),
+    rt AS (SELECT SUM(rc) AS rtot FROM rawc),
+    tt AS (SELECT SUM(tc) AS ttot FROM tgtc),
+    ratio AS (
+        SELECT COALESCE(rawc.bucket, tgtc.bucket) AS bucket,
+               ln(COALESCE(tc, 0) + 1) - ln(ttot + 10000)
+               - ln(COALESCE(rc, 0) + 1) + ln(rtot + 10000) AS log_ratio
+        FROM rawc FULL JOIN tgtc ON rawc.bucket = tgtc.bucket, rt, tt
+    ),
+    scored AS (
+        SELECT f.doc_id, COUNT(*) AS n_features, ROUND(SUM(log_ratio), 4) AS log_weight
+        FROM feats f JOIN ratio USING (bucket)
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(n_features, 0) AS n_features,
+           COALESCE(log_weight, 0.0) AS log_weight,
+           COALESCE(log_weight, 0.0) > 0 AS keep
+    FROM documents d LEFT JOIN scored USING (doc_id)
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023): per-document log importance weight of a
+    hashed-unigram+bigram model of the 'en' slice (target) against the full
+    corpus (raw); keep = looks more like the target than like the corpus
+    (operators/dsir.py).  Feature hashing uses the engine-portable md5
+    bucket; the 4-decimal round absorbs float-fold reassociation exactly
+    like the LM cross-entropy oracle."""
+    from fs2_kinesis_firehose_spark.operators import dsir as DS
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return DS.importance_weights(docs, target, "text", "doc_id", n_buckets=10_000)
