@@ -224,3 +224,48 @@ def pack_sequences(
         F.pmod(F.xxhash64(F.col(key_col)), F.lit(max(shards, 1))).cast("int"),
     )
     return base.groupBy(group_col, "_shard").applyInPandas(pack, out_schema)
+
+
+def temperature_mixing(
+    df: DataFrame,
+    *,
+    alpha: float = 0.7,
+    total_fraction: float = 0.5,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based corpus mixing (the multinomial ``p_s ∝ c_s^α``
+    reweighting used by multilingual/multi-source pretraining recipes —
+    published in mBERT/XLM-R and the LLaMA data notes; α < 1 upweights rare
+    sources, α = 1 is proportional sampling).
+
+    Per-source keep fraction, single pass (no waterfilling redistribution —
+    a source whose target exceeds its size is clipped to keep-all and the
+    total lands ≤ budget; documented trade-off that keeps the rule a pure
+    per-source formula any engine can restate):
+
+        f_s = min(1, total_fraction · N · c_s^α / (Σ_t c_t^α) / c_s)
+
+    The keep decision is the deterministic md5 ``hash_fraction`` — stable
+    under repartition/retry, reproducible in the oracle.  Plan: one
+    source-count aggregate (S rows, broadcast back), then a pure filter —
+    the corpus itself is scanned once and never shuffled.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_c"))
+    tot = counts.agg(
+        F.sum("_c").alias("_n"), F.sum(F.pow("_c", F.lit(alpha))).alias("_z")
+    )
+    fracs = counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(total_fraction) * F.col("_n") * F.pow("_c", F.lit(alpha))
+            / F.col("_z") / F.col("_c"),
+        ).alias("_keep_frac"),
+    )
+    return (
+        df.join(F.broadcast(fracs), source_col)
+        .filter(hash_fraction(key_col, salt) < F.col("_keep_frac"))
+        .drop("_keep_frac")
+    )

@@ -101,6 +101,7 @@ _WINDOW_PRIORITY: list[str] = [
     "gopher_repetition_flags",
     "semantic_dedup_survivors",
     "dsir_importance_weights",
+    "temperature_mixing_counts",
     # displaced relational tail (green in r01 only; verdict done-list)
     "customer_order_left_join",
     "salted_join_priority_revenue",

@@ -268,3 +268,29 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     target = docs.filter(F.col("lang") == "en")
     return DS.importance_weights(docs, target, "text", "doc_id", n_buckets=10_000)
+
+
+@query(
+    "temperature_mixing_counts",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+    t AS (SELECT SUM(c) AS n, SUM(pow(c, 0.5)) AS z FROM c),
+    f AS (SELECT lang, LEAST(1.0, 0.5 * n * pow(c, 0.5) / z / c) AS kf FROM c, t),
+    kept AS (
+        SELECT d.lang
+        FROM documents d JOIN f USING (lang)
+        WHERE {_DUCK_FRAC.format(salt="temp")} < kf
+    )
+    SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY lang
+    """,
+)
+def temperature_mixing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing at α=0.5 over the lang distribution: rare languages
+    upweighted, common downsampled, deterministic md5 keep rule
+    (operators/curation.py:temperature_mixing).  Output = kept docs per
+    lang; the oracle replays the per-source formula and the hash filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = C.temperature_mixing(
+        docs, alpha=0.5, total_fraction=0.5, source_col="lang", key_col="doc_id"
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))

@@ -142,3 +142,42 @@ def test_pack_sequences_oversized_doc_gets_own_sequence(spark):
         for r in C.pack_sequences(df, budget=10, group_col="lang").collect()
     }
     assert out == {1: 1, 2: 2, 3: 3}  # lossless: oversize isolated, not dropped
+
+
+def test_temperature_mixing_upweights_rare_sources(spark):
+    from fs2_kinesis_firehose_spark.operators.curation import temperature_mixing
+
+    rows = [(i, "rare") for i in range(20)] + [(i, "common") for i in range(20, 420)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    kept = temperature_mixing(df, alpha=0.5, total_fraction=0.5)
+    frac = {
+        r["source"]: r["n"] / {"rare": 20, "common": 400}[r["source"]]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # alpha=0.5: f_rare/f_common = sqrt(400/20) ~ 4.5x; md5 keep rule is
+    # uniform so realized fractions track the targets loosely
+    assert frac["rare"] > frac["common"]
+    # single-pass formula never exceeds the per-source population
+    assert frac["rare"] <= 1.0
+
+
+def test_temperature_mixing_alpha_one_is_proportional(spark):
+    from fs2_kinesis_firehose_spark.operators.curation import temperature_mixing
+
+    rows = [(i, "a") for i in range(100)] + [(i, "b") for i in range(100, 400)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    kept = temperature_mixing(df, alpha=1.0, total_fraction=0.4)
+    got = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # alpha=1 -> every source keeps the same fraction (0.4); binomial noise
+    assert abs(got["a"] / 100 - 0.4) < 0.15
+    assert abs(got["b"] / 300 - 0.4) < 0.15
+
+
+def test_temperature_mixing_deterministic(spark):
+    from fs2_kinesis_firehose_spark.operators.curation import temperature_mixing
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    a = sorted(r["doc_id"] for r in temperature_mixing(df, alpha=0.7, total_fraction=0.3).collect())
+    b = sorted(r["doc_id"] for r in temperature_mixing(df.repartition(7), alpha=0.7, total_fraction=0.3).collect())
+    assert a == b
