@@ -102,6 +102,7 @@ _WINDOW_PRIORITY: list[str] = [
     "semantic_dedup_survivors",
     "dsir_importance_weights",
     "temperature_mixing_counts",
+    "near_dedup_cluster_sizes",
     # displaced relational tail (green in r01 only; verdict done-list)
     "customer_order_left_join",
     "salted_join_priority_revenue",

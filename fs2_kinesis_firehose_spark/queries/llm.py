@@ -1116,3 +1116,66 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = S.seeded_centroids(64, 16, seed=7, scale=0.125)
     return SD.semantic_dedup(emb, cents, threshold=0.4).select("vec_id", "label")
+
+
+_CLUSTER_SIZES_ORACLE = f"""
+    WITH RECURSIVE
+    sh AS ({_DUCK_SHINGLES}),
+    toks AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    common AS (
+        SELECT a.doc_id AS key1, b.doc_id AS key2, COUNT(*) AS common
+        FROM toks a JOIN toks b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT key1, key2
+        FROM common c
+        JOIN sizes s1 ON c.key1 = s1.doc_id
+        JOIN sizes s2 ON c.key2 = s2.doc_id
+        WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.7
+    ),
+    sym AS (
+        SELECT key1 AS a, key2 AS b FROM edges
+        UNION
+        SELECT key2, key1 FROM edges
+    ),
+    reach AS (
+        SELECT a AS node, b AS reach FROM sym
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN sym e ON r.reach = e.a
+    ),
+    comp AS (
+        SELECT node, LEAST(node, MIN(reach)) AS component
+        FROM reach GROUP BY node
+    )
+    SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+    FROM (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+    GROUP BY sz
+"""
+
+
+@query("near_dedup_cluster_sizes", oracle=_CLUSTER_SIZES_ORACLE)
+def near_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the MinHash near-dup components (clusters
+    with ≥2 members — the dedup blast-radius profile a curation run reports).
+    Directly exercises connected_components' (node, component) output; the
+    oracle closes the exact-Jaccard graph with the same recursive CTE as
+    near_dedup_survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = D.shingle_projection(docs, "text", "doc_id", shingle_n=3).localCheckpoint(
+        eager=False
+    )
+    cands = D.minhash_lsh_candidates(
+        docs, "text", "doc_id", shingle_n=3, num_hashes=32, bands=8, shingled=shingled
+    )
+    verified = D.verify_jaccard(
+        cands, docs, "text", "doc_id", shingle_n=3, threshold=0.7, shingled=shingled
+    )
+    comp = D.connected_components(verified)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
