@@ -12,6 +12,7 @@ column-prune away the measured work.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -102,6 +103,11 @@ def main() -> None:
         best = None
         for _ in range(3):
             spark.catalog.clearCache()
+            # localCheckpoint blocks (simhash fingerprints, shingle/SemDeDup
+            # edge materializations) are NOT covered by clearCache — they are
+            # unpersisted by the ContextCleaner when the py4j refs die, which
+            # needs a Python GC nudge or they accumulate across passes
+            gc.collect()
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             dt = time.perf_counter() - t0

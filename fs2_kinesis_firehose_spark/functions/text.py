@@ -114,7 +114,9 @@ def word_ngram_rows(
     tok = df.select(F.col(key_col), F.posexplode(tokens(text_col)).alias("_pos", "_tok"))
     w = Window.partitionBy(key_col).orderBy("_pos")
     if n == 1:
-        g = F.col("_tok")
+        # split('') yields [''] — mask the phantom empty token so 0-token
+        # docs really do produce no grams (the documented contract)
+        g = F.when(F.col("_tok") != "", F.col("_tok"))
     else:
         parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, n)]
         g = F.when(F.lead("_tok", n - 1).over(w).isNotNull(), F.concat_ws(" ", *parts))

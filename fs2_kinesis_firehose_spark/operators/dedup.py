@@ -203,7 +203,13 @@ def verify_jaccard(
     documents that appear in a candidate pair (semi-join first): after LSH
     pruning candidates ≪ corpus, so the recomputed projection touches a tiny
     fraction of the data (no internal persist — caching is the caller's
-    lifecycle to manage)."""
+    lifecycle to manage).
+
+    Contract: a document with fewer than ``shingle_n`` tokens has an EMPTY
+    shingle set (see shingle_projection), so any candidate pair touching it
+    is dropped by the inner joins rather than scored — the standard
+    n-gram-dedup convention (sub-n docs can't J-match at any threshold > 0;
+    exact duplicates among them are exact_dedup's job)."""
     if shingled is None:
         keys = (
             candidates.select(F.col("key1").alias(key_col))
@@ -673,8 +679,14 @@ def contamination_overlap(
     joins map-side (no shuffle of the corpus), then one aggregate counts
     overlapping shingles per doc.  At 100 TB the cost is one corpus scan.
     Returns (key, n_overlap)."""
+    # the benchmark side needs NO key column of its own — only a window
+    # partition for the lead-based gram build; synthesize one so any
+    # (text-only) benchmark DataFrame works, as before the row-build rewrite
+    bench_keyed = benchmark.select(F.col(bench_text_col)).withColumn(
+        "_bk", F.monotonically_increasing_id()
+    )
     bench_shingles = (
-        T.word_ngram_rows(benchmark, bench_text_col, key_col, shingle_n, distinct=False)
+        T.word_ngram_rows(bench_keyed, bench_text_col, "_bk", shingle_n, distinct=False)
         .select("shingle")
         .distinct()
     )

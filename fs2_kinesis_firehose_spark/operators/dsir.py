@@ -47,11 +47,22 @@ def feature_rows(
     *,
     n_buckets: int = 10_000,
 ) -> DataFrame:
-    """(key, bucket) — one row per unigram AND bigram occurrence."""
-    uni = T.word_ngram_rows(df, text_col, key_col, 1, distinct=False)
-    bi = T.word_ngram_rows(df, text_col, key_col, 2, distinct=False)
-    rows = uni.unionByName(bi)
-    return rows.select(F.col(key_col), _bucket(F.col("shingle"), n_buckets).alias("bucket"))
+    """(key, bucket) — one row per unigram AND bigram occurrence, extracted
+    in a SINGLE token scan + one lead window (not two word_ngram_rows
+    subtrees, which would tokenize and window the corpus twice)."""
+    from pyspark.sql.window import Window
+
+    tok = df.select(F.col(key_col), F.posexplode(T.tokens(text_col)).alias("_pos", "_tok"))
+    nxt = F.lead("_tok", 1).over(Window.partitionBy(key_col).orderBy("_pos"))
+    # window exprs can't appear inside a generator — project the lead first
+    with_next = tok.select(F.col(key_col), "_tok", nxt.alias("_nxt"))
+    uni = F.when(F.col("_tok") != "", F.col("_tok"))  # split('') yields ['']
+    bi = F.when(F.col("_nxt").isNotNull(), F.concat_ws(" ", F.col("_tok"), F.col("_nxt")))
+    rows = (
+        with_next.select(F.col(key_col), F.explode(F.array(uni, bi)).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    return rows.select(F.col(key_col), _bucket(F.col("g"), n_buckets).alias("bucket"))
 
 
 def importance_weights(
@@ -71,7 +82,11 @@ def importance_weights(
     whose association differs between engines — same mitigation as the LM
     cross-entropy oracle).  ``keep`` = log_weight > 0 (closer to target than
     to raw)."""
-    feats = feature_rows(df, text_col, key_col, n_buckets=n_buckets)
+    # the corpus feature stream feeds BOTH the raw distribution and the
+    # scoring aggregate — materialize once instead of two full extractions
+    feats = feature_rows(df, text_col, key_col, n_buckets=n_buckets).localCheckpoint(
+        eager=False
+    )
     tfeats = feature_rows(target, text_col, key_col, n_buckets=n_buckets)
 
     raw_counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))

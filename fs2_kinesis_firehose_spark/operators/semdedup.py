@@ -69,7 +69,12 @@ def semantic_pairs(
         X = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
         k = pdf["_key"].to_numpy()
         n = np.sqrt(np.einsum("ij,ij->i", X, X))
-        cos = np.round((X @ X.T) / np.outer(n, n), 6)
+        # zero-norm vectors have no direction: their cosine is undefined, so
+        # they never pair (matches the oracle, where 0/0 is non-comparable) —
+        # map the NaN/inf lanes to -inf instead of spamming divide warnings
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.round((X @ X.T) / np.outer(n, n), 6)
+        cos = np.where(np.isfinite(cos), cos, -np.inf)
         mask = np.triu(cos >= threshold, k=1)
         ii, jj = np.nonzero(mask)
         k1, k2 = k[ii], k[jj]

@@ -131,14 +131,11 @@ def gopher_quality(df: DataFrame, text_col: str = "text", key_col: str = "doc_id
         n.alias("n_tokens"),
     )
 
-    # docs with <2 tokens have NO bigrams (word_shingles would emit the lone
-    # token as a degenerate 1-gram → fraction 1.0, diverging from the SQL
-    # oracle's empty comprehension → 0.0); filter first so both engines
-    # coalesce the fraction to 0
-    bigrams = df.filter(F.size(T.tokens(text_col)) >= 2).select(
-        F.col(key_col),
-        F.explode(T.word_shingles(text_col, 2, distinct=False)).alias("bg"),
-    )
+    # docs with <2 tokens have NO bigrams (the lead is NULL for the lone
+    # token — matching the SQL oracle's empty comprehension → fraction
+    # coalesced to 0).  Codegen lead-window build, not the interpreted HOF
+    # shingle transform — see functions/text.py:word_ngram_rows.
+    bigrams = T.word_ngram_rows(df, text_col, key_col, 2, distinct=False, out_col="bg")
     counts = bigrams.groupBy(key_col, "bg").agg(F.count(F.lit(1)).alias("c"))
     top = counts.groupBy(key_col).agg(
         F.max("c").alias("top_c"), F.sum("c").alias("total_bg")

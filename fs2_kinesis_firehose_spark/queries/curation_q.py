@@ -223,7 +223,8 @@ def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(CONCAT('0x', SUBSTRING(md5(g), 1, 8)) AS BIGINT) % 10000 AS bucket
         FROM (
-            SELECT doc_id, unnest(w) AS g FROM words
+            SELECT doc_id, g FROM (SELECT doc_id, unnest(w) AS g FROM words)
+            WHERE g <> ''
             UNION ALL
             SELECT doc_id, w[CAST(t.i AS INT)] || ' ' || w[CAST(t.i AS INT) + 1] AS g
             FROM words, UNNEST(range(1, len(w))) AS t(i)

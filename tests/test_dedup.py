@@ -239,3 +239,20 @@ def test_simhash_portable_banding_is_exact_vs_bruteforce(spark):
 
     with pytest.raises(ValueError, match="pigeonhole|recall"):
         D.simhash_neardup_pairs(df, max_hamming=4, bands=4)
+
+
+def test_contamination_benchmark_needs_no_key_column(spark):
+    """The benchmark side is text-only by contract — a DataFrame without the
+    corpus key column must work (regression: the lead-window gram rewrite
+    briefly required doc_id on both sides)."""
+    from fs2_kinesis_firehose_spark.operators.dedup import contamination_overlap
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zeta eta theta iota")],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame([("alpha beta gamma nope",)], "text string")
+    # shared 3-gram: "alpha beta gamma" (the bench's other shingle
+    # "beta gamma nope" matches nothing)
+    got = {r["doc_id"]: r["n_overlap"] for r in contamination_overlap(corpus, bench).collect()}
+    assert got == {1: 1}

@@ -43,3 +43,11 @@ def test_feature_rows_counts_occurrences(spark):
     rows = feature_rows(df, n_buckets=100).collect()
     # 3 unigrams ("a","b","a") + 2 bigrams ("a b","b a") = 5 occurrence rows
     assert len(rows) == 5
+
+
+def test_empty_doc_contributes_no_features(spark):
+    df = spark.createDataFrame([(0, ""), (1, "   "), (2, "a b")], "doc_id int, text string")
+    got = {r["doc_id"] for r in feature_rows(df, n_buckets=100).collect()}
+    assert got == {2}
+    out = {r["doc_id"]: r for r in importance_weights(df, df, n_buckets=100).collect()}
+    assert out[0]["n_features"] == 0 and out[0]["log_weight"] == 0.0

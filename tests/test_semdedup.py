@@ -59,7 +59,7 @@ def test_threshold_one_keeps_near_but_not_exact_dups(spark):
     assert sorted(r["vec_id"] for r in out.collect()) == [0, 2]
 
 
-def test_blas_assignment_matches_exact_hof_on_fixture(spark):
+def test_blas_assignment_matches_exact_hof_on_fixture(spark, sf_oracle):
     """ivf_assign_blas (GEMM argmin) must agree cell-for-cell with the
     oracle-exact HOF ivf_assign on the real embeddings fixture — the ulp
     caveat in its docstring must never bite on actual data."""
@@ -70,8 +70,16 @@ def test_blas_assignment_matches_exact_hof_on_fixture(spark):
     )
     from fs2_kinesis_firehose_spark.tables import load_table
 
-    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    emb = load_table(spark, sf_oracle, "embeddings")
     cents = seeded_centroids(64, 16, seed=7, scale=0.125)
     exact = {r["vec_id"]: r["ivf_cell"] for r in ivf_assign(emb, cents).collect()}
     blas = {r["vec_id"]: r["ivf_cell"] for r in ivf_assign_blas(emb, cents).collect()}
     assert exact == blas
+
+
+def test_zero_norm_vectors_never_pair(spark):
+    """Cosine is undefined for zero vectors: exact-duplicate zero embeddings
+    both survive (documented; no NaN warnings either)."""
+    rows = [(0, (0.0, 0.0)), (1, (0.0, 0.0)), (2, (9.0, 1.0))]
+    out = semantic_dedup(_df(spark, rows), CENTS, threshold=0.5)
+    assert sorted(r["vec_id"] for r in out.collect()) == [0, 1, 2]
