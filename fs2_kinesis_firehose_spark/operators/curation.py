@@ -269,3 +269,26 @@ def temperature_mixing(
         .filter(hash_fraction(key_col, salt) < F.col("_keep_frac"))
         .drop("_keep_frac")
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """CCNet-style normalization for dedup keys: lowercase, strip
+    non-alphanumerics, collapse whitespace, trim.  Exact dedup over the
+    normalized form catches near-identical docs that differ only in case,
+    punctuation, or spacing — the standard prep before hash-based dedup
+    (Wenzek et al. 2019 §4.1).
+
+    Pure Column expressions (codegen, zero shuffle); intentionally
+    ASCII-conservative so the transform is bit-identical in any engine with
+    POSIX regexes (unicode case folding differs between runtimes and would
+    poison cross-engine hash equality)."""
+    norm = F.lower(F.col(text_col))
+    norm = F.regexp_replace(norm, r"[^a-z0-9\s]", "")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return df.withColumn(out_col, norm)

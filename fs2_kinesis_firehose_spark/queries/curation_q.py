@@ -295,3 +295,33 @@ def temperature_mixing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, alpha=0.5, total_fraction=0.5, source_col="lang", key_col="doc_id"
     )
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
+    "normalized_dedup_stats",
+    oracle=r"""
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                   '\s+', ' ', 'g')) AS norm_text,
+               text
+        FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT sha256(text)) AS n_distinct_raw,
+           COUNT(DISTINCT sha256(norm_text)) AS n_distinct_norm
+    FROM n
+    """,
+)
+def normalized_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-document counts before/after CCNet-style normalization
+    (operators/curation.py:normalize_text) — the gap is the dup mass that
+    case/punctuation/whitespace variation hides from raw exact dedup.  One
+    scan, two sha256 distinct aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = C.normalize_text(docs, "text", "doc_id")
+    return n.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.sha2(F.col("text").cast("binary"), 256)).alias("n_distinct_raw"),
+        F.countDistinct(F.sha2(F.col("norm_text").cast("binary"), 256)).alias("n_distinct_norm"),
+    )

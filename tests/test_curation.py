@@ -181,3 +181,14 @@ def test_temperature_mixing_deterministic(spark):
     a = sorted(r["doc_id"] for r in temperature_mixing(df, alpha=0.7, total_fraction=0.3).collect())
     b = sorted(r["doc_id"] for r in temperature_mixing(df.repartition(7), alpha=0.7, total_fraction=0.3).collect())
     assert a == b
+
+
+def test_normalize_text_canonicalizes_case_punct_spacing(spark):
+    from fs2_kinesis_firehose_spark.operators.curation import normalize_text
+
+    df = spark.createDataFrame(
+        [(0, "Hello,  World!"), (1, "hello world"), (2, "HELLO---WORLD")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["norm_text"] for r in normalize_text(df).collect()}
+    assert got == {0: "hello world", 1: "hello world", 2: "helloworld"}
