@@ -77,3 +77,33 @@ def test_bpe_segmentation_is_lossless(word, merge_words):
             ranks.setdefault(pair, len(ranks))
     out = _segment_word(word, ranks)
     assert "".join(out) == word + END
+
+
+def test_word_ngram_rows_equals_hof_shingles(spark):
+    """The codegen lead-window gram build must produce exactly the
+    word_shingles set for every doc with >= n tokens (the rewrite's
+    equivalence contract; sub-n docs differ by design — no degenerate
+    shingle)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fs2_kinesis_firehose_spark.functions.text import word_ngram_rows, word_shingles
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    for n in (2, 3, 5):
+        hof = {
+            r["doc_id"]: set(r["sh"])
+            for r in df.select("doc_id", word_shingles("text", n).alias("sh")).collect()
+        }
+        rows = word_ngram_rows(df, "text", "doc_id", n, distinct=True).collect()
+        lead: dict[int, set] = {i: set() for i, _ in docs}
+        for r in rows:
+            lead[r["doc_id"]].add(r["shingle"])
+        assert lead == hof, f"n={n}"
