@@ -60,6 +60,10 @@ HEADLINE = [
     "gopher_repetition_flags",
     "semantic_dedup_survivors",
     "doc_chunk_stats",
+    # DSIR (two token scans + doc-key shuffle) and the normalization
+    # distinct-hash aggregate — the remaining new Tier-C surface
+    "dsir_importance_weights",
+    "normalized_dedup_stats",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)
