@@ -104,6 +104,7 @@ _WINDOW_PRIORITY: list[str] = [
     "temperature_mixing_counts",
     "near_dedup_cluster_sizes",
     "normalized_dedup_stats",
+    "curation_funnel_counts",
     # displaced relational tail (green in r01 only; verdict done-list)
     "customer_order_left_join",
     "salted_join_priority_revenue",

@@ -325,3 +325,128 @@ def normalized_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.sha2(F.col("text").cast("binary"), 256)).alias("n_distinct_raw"),
         F.countDistinct(F.sha2(F.col("norm_text").cast("binary"), 256)).alias("n_distinct_norm"),
     )
+
+
+# End-to-end curation funnel: every stage reuses an oracle fragment that is
+# independently hash-verified by its own registry entry (gopher_quality_flags,
+# dedup_exact, near_dedup_survivors, train_val_test_counts) — composed here
+# over successively filtered survivor sets.
+_FUNNEL_ORACLE = f"""
+    WITH RECURSIVE
+    w AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    base AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               ROUND(CASE WHEN len(toks) > 0
+                     THEN 1.0 - len(list_distinct(toks)) * 1.0 / len(toks)
+                     ELSE 0 END, 6) AS dup_word_fraction,
+               ROUND(CASE WHEN len(toks) > 0
+                     THEN len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) * 1.0 / len(toks)
+                     ELSE 0 END, 6) AS alpha_word_fraction,
+               ROUND(CASE WHEN len(toks) > 0
+                     THEN list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks)
+                     ELSE 0 END, 6) AS mean_word_len
+        FROM w
+    ),
+    quality AS (
+        SELECT base.doc_id
+        FROM base
+        WHERE dup_word_fraction <= 0.6
+          AND n_tokens >= 25
+    ),
+    exact AS (
+        SELECT MIN(d.doc_id) AS doc_id
+        FROM documents d JOIN quality USING (doc_id)
+        GROUP BY sha256(d.text)
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(words[i:i+2], ' ')
+                              FOR i IN range(1, len(words) - 1)]) AS shingles
+        FROM (SELECT d.doc_id, string_split(d.text, ' ') AS words
+              FROM documents d JOIN exact USING (doc_id))
+    ),
+    stoks AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    ssizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    scommon AS (
+        SELECT a.doc_id AS key1, b.doc_id AS key2, COUNT(*) AS common
+        FROM stoks a JOIN stoks b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sedges AS (
+        SELECT key1, key2
+        FROM scommon c
+        JOIN ssizes s1 ON c.key1 = s1.doc_id
+        JOIN ssizes s2 ON c.key2 = s2.doc_id
+        WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.7
+    ),
+    ssym AS (
+        SELECT key1 AS a, key2 AS b FROM sedges
+        UNION
+        SELECT key2, key1 FROM sedges
+    ),
+    sreach AS (
+        SELECT a AS node, b AS reach FROM ssym
+        UNION
+        SELECT r.node, e.b FROM sreach r JOIN ssym e ON r.reach = e.a
+    ),
+    scomp AS (
+        SELECT node, LEAST(node, MIN(reach)) AS component
+        FROM sreach GROUP BY node
+    ),
+    near AS (
+        SELECT doc_id FROM exact
+        WHERE doc_id NOT IN (SELECT node FROM scomp WHERE component < node)
+    ),
+    train AS (
+        SELECT doc_id FROM near
+        WHERE {_DUCK_FRAC.format(salt="split")} < 0.8
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS n_total,
+           (SELECT COUNT(*) FROM quality) AS n_quality,
+           (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM near) AS n_near,
+           (SELECT COUNT(*) FROM train) AS n_train
+"""
+
+
+@query("curation_funnel_counts", oracle=_FUNNEL_ORACLE)
+def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, end-to-end, as ONE query:
+    Gopher quality filter → exact dedup → MinHash near-dedup (connected
+    components, min-id survivor) → deterministic train split, reporting the
+    per-stage survivor funnel.  Every stage is the same operator its
+    standalone registry entry verifies; the composition is what a real
+    curation run executes."""
+    from fs2_kinesis_firehose_spark.operators import dedup as D
+    from fs2_kinesis_firehose_spark.operators import textstats as TS
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = TS.gopher_quality(docs, "text", "doc_id")
+    # fixture-calibrated bounds (the synthetic word-soup corpus fails the
+    # published keep-all rule wholesale; the STANDALONE gopher_quality_flags
+    # query keeps the published thresholds) -- dup <= 0.6, >= 25 tokens
+    # passes ~60%, so every later stage operates on a non-trivial set
+    quality = docs.join(
+        flags.filter(
+            (F.col("dup_word_fraction") <= 0.6) & (F.col("n_tokens") >= 25)
+        ).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).localCheckpoint(eager=False)
+    exact = D.exact_dedup(quality, "text", "doc_id").localCheckpoint(eager=False)
+    near = D.near_dedup_minhash(
+        exact, "text", "doc_id", shingle_n=3, num_hashes=32, bands=8, threshold=0.7
+    )
+    split = C.deterministic_split(
+        near, "doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
+    )
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(quality.agg(F.count(F.lit(1)).alias("n_quality")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        .crossJoin(near.agg(F.count(F.lit(1)).alias("n_near")))
+        .crossJoin(
+            split.filter(F.col("split") == "train").agg(F.count(F.lit(1)).alias("n_train"))
+        )
+    )
