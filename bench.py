@@ -64,6 +64,8 @@ HEADLINE = [
     # distinct-hash aggregate — the remaining new Tier-C surface
     "dsir_importance_weights",
     "normalized_dedup_stats",
+    # the composed quality->dedup->split pipeline (runs MinHash internally)
+    "curation_funnel_counts",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)
