@@ -479,6 +479,9 @@ def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+    # global (unpartitioned) window is INTENTIONAL and scale-safe: it runs on
+    # the already-aggregated per-month table, whose cardinality is the number
+    # of months in the data (~100 rows at ANY corpus size), not the fact table
     w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return monthly.select(
         "month", "revenue", "n_orders", F.round(F.sum("revenue").over(w), 2).alias("cum_revenue")
