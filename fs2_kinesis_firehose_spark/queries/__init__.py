@@ -84,6 +84,7 @@ _WINDOW_PRIORITY: list[str] = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_volume_customers",
     "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
     # never-driver-verified relational / llm
     "event_type_pivot",
     "nation_balance_unpivot",

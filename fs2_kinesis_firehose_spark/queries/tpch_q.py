@@ -556,3 +556,45 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
     )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    SELECT c_nationkey AS cntry,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22: well-funded customers who never ordered, per country
+    (canonical-adapted: the fixture has no c_phone, so the phone-prefix
+    country code becomes c_nationkey, and — since every fixture customer has
+    ordered — 'never ordered' becomes 'never placed a 1-URGENT order'; same
+    uncorrelated-scalar-subquery + anti-join-with-predicate + aggregate
+    shape.  TPC-H spec is public; the reference has no query surface).
+
+    Plan: the AVG is a one-row aggregate broadcast into the filter; the
+    NOT EXISTS compiles to a left-anti shuffle join on custkey (orders can't
+    broadcast at scale); one final aggregate on nationkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_avg"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
