@@ -130,7 +130,7 @@ def minhash_signatures(
     return hashed.groupBy(key_col).agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def band_hashes(
     df: DataFrame,
     text_col: str = "text",
     key_col: str = "doc_id",
@@ -140,13 +140,12 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingled: DataFrame | None = None,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (key1 < key2) via MinHash-LSH banding.
-
-    Plan shape at scale: explode shingles → one shuffle computes all minhash
-    aggregates → band hashes → explode to ``bands`` rows/doc → shuffle once on
-    (band, band_hash) → self-join within buckets.  Hot buckets (skew) are
-    handled by AQE skew-join splitting.
-    """
+    """(key, band, band_hash) — the LSH banding of MinHash signatures, the
+    reusable fingerprint INDEX: equal (band, band_hash) is the candidate
+    condition for both batch self-join dedup (minhash_lsh_candidates) and
+    incremental new-vs-corpus dedup (the streaming path joins incoming docs'
+    bands against a persisted corpus index instead of re-fingerprinting the
+    corpus per batch)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, text_col, key_col, shingle_n=shingle_n, num_hashes=num_hashes,
@@ -167,9 +166,32 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
-    banded = sigs.select(
+    return sigs.select(
         F.col(key_col), F.explode(F.array(*band_structs)).alias("b")
     ).select(key_col, "b.band", "b.band_hash")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (key1 < key2) via MinHash-LSH banding.
+
+    Plan shape at scale: explode shingles → one shuffle computes all minhash
+    aggregates → band hashes → explode to ``bands`` rows/doc → shuffle once on
+    (band, band_hash) → self-join within buckets.  Hot buckets (skew) are
+    handled by AQE skew-join splitting.
+    """
+    banded = band_hashes(
+        df, text_col, key_col, shingle_n=shingle_n, num_hashes=num_hashes,
+        bands=bands, shingled=shingled,
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -106,6 +106,7 @@ _WINDOW_PRIORITY: list[str] = [
     "near_dedup_cluster_sizes",
     "normalized_dedup_stats",
     "curation_funnel_counts",
+    "streaming_incremental_neardup",
     # displaced relational tail (green in r01 only; verdict done-list)
     "customer_order_left_join",
     "salted_join_priority_revenue",

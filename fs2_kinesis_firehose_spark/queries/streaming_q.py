@@ -187,3 +187,84 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
     stream = replay_parquet(spark, sf_dir, "events")
     return run_to_memory(running_user_stats(stream), output_mode="update")
+
+
+@query(
+    "streaming_incremental_neardup",
+    # Oracle-able despite the streaming engine: band recall at J≥0.7 is 1.0
+    # (pytest-asserted for 32/8), incoming docs are compared against the
+    # STATIC corpus only (never each other), and exact-Jaccard verification
+    # filters candidates — so the output is exactly the corpus×incoming
+    # J≥0.7 pair counts regardless of how files split into micro-batches.
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(words[i:i+2], ' ')
+                              FOR i IN range(1, len(words) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    ),
+    toks AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    common AS (
+        SELECT c.doc_id AS corpus_id, i.doc_id AS incoming_id, COUNT(*) AS common
+        FROM toks c JOIN toks i ON c.shingle = i.shingle
+        WHERE c.doc_id % 2 = 0 AND i.doc_id % 2 = 1
+        GROUP BY 1, 2
+    ),
+    dups AS (
+        SELECT incoming_id
+        FROM common x
+        JOIN sizes s1 ON x.corpus_id = s1.doc_id
+        JOIN sizes s2 ON x.incoming_id = s2.doc_id
+        WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.7
+    )
+    SELECT incoming_id AS doc_id, COUNT(*) AS n_corpus_dups
+    FROM dups GROUP BY 1
+    """,
+)
+def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup of an incoming document stream against a STATIC
+    corpus fingerprint index — the production shape for deduping a live crawl
+    against an existing training corpus:
+
+    - the corpus (even doc_ids) is fingerprinted ONCE into a checkpointed
+      (band, band_hash) index (operators/dedup.py:band_hashes);
+    - each micro-batch of incoming docs (odd doc_ids) is banded and joined
+      against the index — the corpus is never re-fingerprinted and incoming
+      docs are never compared to each other;
+    - candidates are exact-Jaccard verified, and per-doc corpus-dup counts
+      accumulate across batches (foreachBatch; per-batch results are
+      dup-counts only, driver-tiny by construction).
+    """
+    from fs2_kinesis_firehose_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    index = (
+        D.band_hashes(corpus, "text", "doc_id", shingle_n=3, num_hashes=32, bands=8)
+        .select(F.col("doc_id").alias("_corpus_id"), "band", "band_hash")
+        .localCheckpoint(eager=False)
+    )
+
+    results: list = []
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        bands_b = D.band_hashes(batch, "text", "doc_id", shingle_n=3, num_hashes=32, bands=8)
+        cand = (
+            bands_b.join(index, ["band", "band_hash"])
+            .select(F.col("_corpus_id").alias("key1"), F.col("doc_id").alias("key2"))
+            .distinct()
+        )
+        verified = D.verify_jaccard(cand, docs, "text", "doc_id", shingle_n=3, threshold=0.7)
+        out = verified.groupBy("key2").agg(F.count(F.lit(1)).alias("n_corpus_dups"))
+        results.extend(out.collect())
+
+    stream = replay_parquet(spark, sf_dir, "documents", max_files_per_trigger=1).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    q = stream.writeStream.foreachBatch(step).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [(r["key2"], r["n_corpus_dups"]) for r in results],
+        "doc_id bigint, n_corpus_dups bigint",
+    )

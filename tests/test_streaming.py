@@ -114,3 +114,25 @@ def test_rocksdb_state_store_tumbling_counts(spark, sf_smoke, tmp_path):
     }
     assert rocks_rows == default_rows
     assert len(rocks_rows) > 0
+
+
+def test_incremental_neardup_matches_batch_ground_truth(spark, sf_smoke):
+    """The streamed incoming-vs-corpus dup counts must equal the batch
+    exact-Jaccard pair set restricted to (even corpus, odd incoming)."""
+    import fs2_kinesis_firehose_spark.queries as q
+    from fs2_kinesis_firehose_spark.operators import dedup as D
+    from fs2_kinesis_firehose_spark.tables import load_table
+
+    q.load_all()
+    got = {
+        r["doc_id"]: r["n_corpus_dups"]
+        for r in q.QUERIES["streaming_incremental_neardup"](spark, sf_smoke).collect()
+    }
+    docs = load_table(spark, sf_smoke, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.7)
+    want: dict[int, int] = {}
+    for r in pairs.collect():
+        for corpus, inc in ((r["key1"], r["key2"]), (r["key2"], r["key1"])):
+            if corpus % 2 == 0 and inc % 2 == 1:
+                want[inc] = want.get(inc, 0) + 1
+    assert got == want
