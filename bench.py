@@ -66,6 +66,8 @@ HEADLINE = [
     "normalized_dedup_stats",
     # the composed quality->dedup->split pipeline (runs MinHash internally)
     "curation_funnel_counts",
+    # incremental crawl-vs-corpus dedup through the real streaming engine
+    "streaming_incremental_neardup",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)
