@@ -274,7 +274,6 @@ def temperature_mixing(
 def normalize_text(
     df: DataFrame,
     text_col: str = "text",
-    key_col: str = "doc_id",
     *,
     out_col: str = "norm_text",
 ) -> DataFrame:

@@ -319,7 +319,7 @@ def normalized_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     case/punctuation/whitespace variation hides from raw exact dedup.  One
     scan, two sha256 distinct aggregates."""
     docs = load_table(spark, sf_dir, "documents")
-    n = C.normalize_text(docs, "text", "doc_id")
+    n = C.normalize_text(docs, "text")
     return n.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(F.sha2(F.col("text").cast("binary"), 256)).alias("n_distinct_raw"),
@@ -339,13 +339,7 @@ _FUNNEL_ORACLE = f"""
                len(toks) AS n_tokens,
                ROUND(CASE WHEN len(toks) > 0
                      THEN 1.0 - len(list_distinct(toks)) * 1.0 / len(toks)
-                     ELSE 0 END, 6) AS dup_word_fraction,
-               ROUND(CASE WHEN len(toks) > 0
-                     THEN len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) * 1.0 / len(toks)
-                     ELSE 0 END, 6) AS alpha_word_fraction,
-               ROUND(CASE WHEN len(toks) > 0
-                     THEN list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks)
-                     ELSE 0 END, 6) AS mean_word_len
+                     ELSE 0 END, 6) AS dup_word_fraction
         FROM w
     ),
     quality AS (

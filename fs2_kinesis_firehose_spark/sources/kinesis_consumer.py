@@ -8,11 +8,16 @@ the standard iterator protocol (``get_shard_iterator`` → ``get_records`` →
 ``mapInPandas``.
 
 Scale design: shards are Kinesis's unit of parallel read (2 MB/s each) and
-become Spark's unit of parallelism — `repartition(n_shards, shard_id)` pins
-one shard per task, ordering is preserved WITHIN a shard (the Kinesis
-contract; there is no cross-shard order to preserve), and resume is
-per-shard sequence numbers (``start_after`` maps to
-AFTER_SEQUENCE_NUMBER), mirroring the spool source's offset ledger.
+become Spark's unit of parallelism — ``parallelize(pairs, n_shards)`` places
+EXACTLY one shard per partition/task (hash repartition would collide ~78% of
+3-shard layouts), records stream out one Arrow batch per ``get_records``
+page (a deep TRIM_HORIZON backlog never accumulates in executor memory),
+ordering is preserved WITHIN a shard (the Kinesis contract; there is no
+cross-shard order to preserve), and resume is per-shard sequence numbers
+(``start_after`` maps to AFTER_SEQUENCE_NUMBER), mirroring the spool
+source's offset ledger.  Expired iterators are re-established after the
+last delivered record and throttling backs off exponentially — the consumer
+analog of the sink's ``put_batch_with_retry``.
 
 Clients: the same picklable zero-arg factory contract as the Firehose sink
 (`firehose/client.py`).  ``FakeKinesis`` is directory-backed so Spark
@@ -27,6 +32,7 @@ import base64
 import json
 import os
 import threading
+import time
 from typing import Any, Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -159,34 +165,70 @@ def fetch_shard(
     start_after: str | None = None,
     limit_per_call: int = 1_000,
     max_empty_polls: int = 1,
-) -> Iterator[dict]:
+    max_throttle_retries: int = 8,
+) -> Iterator[list[dict]]:
     """Pull one shard to exhaustion via the standard iterator protocol.
 
     Bounded (batch semantics): stops when the stream reports no records AND
     zero lag ``max_empty_polls`` times — the ``availableNow`` analog.  Yields
-    boto3-shaped record dicts with ``ShardId`` added.
+    boto3-shaped record PAGES (one list per ``get_records`` call) with
+    ``ShardId`` added, so callers can stream pages out without accumulating
+    a multi-GB shard backlog in memory.
+
+    Real-AWS resilience (the consumer analog of the sink's
+    ``put_batch_with_retry``): an expired shard iterator (they die after 5
+    minutes — a delayed task would otherwise restart the whole shard) is
+    re-established AT_SEQUENCE_NUMBER after the last delivered record, and
+    ``ProvisionedThroughputExceeded`` backs off exponentially up to
+    ``max_throttle_retries`` before propagating.
     """
+
+    def _iterator(itype: str, seq: str | None) -> str:
+        kwargs = {"StreamName": stream_name, "ShardId": shard_id, "ShardIteratorType": itype}
+        if seq is not None:
+            kwargs["StartingSequenceNumber"] = seq
+        return client.get_shard_iterator(**kwargs)["ShardIterator"]
+
+    def _error_code(exc: BaseException) -> str:
+        response = getattr(exc, "response", None)
+        if isinstance(response, dict):
+            return response.get("Error", {}).get("Code", "")
+        return exc.__class__.__name__
+
     if start_after is None:
-        it = client.get_shard_iterator(
-            StreamName=stream_name, ShardId=shard_id, ShardIteratorType="TRIM_HORIZON"
-        )["ShardIterator"]
+        it = _iterator("TRIM_HORIZON", None)
     else:
-        it = client.get_shard_iterator(
-            StreamName=stream_name,
-            ShardId=shard_id,
-            ShardIteratorType="AFTER_SEQUENCE_NUMBER",
-            StartingSequenceNumber=start_after,
-        )["ShardIterator"]
+        it = _iterator("AFTER_SEQUENCE_NUMBER", start_after)
+    last_seq = start_after
     empty = 0
-    while it and empty <= max_empty_polls:
-        resp = client.get_records(ShardIterator=it, Limit=limit_per_call)
-        for rec in resp["Records"]:
-            yield {**rec, "ShardId": shard_id}
-        it = resp.get("NextShardIterator")
+    throttled = 0
+    while it and empty < max_empty_polls:
+        try:
+            resp = client.get_records(ShardIterator=it, Limit=limit_per_call)
+        except Exception as exc:  # noqa: BLE001 — code-matched below, else re-raised
+            code = _error_code(exc)
+            if code == "ExpiredIteratorException":
+                it = (
+                    _iterator("AFTER_SEQUENCE_NUMBER", last_seq)
+                    if last_seq is not None
+                    else _iterator("TRIM_HORIZON", None)
+                )
+                continue
+            if code == "ProvisionedThroughputExceededException":
+                throttled += 1
+                if throttled > max_throttle_retries:
+                    raise
+                time.sleep(min(0.2 * 2 ** (throttled - 1), 2.0))
+                continue
+            raise
+        throttled = 0
         if resp["Records"]:
+            last_seq = resp["Records"][-1]["SequenceNumber"]
+            yield [{**rec, "ShardId": shard_id} for rec in resp["Records"]]
             empty = 0
         elif resp.get("MillisBehindLatest", 0) == 0:
             empty += 1
+        it = resp.get("NextShardIterator")
 
 
 def read_kinesis(
@@ -208,26 +250,35 @@ def read_kinesis(
     shards = [s["ShardId"] for s in client_factory().list_shards(StreamName=stream_name)["Shards"]]
     resume = dict(start_after or {})
 
+    # EXACTLY one shard per partition: parallelize with numSlices=len(pairs)
+    # places element i in slice i.  (repartition(n, shard_id) would HASH the
+    # shard ids — ~78% collision probability at 3 shards — serializing
+    # colliding shards in one task while others idle.)
+    pairs = [(s, resume.get(s)) for s in shards]
     shard_df = spark.createDataFrame(
-        [(s, resume.get(s)) for s in shards], "shard_id string, _after string"
-    ).repartition(len(shards), "shard_id")
+        spark.sparkContext.parallelize(pairs, max(len(pairs), 1)),
+        "shard_id string, _after string",
+    )
 
     def pull(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         client = client_factory()
         for pdf in batches:
             for shard_id, after in zip(pdf["shard_id"], pdf["_after"]):
-                rows = [
-                    (shard_id, r["SequenceNumber"], r["PartitionKey"], r["Data"])
-                    for r in fetch_shard(
-                        client,
-                        stream_name,
-                        shard_id,
-                        start_after=None if after is None or pd.isna(after) else after,
-                        limit_per_call=limit_per_call,
+                # one output batch per get_records page — a TRIM_HORIZON
+                # replay of a deep shard never accumulates in Python memory
+                for page in fetch_shard(
+                    client,
+                    stream_name,
+                    shard_id,
+                    start_after=None if after is None or pd.isna(after) else after,
+                    limit_per_call=limit_per_call,
+                ):
+                    yield pd.DataFrame(
+                        [
+                            (shard_id, r["SequenceNumber"], r["PartitionKey"], r["Data"])
+                            for r in page
+                        ],
+                        columns=["shard_id", "sequence_number", "partition_key", "data"],
                     )
-                ]
-                yield pd.DataFrame(
-                    rows, columns=["shard_id", "sequence_number", "partition_key", "data"]
-                )
 
     return shard_df.mapInPandas(pull, RECORD_SCHEMA)

@@ -93,8 +93,71 @@ def test_moto_get_records_protocol():
         shards = [s["ShardId"] for s in client.list_shards(StreamName="ms")["Shards"]]
         got = []
         for shard_id in shards:
-            got.extend(
-                bytes(r["Data"]).decode()
-                for r in fetch_shard(client, "ms", shard_id, limit_per_call=10)
-            )
+            for page in fetch_shard(client, "ms", shard_id, limit_per_call=10):
+                got.extend(bytes(r["Data"]).decode() for r in page)
         assert sorted(got) == sorted(f"m-{i}" for i in range(25))
+
+
+class _Err(Exception):
+    def __init__(self, code):
+        super().__init__(code)
+        self.response = {"Error": {"Code": code}}
+
+
+def test_expired_iterator_resumes_after_last_record(tmp_path):
+    """An ExpiredIteratorException mid-shard re-establishes the iterator
+    AFTER the last delivered record — no loss, no duplicates."""
+    fk = FakeKinesis(str(tmp_path), n_shards=1)
+    for i in range(10):
+        fk.put_record(StreamName="s", Data=f"r-{i}".encode(), PartitionKey="k")
+
+    class Flaky(FakeKinesis):
+        calls = 0
+
+        def get_records(self, ShardIterator, Limit=10_000):
+            Flaky.calls += 1
+            if Flaky.calls == 2:
+                raise _Err("ExpiredIteratorException")
+            return super().get_records(ShardIterator, Limit)
+
+    client = Flaky(str(tmp_path), n_shards=1)
+    got = [
+        bytes(r["Data"]).decode()
+        for page in fetch_shard(client, "s", "shardId-000000000000", limit_per_call=4)
+        for r in page
+    ]
+    assert got == [f"r-{i}" for i in range(10)]
+
+
+def test_throttling_backs_off_then_succeeds(tmp_path):
+    fk = FakeKinesis(str(tmp_path), n_shards=1)
+    for i in range(5):
+        fk.put_record(StreamName="s", Data=f"t-{i}".encode(), PartitionKey="k")
+
+    class Throttly(FakeKinesis):
+        calls = 0
+
+        def get_records(self, ShardIterator, Limit=10_000):
+            Throttly.calls += 1
+            if Throttly.calls <= 2:
+                raise _Err("ProvisionedThroughputExceededException")
+            return super().get_records(ShardIterator, Limit)
+
+    client = Throttly(str(tmp_path), n_shards=1)
+    got = [
+        bytes(r["Data"]).decode()
+        for page in fetch_shard(client, "s", "shardId-000000000000")
+        for r in page
+    ]
+    assert got == [f"t-{i}" for i in range(5)]
+
+
+def test_one_partition_per_shard(spark, tmp_path, fake_stream):
+    """The shard DataFrame pins exactly one shard per partition (hash
+    repartition would collide shards and serialize their reads)."""
+    from fs2_kinesis_firehose_spark.sources.kinesis_consumer import read_kinesis  # noqa: F401
+
+    pairs = [(f"shardId-{i:012d}", None) for i in range(3)]
+    rdd = spark.sparkContext.parallelize(pairs, len(pairs))
+    sizes = rdd.glom().map(len).collect()
+    assert sizes == [1, 1, 1]
