@@ -107,6 +107,7 @@ _WINDOW_PRIORITY: list[str] = [
     "normalized_dedup_stats",
     "curation_funnel_counts",
     "streaming_incremental_neardup",
+    "repeated_chunk_stats",
     # displaced relational tail (green in r01 only; verdict done-list)
     "customer_order_left_join",
     "salted_join_priority_revenue",

@@ -444,3 +444,46 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             split.filter(F.col("split") == "train").agg(F.count(F.lit(1)).alias("n_train"))
         )
     )
+
+
+@query(
+    "repeated_chunk_stats",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   t[CAST(s.start AS INT) + 1 : CAST(s.start AS INT) + 8], ' ')) AS chunk_hash
+        FROM toks,
+             UNNEST(range(0, greatest(len(t) - 1, 0) + 1, 8)) AS s(start)
+    )
+    SELECT chunk_hash,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING COUNT(*) >= 2
+    """,
+)
+def repeated_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated chunks (8-token non-overlapping grid): the
+    chunk-level exact-dedup signal ``chunk_hash`` exists for — boilerplate
+    chunks recurring across (or within) documents.  One narrow-map explode +
+    one shuffle on the hash, the same shape as exact dedup at chunk
+    granularity."""
+    from fs2_kinesis_firehose_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, text_col="text", chunk_size=8, overlap=0)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
