@@ -177,3 +177,35 @@ def test_gopher_repetition_grams_stay_codegen(spark, sf_smoke):
     assert "transform(" not in plan, plan
     # gram construction shuffles key on the doc id only
     assert "CartesianProduct" not in plan, plan
+
+
+# queries whose construction itself runs jobs (streaming engines, eager
+# produce, connected-components fixpoints, driver-side trainers) — their
+# plan shapes are pinned individually; the blanket scan skips them to keep
+# this test analysis-only
+_EAGER_OR_STREAMING = {
+    "streaming_tumbling_counts", "streaming_sliding_stats",
+    "streaming_session_counts", "streaming_dedup_counts",
+    "streaming_static_join_revenue", "streaming_stream_stream_join",
+    "streaming_stateful_user_stats", "streaming_incremental_neardup",
+    "kinesis_roundtrip_counts", "firehose_delivery_accounting",
+    "near_dedup_survivors", "near_dedup_cluster_sizes",
+    "semantic_dedup_survivors", "curation_funnel_counts",
+    "bpe_learned_token_counts", "ngram_jaccard_filtered",
+    "stratified_sample_docs", "ivf_topk", "ann_lsh_topk", "ann_recall_at_k",
+}
+
+
+def test_no_cartesian_product_catalog_wide(spark, sf_smoke):
+    """No registered query may plan a CartesianProduct — a cross product
+    that isn't a deliberate one-row-scalar broadcast is always a bug at
+    scale.  (Scalar crossJoins compile to BroadcastNestedLoopJoin with a
+    1-row build side, which this scan permits.)"""
+    offenders = []
+    for name, fn in q.QUERIES.items():
+        if name in _EAGER_OR_STREAMING:
+            continue
+        plan = explain_str(fn(spark, sf_smoke))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct in: {offenders}"
