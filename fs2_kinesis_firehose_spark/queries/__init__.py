@@ -108,6 +108,7 @@ _WINDOW_PRIORITY: list[str] = [
     "curation_funnel_counts",
     "streaming_incremental_neardup",
     "repeated_chunk_stats",
+    "multimodal_png_roundtrip_stats",
     # displaced relational tail (green in r01 only; verdict done-list)
     "customer_order_left_join",
     "salted_join_priority_revenue",

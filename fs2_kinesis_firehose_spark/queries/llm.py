@@ -1179,3 +1179,57 @@ def near_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
     )
+
+
+@query(
+    "multimodal_png_roundtrip_stats",
+    # The REAL PNG codec (operators/png.py — stdlib zlib, the five scanline
+    # filters) is driver-verifiable because encode→decode is the identity:
+    # pixels are generated by a deterministic formula the oracle restates,
+    # the Spark side routes them through ACTUAL PNG bytes, and equal stats
+    # prove the real-codec path decoded them losslessly.
+    oracle="""
+    WITH g AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+    px AS (SELECT doc_id, unnest(range(0, 192)) AS i FROM g)
+    SELECT doc_id,
+           8 AS height,
+           8 AS width,
+           ROUND(AVG((doc_id * 7 + i) % 256), 4) AS mean_pixel
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec multimodal path, end-to-end under the correctness gate:
+    per doc, deterministic 8×8 RGB pixels → encode_png → REAL decode_png
+    (stdlib codec; Pillow-free floor) → shape + mean stats.  Arrow-batched
+    mapInPandas, one narrow pass — the decode stage shape used for any
+    binary media column at scale."""
+    import numpy as np
+    import pandas as pd
+
+    from fs2_kinesis_firehose_spark.operators.png import decode_png, encode_png
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                arr = ((int(d) * 7 + np.arange(192)) % 256).astype(np.uint8).reshape(8, 8, 3)
+                decoded = decode_png(encode_png(arr))
+                assert np.array_equal(decoded, arr)  # lossless or the row is wrong
+                rows.append(
+                    (
+                        int(d),
+                        int(decoded.shape[0]),
+                        int(decoded.shape[1]),
+                        round(float(decoded.mean()), 4),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "height", "width", "mean_pixel"]
+            )
+
+    return docs.mapInPandas(
+        roundtrip, "doc_id bigint, height int, width int, mean_pixel double"
+    )
