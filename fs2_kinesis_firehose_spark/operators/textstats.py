@@ -170,9 +170,11 @@ DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 def gopher_repetition(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """The 9 published Gopher repetition signals per document:
 
-    - ``top_{2,3,4}gram_char_frac`` — largest character share claimed by any
-      single word n-gram (count × non-space chars of the gram / non-space
-      chars of the doc); thresholds 0.20 / 0.18 / 0.16.
+    - ``top_{2,3,4}gram_char_frac`` — character share claimed by the MOST
+      FREQUENT word n-gram (its count × its non-space chars / non-space chars
+      of the doc; ties on count broken by max chars, deterministically) —
+      the published formulation (Rae et al. Table A1, as implemented by
+      RedPajama/Dolma); thresholds 0.20 / 0.18 / 0.16.
     - ``dup_{5..10}gram_char_frac`` — character share of all n-grams that
       occur ≥2 times (overlapping occurrences counted multiply, the
       RedPajama/Dolma convention); thresholds 0.15 … 0.10.
@@ -223,14 +225,24 @@ def gopher_repetition(df: DataFrame, text_col: str = "text", key_col: str = "doc
     )
 
     counts = grams.groupBy(key_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    # top_* takes the char mass of the MOST FREQUENT gram (argmax by count,
+    # tie-break max chars — struct max is field-lexicographic, so one agg and
+    # no window), NOT max(count*chars) over all grams: a rare-but-long gram
+    # must not outweigh the frequent one (published Gopher semantics).
     stats = counts.groupBy(key_col, "n").agg(
-        F.max(F.col("c") * (F.length("g") - (F.col("n") - 1))).alias("topc"),
+        F.max(
+            F.struct(
+                F.col("c").alias("c"),
+                (F.length("g") - (F.col("n") - 1)).alias("chars"),
+            )
+        ).alias("_top"),
         F.sum(
             F.when(F.col("c") >= 2, F.col("c") * (F.length("g") - (F.col("n") - 1))).otherwise(
                 F.lit(0)
             )
         ).alias("dupc"),
     )
+    stats = stats.withColumn("topc", F.col("_top.c") * F.col("_top.chars"))
     wide = stats.groupBy(key_col).agg(
         *[
             F.max(F.when(F.col("n") == n, F.col("topc"))).alias(f"_t{n}")

@@ -1014,11 +1014,23 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, n, g, COUNT(*) AS c, length(g) - (n - 1) AS chars
         FROM grams GROUP BY doc_id, n, g
     ),
-    stats AS (
+    -- top_* = char mass of the MOST FREQUENT gram (argmax count, tie-break
+    -- max chars), matching operators/textstats.py's struct-max exactly
+    ranked AS (
+        SELECT doc_id, n, c, chars,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                  ORDER BY c DESC, chars DESC) AS rn
+        FROM counts
+    ),
+    tops AS (SELECT doc_id, n, c * chars AS topc FROM ranked WHERE rn = 1),
+    dups AS (
         SELECT doc_id, n,
-               MAX(c * chars) AS topc,
                SUM(CASE WHEN c >= 2 THEN c * chars ELSE 0 END) AS dupc
         FROM counts GROUP BY doc_id, n
+    ),
+    stats AS (
+        SELECT d.doc_id, d.n, t.topc, d.dupc
+        FROM dups d JOIN tops t USING (doc_id, n)
     ),
     wide AS (
         SELECT doc_id,
