@@ -81,7 +81,8 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
            ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0) / 10000 AS sum_disc_price,
-           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_charge,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT) // 1000000) AS DOUBLE)
+             + CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT) % 1000000) AS DOUBLE) / 1000000 AS sum_charge,
            ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
            ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
            ROUND(AVG(l_discount), 6)                                        AS avg_disc,
@@ -106,18 +107,18 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # with summation order between engines (~1% of rows are ties).
             # The 4dp grid snaps the FLOAT sum (sum*1e4 < 2^53 through ~sf1e6
             # — safe); the 6dp grid would cross 2^53 near sf0.2, so sum_charge
-            # instead sums PER-ROW integers in exact decimal arithmetic —
-            # order-immune at any SF (per-row round is unambiguous: the true
-            # product*1e6 is an integer, float error ~1e-4 never reaches the
-            # .5 tie).  Both engines then convert the same exact integer to
-            # double and divide — bit-identical.
+            # sums PER-ROW exact integers (the true product*1e6 is an integer;
+            # float error ~1e-4 never reaches the .5 tie) — split into
+            # quotient/remainder LONG sums so the aggregate stays in codegen'd
+            # 64-bit arithmetic (a decimal(38,0) sum here cost 3.96x): the
+            # quotient sum overflows long only past ~1e14 rows, the remainder
+            # sum past ~9e12 rows.  Both engines then run the identical
+            # double-conversion formula on the same exact integers —
+            # bit-identical, order-immune at any SF.
             (F.round(F.sum(disc_price) * 10000, 0) / 10000).alias("sum_disc_price"),
             (
-                F.sum(
-                    F.round(disc_price * (1 + F.col("l_tax")) * 1000000, 0).cast(
-                        "decimal(38,0)"
-                    )
-                ).cast("double")
+                F.sum(F.floor(F.round(disc_price * (1 + F.col("l_tax")) * 1000000, 0).cast("long") / 1000000)).cast("double")
+                + F.sum(F.round(disc_price * (1 + F.col("l_tax")) * 1000000, 0).cast("long") % 1000000).cast("double")
                 / 1000000
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
