@@ -110,19 +110,76 @@ def zorder_write(
     )
 
 
+def zorder_write_bucketed(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    bits: int = 16,
+    n_buckets: int = 16,
+) -> None:
+    """Write ``df`` clustered by FIXED Z-grid buckets: file = the top
+    ``log2(n_buckets)`` bits of the Morton address (bounds from one broadcast
+    min/max aggregate, same as ``zorder_write``).
+
+    vs ``zorder_write``'s ``repartitionByRange``: range partitioning balances
+    file SIZES via reservoir sampling, which is the right production default
+    but makes the file boundaries sample-dependent; fixed grid buckets make
+    the row→file mapping a PURE FUNCTION of the data, so an external checker
+    (the driver's DuckDB oracle) can recompute the exact per-file statistics
+    and the exact pruning outcome.  Same single-shuffle cost; skew tolerance
+    is what's traded away."""
+    bucket_bits = (n_buckets - 1).bit_length()
+    if n_buckets != 1 << bucket_bits:
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    total_bits = len(cols) * bits
+    agg = df.agg(
+        *[
+            m
+            for c in cols
+            for m in (
+                F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
+            )
+        ]
+    )
+    keyed = df.crossJoin(F.broadcast(agg))
+    grid = [
+        _scale_to_grid(F.col(c), F.col(f"_lo_{c}"), F.col(f"_hi_{c}"), bits)
+        for c in cols
+    ]
+    z = morton_key(grid, bits)
+    out_cols = df.columns
+    (
+        keyed.withColumn("_zbucket", F.shiftright(z, total_bits - bucket_bits))
+        .select(*out_cols, "_zbucket")
+        .repartition(n_buckets, "_zbucket")
+        .write.mode("overwrite")
+        .partitionBy("_zbucket")
+        .parquet(path)
+    )
+
+
 def file_stats(path: str, cols: list[str]) -> list[dict]:
     """Per-file [min, max] footer statistics for ``cols`` — the exact
     information a pruning reader uses.  Driver-side pyarrow metadata read
-    (footers only, no data pages)."""
+    (footers only, no data pages).  Walks partition subdirectories, so it
+    covers both flat ``zorder_write`` output and ``zorder_write_bucketed``'s
+    ``_zbucket=N/`` layout."""
     import os
 
     import pyarrow.parquet as pq
 
+    files = []
+    for root, _dirs, names in os.walk(path):
+        for name in names:
+            if name.endswith(".parquet"):
+                files.append(os.path.join(root, name))
+
     out = []
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
-            continue
-        md = pq.ParquetFile(os.path.join(path, name)).metadata
+    for fpath in sorted(files):
+        name = os.path.relpath(fpath, path)
+        md = pq.ParquetFile(fpath).metadata
         stats: dict = {"file": name, "n_rows": md.num_rows}
         schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
         for c in cols:

@@ -139,6 +139,7 @@ def load_all() -> None:
     driver-window ordering (idempotent)."""
     from fs2_kinesis_firehose_spark.queries import (  # noqa: F401
         curation_q,
+        layout_q,
         llm,
         relational,
         sinkq,

@@ -1,0 +1,136 @@
+"""File-layout queries: Z-order clustering verified through the driver gate.
+
+The pruning outcome of a clustered layout is normally an emergent physical
+property (which files a min/max reader skips).  ``zorder_write_bucketed``
+makes the row→file mapping a pure function of the data (fixed Z-grid
+buckets), so a SQL oracle can recompute the exact per-file statistics and
+the exact pruning decision from the raw table — turning "does Z-order prune?"
+into a hash-checkable correctness row rather than a pytest-only measurement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fs2_kinesis_firehose_spark.operators.layout import (
+    file_stats,
+    zorder_write_bucketed,
+)
+from fs2_kinesis_firehose_spark.queries import query
+from fs2_kinesis_firehose_spark.tables import load_table
+
+# 2-D query box over events(user_id, value) — selective on both clustered
+# dimensions, which is exactly the workload Z-order exists for (a 1-D sort
+# would prune on one dimension only).
+_BOX = {"user_id": (20.0, 50.0), "value": (50.0, 150.0)}
+
+# The oracle recomputes the ENTIRE layout in SQL: identical min-max grid
+# scaling (same double arithmetic, same clamps), identical Morton bit
+# interleave (col i bit b → position 2b+i), identical top-4-bit bucket
+# assignment, then per-bucket min/max boxes and the conjunctive-range
+# pruning decision.  A scaling/interleave/bucketing bug on the Spark side,
+# or footer stats that disagree with the data, breaks the hash.
+_ZORDER_ORACLE = """
+    WITH b AS (
+        SELECT MIN(CAST(user_id AS DOUBLE)) AS lo_u, MAX(CAST(user_id AS DOUBLE)) AS hi_u,
+               MIN(CAST(value   AS DOUBLE)) AS lo_v, MAX(CAST(value   AS DOUBLE)) AS hi_v
+        FROM events
+    ),
+    g AS (
+        SELECT event_id, user_id, value,
+               CASE WHEN hi_u > lo_u THEN LEAST(65535, GREATEST(0,
+                    CAST(FLOOR((CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) * 65535) AS BIGINT)))
+                    ELSE 0 END AS ug,
+               CASE WHEN hi_v > lo_v THEN LEAST(65535, GREATEST(0,
+                    CAST(FLOOR((CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) * 65535) AS BIGINT)))
+                    ELSE 0 END AS vg
+        FROM events, b
+    ),
+    z AS (
+        SELECT event_id, user_id, value,
+               CAST(SUM((((ug >> CAST(i AS INT)) & 1) << (2 * CAST(i AS INT)))
+                      + (((vg >> CAST(i AS INT)) & 1) << (2 * CAST(i AS INT) + 1))) AS BIGINT) AS zkey
+        FROM g, UNNEST(range(16)) AS t(i)
+        GROUP BY event_id, user_id, value, ug, vg
+    ),
+    fk AS (
+        SELECT zkey >> 28 AS bucket,
+               MIN(user_id) AS flo_u, MAX(user_id) AS fhi_u,
+               MIN(value)   AS flo_v, MAX(value)   AS fhi_v,
+               COUNT(*) AS n
+        FROM z GROUP BY 1
+    ),
+    op AS (
+        SELECT * FROM fk
+        WHERE NOT (fhi_u < 20.0 OR flo_u > 50.0 OR fhi_v < 50.0 OR flo_v > 150.0)
+    )
+    SELECT (SELECT COUNT(*) FROM fk)                     AS n_files_total,
+           (SELECT COUNT(*) FROM op)                     AS n_files_opened,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM fk)       AS n_rows_total,
+           (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM op) AS n_rows_scanned,
+           (SELECT COUNT(*) FROM events
+             WHERE user_id BETWEEN 20.0 AND 50.0
+               AND value   BETWEEN 50.0 AND 150.0)       AS n_rows_match
+"""
+
+
+@query("zorder_pruning_stats", oracle=_ZORDER_ORACLE)
+def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout end-to-end under the correctness gate: cluster events
+    by (user_id, value) into fixed Morton-grid bucket files
+    (operators/layout.py:zorder_write_bucketed), read the REAL parquet footer
+    statistics back, and report what a min/max-pruning reader does for a 2-D
+    box predicate — files opened, rows scanned, rows matching.
+
+    EAGER by necessity (like kinesis_roundtrip_counts): the footer read needs
+    the layout written.  The output directory is deterministic per sf_dir
+    under one managed tmp root and wiped per invocation."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    out_dir = (
+        Path(tempfile.gettempdir())
+        / "fs2spark-zorder"
+        / f"events-{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    zorder_write_bucketed(events, str(out_dir), ["user_id", "value"], bits=16, n_buckets=16)
+
+    stats = file_stats(str(out_dir), ["user_id", "value"])
+
+    def hit(s: dict) -> bool:
+        for c, (qlo, qhi) in _BOX.items():
+            lo, hi = s[c]
+            if lo is None or hi is None:
+                continue  # no stats → cannot prune
+            if hi < qlo or lo > qhi:
+                return False
+        return True
+
+    opened = [s for s in stats if hit(s)]
+    n_rows_match = (
+        spark.read.parquet(str(out_dir))
+        .filter(
+            F.col("user_id").between(*_BOX["user_id"])
+            & F.col("value").between(*_BOX["value"])
+        )
+        .count()
+    )
+    row = (
+        len(stats),
+        len(opened),
+        sum(s["n_rows"] for s in stats),
+        sum(s["n_rows"] for s in opened),
+        n_rows_match,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_files_total bigint, n_files_opened bigint, n_rows_total bigint, "
+        "n_rows_scanned bigint, n_rows_match bigint",
+    )

@@ -1264,6 +1264,35 @@ def near_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("near_dedup_clusters_distributed", oracle=_CLUSTER_SIZES_ORACLE)
+def near_dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster-size histogram as ``near_dedup_cluster_sizes``, but with
+    ``driver_threshold=0`` so connected components runs the DISTRIBUTED
+    alternating large-star/small-star contraction
+    (operators/dedup.py:_star_contraction_components) — the code path that
+    actually executes at 100 TB, where the edge list exceeds driver memory.
+    The default-threshold query exercises driver union-find; this one earns
+    the star-contraction path its own hash-green row against the identical
+    exact-Jaccard oracle (r3 verdict ask #6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = D.shingle_projection(docs, "text", "doc_id", shingle_n=3).localCheckpoint(
+        eager=False
+    )
+    cands = D.minhash_lsh_candidates(
+        docs, "text", "doc_id", shingle_n=3, num_hashes=32, bands=8, shingled=shingled
+    )
+    verified = D.verify_jaccard(
+        cands, docs, "text", "doc_id", shingle_n=3, threshold=0.7, shingled=shingled
+    )
+    comp = D.connected_components(verified, driver_threshold=0)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
 @query(
     "multimodal_png_roundtrip_stats",
     # The REAL PNG codec (operators/png.py — stdlib zlib, the five scanline

@@ -190,6 +190,111 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "exactly_once_replay_counts",
+    # Idempotent-sink contract made driver-checkable: the SAME availableNow
+    # job runs TWICE into one sink directory (fresh checkpoint each run →
+    # identical batch ids, identical file→batch split via a fixed staging
+    # dir), which is exactly the failure-replay scenario.  Dynamic partition
+    # overwrite per _batch_id means the second run overwrites rather than
+    # appends — so the oracle is the plain single-copy counts; a broken sink
+    # doubles n_rows and the hash catches it.
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT event_id) AS n_event_ids
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def exactly_once_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once file output over an at-least-once engine
+    (streaming/sinks.py:idempotent_parquet_sink), verified by replaying the
+    whole job and hashing the final directory contents."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from fs2_kinesis_firehose_spark.streaming.sinks import idempotent_parquet_sink
+
+    root = (
+        Path(tempfile.gettempdir())
+        / "fs2spark-exactly-once"
+        / hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    )
+    if root.exists():
+        shutil.rmtree(root)
+    staging, out = str(root / "staging"), str(root / "out")
+
+    for _run in range(2):  # second run = full replay of every batch id
+        stream = replay_parquet(
+            spark, sf_dir, "events", staging_dir=staging, max_files_per_trigger=1
+        ).select("event_id", "event_type")
+        q = (
+            stream.writeStream.foreachBatch(idempotent_parquet_sink(out))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("event_id").alias("n_event_ids"),
+    )
+
+
+@query(
+    "streaming_progress_rollup",
+    # Wall-clock metrics (durations, rows/sec) are nondeterministic, so the
+    # rollup is projected onto its deterministic coordinates: batch count
+    # (3 single-file source copies × maxFilesPerTrigger=1 → exactly 3
+    # non-empty micro-batches on the driver's single-file fixture layout)
+    # and total input rows (3 × the table).
+    oracle="""
+    SELECT 'events_tumbling' AS query_name,
+           CAST(3 AS BIGINT) AS n_batches,
+           CAST(3 * COUNT(*) AS BIGINT) AS total_rows
+    FROM events
+    """,
+)
+def streaming_progress_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability through the gate: a real windowed aggregation
+    runs under ProgressCapture (streaming/progress.py), and the per-query
+    throughput_summary rollup of the captured StreamingQueryProgress events
+    is the result — proving the listener capture, the progress schema, and
+    the rollup arithmetic against row/batch counts the oracle derives from
+    the raw table."""
+    from fs2_kinesis_firehose_spark.streaming.progress import (
+        ProgressCapture,
+        throughput_summary,
+    )
+
+    import time
+
+    expected = load_table(spark, sf_dir, "events").count() * 3
+    with ProgressCapture(spark) as cap:
+        stream = replay_parquet(spark, sf_dir, "events", copies=3, max_files_per_trigger=1)
+        run_to_memory(tumbling_counts(stream), output_mode="complete")
+        # listener delivery is async (event bus): awaitTermination returning
+        # does NOT mean every progress event reached the Python listener —
+        # wait until the captured input-row total covers the source
+        deadline = time.time() + 30
+        while (
+            sum(r["num_input_rows"] for r in cap.rows) < expected
+            and time.time() < deadline
+        ):
+            time.sleep(0.1)
+    progress = cap.to_df(spark).filter(F.col("num_input_rows") > 0)
+    summary = throughput_summary(progress)
+    return summary.select(
+        F.lit("events_tumbling").alias("query_name"),
+        "n_batches",
+        "total_rows",
+    )
+
+
+@query(
     "streaming_incremental_neardup",
     # Oracle-able despite the streaming engine: band recall at J≥0.7 is 1.0
     # (pytest-asserted for 32/8), incoming docs are compared against the
