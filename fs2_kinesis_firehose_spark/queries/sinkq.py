@@ -80,7 +80,11 @@ def kinesis_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     spool = str(spool_dir)
     events = load_table(spark, sf_dir, "events")
     framed = serialize_and_frame(events.select("event_id", "event_type"), "json", b"\n")
-    settings = ProducerSettings(stream_name="roundtrip", parallelism=2)
+    # parallelism=8: the A5 in-flight bound is a tunable, and 2 writer tasks
+    # serialize the whole table at larger SFs (the sf1 smoke was
+    # overhead-bound at 2).  The oracle (per-type counts) is
+    # parallelism-invariant; more spool shards also widen the read side.
+    settings = ProducerSettings(stream_name="roundtrip", parallelism=8)
     # deliver (eager: the read below needs the spool populated)
     produce_acks(framed, settings, fake_client_factory(spool_dir=spool)).count()
 

@@ -41,7 +41,11 @@ def test_every_never_verified_query_is_inside_window():
     names = _names()
     green = set(json.loads((REPO / "verified_green.json").read_text())["green"])
     window = set(names[:WINDOW_SIZE])
-    evicted = [n for n in names if n not in green and n not in window]
+    evicted = [
+        n
+        for n in names
+        if n not in green and n not in window and n not in q.WINDOW_EXEMPT
+    ]
     assert not evicted, (
         f"queries with NO prior driver correctness row fell outside the "
         f"driver's {WINDOW_SIZE}-query window: {evicted} — reorder "
