@@ -400,10 +400,18 @@ def near_dedup_minhash(
     *,
     shingle_n: int = 3,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full near-dedup pipeline: keep one doc (min key) per near-dup cluster.
+
+    Banding default is 16 bands × 2 rows: at the J≥0.7 grade this pipeline
+    is used for, per-pair miss probability is (1-J²)^16 ≤ 2.1e-5 (vs 0.11
+    for 8×4 — below the S-curve knee only barely), so oracle equality with
+    exact all-pairs Jaccard holds with overwhelming margin on any fixture,
+    not by luck.  r=2 admits more candidates (the S-curve knee sits at
+    J≈0.21), all removed by exact-Jaccard verification; measured cost at
+    sf0.1 is within noise of 8×4 because signature build dominates.
 
     The doc→shingles projection is computed ONCE (persisted) and shared by the
     signature and verify stages; connected_components materializes the pair

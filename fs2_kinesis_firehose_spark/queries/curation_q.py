@@ -430,7 +430,7 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     exact = D.exact_dedup(quality, "text", "doc_id").localCheckpoint(eager=False)
     near = D.near_dedup_minhash(
-        exact, "text", "doc_id", shingle_n=3, num_hashes=32, bands=8, threshold=0.7
+        exact, "text", "doc_id", shingle_n=3, num_hashes=32, bands=16, threshold=0.7
     )
     split = C.deterministic_split(
         near, "doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"

@@ -153,7 +153,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32 hashes / 8 bands (4 rows/band → S-curve knee ~0.59) measures 100%
     # recall vs the exact J≥0.7 pair set at sf0.1, at ~1.6× the speed of 64/16
     cands = D.minhash_lsh_candidates(
-        docs, "text", "doc_id", shingle_n=3, num_hashes=32, bands=8, shingled=shingled
+        docs, "text", "doc_id", shingle_n=3, num_hashes=32, bands=16, shingled=shingled
     )
     return D.verify_jaccard(
         cands, docs, "text", "doc_id", shingle_n=3, threshold=0.7, shingled=shingled
@@ -1250,7 +1250,7 @@ def near_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     cands = D.minhash_lsh_candidates(
-        docs, "text", "doc_id", shingle_n=3, num_hashes=32, bands=8, shingled=shingled
+        docs, "text", "doc_id", shingle_n=3, num_hashes=32, bands=16, shingled=shingled
     )
     verified = D.verify_jaccard(
         cands, docs, "text", "doc_id", shingle_n=3, threshold=0.7, shingled=shingled
@@ -1279,7 +1279,7 @@ def near_dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFra
         eager=False
     )
     cands = D.minhash_lsh_candidates(
-        docs, "text", "doc_id", shingle_n=3, num_hashes=32, bands=8, shingled=shingled
+        docs, "text", "doc_id", shingle_n=3, num_hashes=32, bands=16, shingled=shingled
     )
     verified = D.verify_jaccard(
         cands, docs, "text", "doc_id", shingle_n=3, threshold=0.7, shingled=shingled

@@ -296,8 +296,10 @@ def streaming_progress_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_incremental_neardup",
-    # Oracle-able despite the streaming engine: band recall at J≥0.7 is 1.0
-    # (pytest-asserted for 32/8), incoming docs are compared against the
+    # Oracle-able despite the streaming engine: banding is 16 bands × 2 rows,
+    # so the per-pair miss probability at J≥0.7 is (1-0.49)^16 ≈ 2.1e-5 —
+    # recall-1.0 equality with the exact oracle holds by margin, not by
+    # fixture luck (r3 ADVICE).  Incoming docs are compared against the
     # STATIC corpus only (never each other), and exact-Jaccard verification
     # filters candidates — so the output is exactly the corpus×incoming
     # J≥0.7 pair counts regardless of how files split into micro-batches.
@@ -370,13 +372,13 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     index = (
-        D.band_hashes(corpus, "text", "doc_id", shingle_n=3, num_hashes=32, bands=8)
+        D.band_hashes(corpus, "text", "doc_id", shingle_n=3, num_hashes=32, bands=16)
         .select(F.col("doc_id").alias("_corpus_id"), "band", "band_hash")
         .localCheckpoint(eager=False)
     )
 
     def step(batch: DataFrame, batch_id: int) -> None:
-        bands_b = D.band_hashes(batch, "text", "doc_id", shingle_n=3, num_hashes=32, bands=8)
+        bands_b = D.band_hashes(batch, "text", "doc_id", shingle_n=3, num_hashes=32, bands=16)
         cand = (
             bands_b.join(index, ["band", "band_hash"])
             .select(F.col("_corpus_id").alias("key1"), F.col("doc_id").alias("key2"))
