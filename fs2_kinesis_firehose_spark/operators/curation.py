@@ -251,13 +251,18 @@ def temperature_mixing(
     under repartition/retry, reproducible in the oracle.  Plan: one
     source-count aggregate (S rows, broadcast back), then a pure filter —
     the corpus itself is scanned once and never shuffled.
+
+    NULL sources form their own bucket: ``groupBy`` already groups NULLs
+    together, and the fraction join is NULL-SAFE (``<=>``), so unlabeled
+    rows are reweighted by their own count rather than silently dropped
+    (a plain equi-join would never match the NULL key).
     """
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_c"))
     tot = counts.agg(
         F.sum("_c").alias("_n"), F.sum(F.pow("_c", F.lit(alpha))).alias("_z")
     )
     fracs = counts.crossJoin(F.broadcast(tot)).select(
-        source_col,
+        F.col(source_col).alias("_frac_src"),
         F.least(
             F.lit(1.0),
             F.lit(total_fraction) * F.col("_n") * F.pow("_c", F.lit(alpha))
@@ -265,9 +270,11 @@ def temperature_mixing(
         ).alias("_keep_frac"),
     )
     return (
-        df.join(F.broadcast(fracs), source_col)
+        df.join(
+            F.broadcast(fracs), F.col(source_col).eqNullSafe(F.col("_frac_src"))
+        )
         .filter(hash_fraction(key_col, salt) < F.col("_keep_frac"))
-        .drop("_keep_frac")
+        .drop("_keep_frac", "_frac_src")
     )
 
 

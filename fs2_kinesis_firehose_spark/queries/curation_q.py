@@ -279,7 +279,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     f AS (SELECT lang, LEAST(1.0, 0.5 * n * pow(c, 0.5) / z / c) AS kf FROM c, t),
     kept AS (
         SELECT d.lang
-        FROM documents d JOIN f USING (lang)
+        FROM documents d JOIN f ON d.lang IS NOT DISTINCT FROM f.lang
         WHERE {_DUCK_FRAC.format(salt="temp")} < kf
     )
     SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY lang

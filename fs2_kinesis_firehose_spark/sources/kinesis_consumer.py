@@ -166,6 +166,8 @@ def fetch_shard(
     limit_per_call: int = 1_000,
     max_empty_polls: int = 1,
     max_throttle_retries: int = 8,
+    max_iterator_refreshes: int = 8,
+    lag_sleep_s: float = 0.15,
 ) -> Iterator[list[dict]]:
     """Pull one shard to exhaustion via the standard iterator protocol.
 
@@ -178,9 +180,14 @@ def fetch_shard(
     Real-AWS resilience (the consumer analog of the sink's
     ``put_batch_with_retry``): an expired shard iterator (they die after 5
     minutes — a delayed task would otherwise restart the whole shard) is
-    re-established AT_SEQUENCE_NUMBER after the last delivered record, and
-    ``ProvisionedThroughputExceeded`` backs off exponentially up to
-    ``max_throttle_retries`` before propagating.
+    re-established ``AFTER_SEQUENCE_NUMBER`` at the last delivered record
+    (capped at ``max_iterator_refreshes`` consecutive refreshes — a
+    persistently-expiring iterator is an environment fault, not a transient),
+    and ``ProvisionedThroughputExceeded`` backs off exponentially up to
+    ``max_throttle_retries`` before propagating.  An empty page that still
+    reports lag (common when iterating sparse or aged shard segments) sleeps
+    ``lag_sleep_s`` before the next call instead of busy-polling at the
+    5-calls/sec shard limit.
     """
 
     def _iterator(itype: str, seq: str | None) -> str:
@@ -202,12 +209,16 @@ def fetch_shard(
     last_seq = start_after
     empty = 0
     throttled = 0
+    refreshes = 0
     while it and empty < max_empty_polls:
         try:
             resp = client.get_records(ShardIterator=it, Limit=limit_per_call)
         except Exception as exc:  # noqa: BLE001 — code-matched below, else re-raised
             code = _error_code(exc)
             if code == "ExpiredIteratorException":
+                refreshes += 1
+                if refreshes > max_iterator_refreshes:
+                    raise  # every fresh iterator dies immediately → not transient
                 it = (
                     _iterator("AFTER_SEQUENCE_NUMBER", last_seq)
                     if last_seq is not None
@@ -222,12 +233,18 @@ def fetch_shard(
                 continue
             raise
         throttled = 0
+        refreshes = 0  # a successful call proves the refreshed iterator works
         if resp["Records"]:
             last_seq = resp["Records"][-1]["SequenceNumber"]
             yield [{**rec, "ShardId": shard_id} for rec in resp["Records"]]
             empty = 0
         elif resp.get("MillisBehindLatest", 0) == 0:
             empty += 1
+        else:
+            # empty page but the shard reports lag: the iterator is walking a
+            # sparse/aged segment — pace the loop instead of hammering the
+            # shard's 5 get_records/sec quota
+            time.sleep(lag_sleep_s)
         it = resp.get("NextShardIterator")
 
 

@@ -183,6 +183,21 @@ def test_temperature_mixing_deterministic(spark):
     assert a == b
 
 
+def test_temperature_mixing_null_source_bucket(spark):
+    """NULL sources are a real bucket (null-safe fraction join), not rows
+    silently dropped by an inner equi-join on a NULL key."""
+    from fs2_kinesis_firehose_spark.operators.curation import temperature_mixing
+
+    rows = [(i, "labeled") for i in range(200)] + [(i, None) for i in range(200, 400)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    kept = temperature_mixing(df, alpha=1.0, total_fraction=0.5)
+    got = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # alpha=1 -> both buckets keep ~0.5; the NULL bucket must be present
+    assert None in got and got[None] > 0
+    assert abs(got[None] / 200 - 0.5) < 0.15
+    assert abs(got["labeled"] / 200 - 0.5) < 0.15
+
+
 def test_normalize_text_canonicalizes_case_punct_spacing(spark):
     from fs2_kinesis_firehose_spark.operators.curation import normalize_text
 
