@@ -68,6 +68,13 @@ HEADLINE = [
     "curation_funnel_counts",
     # incremental crawl-vs-corpus dedup through the real streaming engine
     "streaming_incremental_neardup",
+    # round-4 additions: Z-order clustered write + footer-stats pruning (the
+    # layout job IS the cost being measured), the replayed idempotent file
+    # sink, and the distributed star-contraction CC path (what runs at
+    # 100 TB instead of driver union-find)
+    "zorder_pruning_stats",
+    "exactly_once_replay_counts",
+    "near_dedup_clusters_distributed",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)
