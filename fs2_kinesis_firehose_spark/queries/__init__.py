@@ -82,6 +82,7 @@ _WINDOW_PRIORITY: list[str] = [
     "exactly_once_replay_counts",
     "streaming_progress_rollup",
     "near_dedup_clusters_distributed",
+    "winnow_fingerprint_overlap",
     "bpe_learned_token_counts",
     "approx_distinct_users",
     # (2) implementation changed this round → re-verify
@@ -130,7 +131,6 @@ _WINDOW_PRIORITY: list[str] = [
     "global_top10_orders",
     "returnflag_cube",
     "top_orders_per_customer",
-    "monthly_revenue_running",
 ]
 
 

@@ -1264,6 +1264,52 @@ def near_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "winnow_fingerprint_overlap",
+    # Full restatement: identical md5-prefix gram hashes, identical
+    # window-min selection rule (valid starts 1..max(cnt-w+1, 1)), identical
+    # value-distinct fingerprint sets, then the inverted-index overlap join.
+    oracle="""
+    WITH wds AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+               CAST(concat('0x', substr(md5(array_to_string(
+                   w[CAST(t.i AS INT):CAST(t.i + 2 AS INT)], ' ')), 1, 15)) AS BIGINT) AS h
+        FROM wds, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    wmin AS (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rnk,
+               COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+        FROM grams
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, m AS fingerprint
+        FROM wmin WHERE rnk <= GREATEST(cnt - 3, 1)
+    )
+    SELECT a.doc_id AS key1, b.doc_id AS key2, COUNT(*) AS n_shared
+    FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint overlap: document pairs sharing ≥2
+    selected window-minimum gram hashes — shared-PASSAGE detection with the
+    coverage guarantee that any run of window+gram_n-1 = 6 shared tokens
+    yields a shared fingerprint (operators/fingerprint.py).  Complements
+    MinHash (whole-doc similarity) with a sublinear passage-grade index;
+    the oracle replays hashing, selection, and the overlap join exactly."""
+    from fs2_kinesis_firehose_spark.operators import fingerprint as FP
+
+    docs = load_table(spark, sf_dir, "documents")
+    return FP.fingerprint_overlap_pairs(
+        docs, "text", "doc_id", gram_n=3, window=4, min_shared=2
+    )
+
+
 @query("near_dedup_clusters_distributed", oracle=_CLUSTER_SIZES_ORACLE)
 def near_dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same cluster-size histogram as ``near_dedup_cluster_sizes``, but with
