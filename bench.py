@@ -75,6 +75,9 @@ HEADLINE = [
     "zorder_pruning_stats",
     "exactly_once_replay_counts",
     "near_dedup_clusters_distributed",
+    # round-4 addition: BM25 ranked retrieval (scan-side postings filter +
+    # broadcast stats, TakeOrderedAndProject top-k)
+    "bm25_topk",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -83,6 +83,7 @@ _WINDOW_PRIORITY: list[str] = [
     "streaming_progress_rollup",
     "near_dedup_clusters_distributed",
     "winnow_fingerprint_overlap",
+    "bm25_topk",
     "bpe_learned_token_counts",
     "approx_distinct_users",
     # (2) implementation changed this round → re-verify
@@ -142,6 +143,7 @@ def load_all() -> None:
         layout_q,
         llm,
         relational,
+        retrieval_q,
         sinkq,
         streaming_q,
         temporal_q,

@@ -1,0 +1,91 @@
+"""BM25 retrieval: hand-computed ground truth, postings-path equivalence,
+top-k determinism, and plan shape (TakeOrderedAndProject, no cartesian)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from fs2_kinesis_firehose_spark.operators import retrieval
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (1, "cat dog cat"),
+        (2, "dog fish"),
+        (3, "cat cat cat bird bird"),
+        (4, "whale plankton"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _bm25_ref(corpus: dict[int, list[str]], terms: list[str], k1=1.2, b=0.75):
+    """Independent plain-Python BM25 (Lucene idf variant)."""
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    df = {t: sum(1 for toks in corpus.values() if t in toks) for t in terms}
+    out = {}
+    for doc, toks in corpus.items():
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(toks) / avgdl))
+        if s > 0:
+            out[doc] = round(s, 4)
+    return out
+
+
+def test_bm25_matches_hand_reference(tiny_docs):
+    corpus = {1: "cat dog cat".split(), 2: "dog fish".split(),
+              3: "cat cat cat bird bird".split(), 4: "whale plankton".split()}
+    expected = _bm25_ref(corpus, ["cat", "fish"])
+    got = {r["doc_id"]: r["bm25"] for r in retrieval.bm25_scores(tiny_docs, ["cat", "fish"]).collect()}
+    assert got == expected
+
+
+def test_bm25_only_matching_docs_returned(tiny_docs):
+    got = retrieval.bm25_scores(tiny_docs, ["whale"]).collect()
+    assert [r["doc_id"] for r in got] == [4]
+
+
+def test_bm25_rejects_empty_query(tiny_docs):
+    with pytest.raises(ValueError):
+        retrieval.bm25_scores(tiny_docs, [])
+
+
+def test_postings_path_equivalent_to_scan_path(tiny_docs):
+    posts = retrieval.posting_lists(tiny_docs)
+    base = tiny_docs.collect()
+    n_docs = len(base)
+    avgdl = sum(len(r["text"].split()) for r in base) / n_docs
+    via_posts = {
+        r["doc_id"]: r["bm25"]
+        for r in retrieval.bm25_scores_from_postings(
+            posts, ["cat", "dog"], n_docs, avgdl
+        ).collect()
+    }
+    via_scan = {
+        r["doc_id"]: r["bm25"]
+        for r in retrieval.bm25_scores(tiny_docs, ["cat", "dog"]).collect()
+    }
+    assert via_posts == via_scan
+
+
+def test_topk_deterministic_tiebreak(spark):
+    # Two docs with identical token profiles → identical scores; the lower
+    # doc_id must win the tie on every run.
+    rows = [(i, "tie tie word") for i in range(10, 0, -1)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    top3 = retrieval.bm25_topk(docs, ["tie"], k=3).collect()
+    assert [r["doc_id"] for r in top3] == [1, 2, 3]
+
+
+def test_topk_plan_is_take_ordered_no_cartesian(tiny_docs):
+    plan = retrieval.bm25_topk(tiny_docs, ["cat"], k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
