@@ -150,8 +150,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = D.shingle_projection(docs, "text", "doc_id", shingle_n=3).localCheckpoint(
         eager=False
     )
-    # 32 hashes / 8 bands (4 rows/band → S-curve knee ~0.59) measures 100%
-    # recall vs the exact J≥0.7 pair set at sf0.1, at ~1.6× the speed of 64/16
+    # 32 hashes / 16 bands (2 rows/band): per-pair miss probability at J≥0.7
+    # is (1-J²)^16 ≤ 2.1e-5, so recall 1.0 vs the exact pair set holds by
+    # margin on any fixture; extra candidates die in exact-Jaccard verify
     cands = D.minhash_lsh_candidates(
         docs, "text", "doc_id", shingle_n=3, num_hashes=32, bands=16, shingled=shingled
     )
