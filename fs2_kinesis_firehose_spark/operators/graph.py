@@ -49,6 +49,10 @@ def pagerank(
         raise ValueError("iterations must be >= 1")
     d = float(damping)
 
+    # Parallel edges are deduplicated: this is UNWEIGHTED PageRank over the
+    # simple directed graph (a multigraph edge list collapses — each distinct
+    # (src, dst) contributes rank/out_deg once).  For weighted semantics,
+    # pre-aggregate weights and extend the contribution expression instead.
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -62,6 +66,9 @@ def pagerank(
     )
     verts = verts.localCheckpoint(eager=False)
     n = nodes.count()
+    if n == 0:
+        # empty edge set → empty rank vector (avoid 1/0 in the init below)
+        return verts.select("node", F.lit(0.0).alias("rank"))
 
     ranks = verts.select("node", "out_deg", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
     for i in range(iterations):

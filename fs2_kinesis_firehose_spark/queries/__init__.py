@@ -78,6 +78,7 @@ _WINDOW_PRIORITY: list[str] = [
     # that is unchanged this round also sits out.
     # ---------------------------------------------------------------
     # (1) never driver-verified: new components + converted contracts
+    "pagerank_top_sources",
     "zorder_pruning_stats",
     "exactly_once_replay_counts",
     "streaming_progress_rollup",
@@ -140,6 +141,7 @@ def load_all() -> None:
     driver-window ordering (idempotent)."""
     from fs2_kinesis_firehose_spark.queries import (  # noqa: F401
         curation_q,
+        graph_q,
         layout_q,
         llm,
         relational,

@@ -1,0 +1,119 @@
+"""Graph queries: PageRank over the source content-overlap graph.
+
+The edge list is derived from an oracle-checked building block the registry
+already verifies (exact 3-gram Jaccard ≥ 0.7 near-dup pairs,
+``ngram_jaccard_pairs``): two sources are linked when they contain a near-
+duplicate document pair — the content-farm / syndication graph.  PageRank
+over that graph ranks sources by how central they sit in the duplication
+network (a real curation primitive: source weighting and spam triage).
+
+The DuckDB oracle restates the WHOLE pipeline — shingle Jaccard pairs, edge
+symmetrization, and the exact power iterations the operator runs (textbook
+dangling-mass formulation, fixed iteration count) — as unrolled CTEs, one
+per iteration, with the final rank rounded to 6 decimals to absorb
+summation-order ulps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fs2_kinesis_firehose_spark.operators import dedup as D
+from fs2_kinesis_firehose_spark.operators.graph import pagerank
+from fs2_kinesis_firehose_spark.queries import query
+from fs2_kinesis_firehose_spark.queries.llm import _DUCK_SHINGLES
+from fs2_kinesis_firehose_spark.tables import load_table
+
+_ITERATIONS = 3
+_DAMPING = 0.85
+
+
+def _unrolled_pagerank_sql(iterations: int, damping: float) -> str:
+    """CTE chain r0..r{iterations} mirroring operators/graph.py:pagerank
+    term-for-term: rank = (1-d)/n + d*(inflow + dmass/n)."""
+    ctes = [
+        "r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"r{i - 1}"
+        ctes.append(f"""
+    r{i} AS (
+        SELECT v.node,
+               (1.0 - {damping!r}) / nn.n
+               + {damping!r} * (COALESCE(i.inflow, 0.0) + dm.dmass / nn.n) AS pr
+        FROM nodes v
+        CROSS JOIN nn
+        CROSS JOIN (
+            SELECT COALESCE(SUM(r.pr), 0.0) AS dmass
+            FROM {prev} r LEFT JOIN deg d ON r.node = d.src
+            WHERE d.src IS NULL
+        ) dm
+        LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.pr / d.out_deg) AS inflow
+            FROM edges e
+            JOIN {prev} r ON e.src = r.node
+            JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        ) i ON v.node = i.node
+    )""")
+    return ",\n".join(ctes)
+
+
+@query(
+    "pagerank_top_sources",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    toks AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    common AS (
+        SELECT a.doc_id AS key1, b.doc_id AS key2, COUNT(*) AS common
+        FROM toks a JOIN toks b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT key1, key2
+        FROM common c
+        JOIN sizes s1 ON c.key1 = s1.doc_id
+        JOIN sizes s2 ON c.key2 = s2.doc_id
+        WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.7
+    ),
+    sp AS (
+        SELECT d1.source AS s1, d2.source AS s2
+        FROM pairs p
+        JOIN documents d1 ON p.key1 = d1.doc_id
+        JOIN documents d2 ON p.key2 = d2.doc_id
+    ),
+    edges AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT s1 AS src, s2 AS dst FROM sp
+            UNION ALL
+            SELECT s2 AS src, s1 AS dst FROM sp
+        )
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    {_unrolled_pagerank_sql(_ITERATIONS, _DAMPING)}
+    SELECT node AS source, ROUND(pr, 6) AS rank FROM r{_ITERATIONS}
+    """,
+)
+def pagerank_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({_ITERATIONS} power iterations, d=0.85) over the source
+    content-overlap graph: sources linked when they hold a J≥0.7 near-dup
+    document pair (symmetrized, deduplicated).  Returns every node's rank —
+    ranks sum to 1 over the connected sources."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.7)
+    d1 = docs.select(F.col("doc_id").alias("key1"), F.col("source").alias("s1"))
+    d2 = docs.select(F.col("doc_id").alias("key2"), F.col("source").alias("s2"))
+    # pairs is the small side (near-dup pairs ≪ corpus): no explicit
+    # broadcast hint — AQE broadcasts pairs at scale, either side here.
+    sp = pairs.join(d1, "key1").join(d2, "key2").select("s1", "s2")
+    edges = sp.select(F.col("s1").alias("src"), F.col("s2").alias("dst")).union(
+        sp.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=_ITERATIONS, damping=_DAMPING)
+    return ranks.select(
+        F.col("node").alias("source"), F.round("rank", 6).alias("rank")
+    )

@@ -1,0 +1,90 @@
+"""PageRank (operators/graph.py) semantics against hand-computed ground truth.
+
+The registered ``pagerank_top_sources`` query drives the operator under the
+DuckDB oracle; these tests pin the numeric semantics the oracle restates:
+hand-computed ranks on a small graph, dangling-mass redistribution,
+sum-to-1 invariant, parallel-edge dedup, and the empty-graph guard.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fs2_kinesis_firehose_spark.operators.graph import pagerank
+
+
+def _ranks(df) -> dict:
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def _reference_pagerank(edges, iterations, damping=0.85):
+    """Plain-Python textbook PageRank (dangling mass redistributed uniformly)."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dmass = sum(r for v, r in rank.items() if v not in out)
+        inflow = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] / out[s]
+        rank = {
+            v: (1.0 - damping) / n + damping * (inflow[v] + dmass / n)
+            for v in nodes
+        }
+    return rank
+
+
+@pytest.fixture(scope="module")
+def edge_df(spark):
+    def make(pairs):
+        return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+    return make
+
+
+def test_hand_computed_four_node_graph(edge_df):
+    # classic example: 1→2, 1→3, 2→3, 3→1, 4→3  (4 is a source, 3 a hub)
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    got = _ranks(pagerank(edge_df(pairs), iterations=3))
+    want = _reference_pagerank(pairs, iterations=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_dangling_node_mass_redistributed(edge_df):
+    # 2 has no out-edges: its rank must be redistributed, not lost
+    pairs = [(1, 2), (3, 2)]
+    got = _ranks(pagerank(edge_df(pairs), iterations=4))
+    want = _reference_pagerank(pairs, iterations=4)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ranks_sum_to_one(edge_df):
+    pairs = [(i, (i * 7 + 3) % 11) for i in range(11)] + [(2, 5), (9, 1)]
+    got = _ranks(pagerank(edge_df(pairs), iterations=5))
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_parallel_edges_deduplicated(edge_df):
+    # multigraph input: duplicated edges must not double contributions
+    once = _ranks(pagerank(edge_df([(1, 2), (2, 1)]), iterations=3))
+    dup = _ranks(pagerank(edge_df([(1, 2), (1, 2), (2, 1)]), iterations=3))
+    assert once == dup
+
+
+def test_empty_edges_returns_empty(edge_df):
+    out = pagerank(edge_df([]), iterations=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+
+
+def test_iterations_validated(edge_df):
+    with pytest.raises(ValueError):
+        pagerank(edge_df([(1, 2)]), iterations=0)
