@@ -78,6 +78,13 @@ HEADLINE = [
     # round-4 addition: BM25 ranked retrieval (scan-side postings filter +
     # broadcast stats, TakeOrderedAndProject top-k)
     "bm25_topk",
+    # round-5 additions: fixed-iteration PageRank over the near-dup source
+    # graph (iterative join+agg supersteps), the materialized-postings BM25
+    # path (index probe, corpus never re-scanned), and the winnowing
+    # coverage audit (widest gram-position self-join in the repo)
+    "pagerank_top_sources",
+    "bm25_postings_topk",
+    "winnow_coverage_check",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)
@@ -109,17 +116,22 @@ def main() -> None:
         except Exception as exc:  # never let warmup sink the bench
             print(f"  warmup {name} failed: {exc}", file=sys.stderr)
 
-    # three timed passes per query, keep the min: one-off JIT/GC/page-cache
+    # timed passes per query, keep the min: one-off JIT/GC/page-cache
     # stalls and noisy-neighbor windows otherwise add multi-second noise to a
     # single-shot measurement (observed: the SAME query measuring 0.6s and
     # 7.4s across runs on a shared box — min-of-2 loses when a noise window
-    # covers both passes).  The DataFrame cache is cleared before every pass
-    # so the min reflects cold-cache execution, not a populated persist.
+    # covers both passes).  Three passes for every query; queries whose best
+    # is under 2 s get two EXTRA passes (min-of-5): sub-2 s absolutes are
+    # where scheduler jitter shows up as double-digit percentage "drift"
+    # (r4→r5 adjudication — dsir/tpch_q8/cosine_topk moved ±27-55% with no
+    # code change).  The DataFrame cache is cleared before every pass so the
+    # min reflects cold-cache execution, not a populated persist.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = q.QUERIES[name]
         best = None
-        for _ in range(3):
+
+        def one_pass() -> float:
             spark.catalog.clearCache()
             # localCheckpoint blocks (simhash fingerprints, shingle/SemDeDup
             # edge materializations) are NOT covered by clearCache — they are
@@ -128,8 +140,15 @@ def main() -> None:
             gc.collect()
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
+            return time.perf_counter() - t0
+
+        for _ in range(3):
+            dt = one_pass()
             best = dt if best is None or dt < best else best
+        if best < 2.0:
+            for _ in range(2):
+                dt = one_pass()
+                best = dt if dt < best else best
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 

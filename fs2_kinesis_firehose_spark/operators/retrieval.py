@@ -116,6 +116,8 @@ def bm25_scores_from_postings(
     repeated-query path): corpus stats are passed in (computed once at index
     build), so the plan is filter→broadcast-df-join→aggregate only."""
     terms = [str(t) for t in query_terms]
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
     posts = postings.where(F.col("term").isin(terms))
     stats = posts.sparkSession.createDataFrame(
         [(n_docs, float(avgdl))], "n_docs bigint, avgdl double"

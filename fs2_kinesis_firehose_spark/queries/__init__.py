@@ -66,73 +66,73 @@ WINDOW_EXEMPT: dict[str, str] = {
 }
 
 _WINDOW_PRIORITY: list[str] = [
-    # --- r4 window.  Rotation state: after r3, 95/98 queries have a green
-    # driver row in SOME round and 47 are green in r3 itself.  This window
-    # (1) heads with the queries that have NEVER earned a driver row — the
-    # four new component queries plus the two converted from no_oracle to
-    # full contracts; (2) re-verifies every query whose implementation
-    # changed this round; (3) rotates in the queries whose only green row is
-    # r01 (oldest evidence), then the r02-evidence tail.  17 r02-green
-    # relational/scalar-family queries stay outside (names in README
-    # rotation note) — they rotate in next round; everything green in r03
-    # that is unchanged this round also sits out.
+    # --- r5 window.  Rotation state: after r4's clean sweep, every
+    # registered query except the three NEW this round has a green driver row
+    # in some prior round; the r4 window re-greened 50.  This window
+    # (1) heads with the three queries that have never earned a driver row;
+    # (2) re-verifies the three whose implementation/oracle changed this
+    # round (bm25_topk's oracle tokenizer, the winnowing gram-build refactor,
+    # the progress-rollup deadline path); (3) rotates in the 12 queries whose
+    # newest green row is r02 (the oldest evidence in the registry); then
+    # (4) fills with 32 of the 41 r03-evidence queries — the remaining 9
+    # (named in the README rotation note) keep their r03 rows and rotate in
+    # next round.  Everything green in r04 and unchanged sits out.
     # ---------------------------------------------------------------
-    # (1) never driver-verified: new components + converted contracts
+    # (1) never driver-verified: this round's new queries
     "pagerank_top_sources",
-    "zorder_pruning_stats",
-    "exactly_once_replay_counts",
-    "streaming_progress_rollup",
-    "near_dedup_clusters_distributed",
-    "winnow_fingerprint_overlap",
+    "bm25_postings_topk",
+    "winnow_coverage_check",
+    # (2) implementation/oracle changed this round → re-verify
     "bm25_topk",
-    "bpe_learned_token_counts",
-    "approx_distinct_users",
-    # (2) implementation changed this round → re-verify
-    "gopher_repetition_flags",
-    "streaming_incremental_neardup",
-    "kinesis_roundtrip_counts",
-    "pricing_summary",
-    "temperature_mixing_counts",
-    "minhash_lsh_pairs",
-    "near_dedup_cluster_sizes",
-    "near_dedup_survivors",
-    "curation_funnel_counts",
-    # (3a) green only in r01 — oldest evidence
-    "applyinpandas_zscore",
-    "asof_join_latest_order",
-    "distinct_segments",
-    "grouping_sets_order_stats",
-    "pandas_udaf_geomean",
-    # (3b) r02-evidence tail
-    "ann_lsh_topk",
-    "benchmark_contamination",
-    "cosine_topk_bruteforce",
-    "customer_order_window_stats",
-    "dedup_exact",
-    "doc_fingerprints",
-    "doc_length_histogram",
-    "embedding_neardup_blocked",
-    "embedding_neardup_pairs",
-    "gopher_quality_flags",
-    "ivf_topk",
-    "lang_id_counts",
-    "multimodal_frame_sample_stats",
-    "multimodal_image_features",
-    "ngram_jaccard_filtered",
-    "ngram_jaccard_pairs",
-    "order_price_percentiles",
-    "packed_sequence_stats",
-    "pii_redaction_stats",
-    "quality_scores",
-    "revenue_by_nation",
-    "source_mixture_counts",
-    "stratified_sample_docs",
-    "token_stats",
-    "train_val_test_counts",
-    "udtf_bigram_counts",
-    "global_top10_orders",
-    "returnflag_cube",
+    "winnow_fingerprint_overlap",
+    "streaming_progress_rollup",
+    # (3) newest green row is r02 — oldest evidence (README r4 rotation note)
+    "all_party_names_union",
+    "array_functions",
+    "customers_with_orders",
+    "full_outer_nation_balance",
+    "late_shipments",
+    "market_segment_rollup",
+    "monthly_revenue_running",
+    "nations_with_customers_and_suppliers",
+    "nations_without_rich_suppliers",
+    "parts_never_ordered",
+    "segment_count_distinct",
     "top_orders_per_customer",
+    # (4) r03-evidence refresh: TPC-H suite, streaming family, sink surface,
+    # heavy Tier-C
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "streaming_tumbling_counts",
+    "streaming_sliding_stats",
+    "streaming_session_counts",
+    "streaming_dedup_counts",
+    "streaming_static_join_revenue",
+    "streaming_stream_stream_join",
+    "streaming_stateful_user_stats",
+    "firehose_delivery_accounting",
+    "interval_join_incident_counts",
+    "user_session_stats",
+    "simhash_neardup_pairs",
+    "semantic_dedup_survivors",
+    "span_dedup_stats",
+    "lm_perplexity_scores",
+    "dsir_importance_weights",
+    "normalized_dedup_stats",
+    "multimodal_png_roundtrip_stats",
+    "doc_chunk_stats",
 ]
 
 

@@ -1311,6 +1311,78 @@ def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "winnow_coverage_check",
+    # The coverage GUARANTEE driven through the gate (r4 verdict ask #6): for
+    # every pair that could trigger it (≥4 shared gram occurrences), both
+    # engines compute the longest shared consecutive-gram run (diagonal
+    # islands over matched positions), the shared-fingerprint count, and the
+    # implication max_gram_run >= window ⇒ n_shared_fp >= 1.  A fingerprint
+    # selection bug that breaks the guarantee flips guarantee_ok → hash
+    # mismatch.
+    oracle="""
+    WITH wds AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+    grams AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+               CAST(concat('0x', substr(md5(array_to_string(
+                   w[CAST(t.i AS INT):CAST(t.i + 2 AS INT)], ' ')), 1, 15)) AS BIGINT) AS h
+        FROM wds, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    m AS (
+        SELECT a.doc_id AS key1, b.doc_id AS key2, a.pos AS p1,
+               a.pos - b.pos AS diag
+        FROM grams a JOIN grams b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT key1, key2, diag,
+               p1 - ROW_NUMBER() OVER (PARTITION BY key1, key2, diag ORDER BY p1) AS grp
+        FROM m
+    ),
+    rl AS (
+        SELECT key1, key2, diag, grp, COUNT(*) AS run_len
+        FROM runs GROUP BY 1, 2, 3, 4
+    ),
+    ps AS (
+        SELECT key1, key2,
+               CAST(SUM(run_len) AS BIGINT) AS n_matches,
+               CAST(MAX(run_len) AS BIGINT) AS max_gram_run
+        FROM rl GROUP BY 1, 2
+        HAVING SUM(run_len) >= 4
+    ),
+    wmin AS (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rnk,
+               COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+        FROM grams
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, fp AS fingerprint
+        FROM wmin WHERE rnk <= GREATEST(cnt - 3, 1)
+    ),
+    shared AS (
+        SELECT a.doc_id AS key1, b.doc_id AS key2, COUNT(*) AS n
+        FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT ps.key1, ps.key2, ps.n_matches, ps.max_gram_run,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_shared_fp,
+           NOT (ps.max_gram_run >= 4 AND COALESCE(s.n, 0) = 0) AS guarantee_ok
+    FROM ps LEFT JOIN shared s ON ps.key1 = s.key1 AND ps.key2 = s.key2
+    """,
+)
+def winnow_coverage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing coverage guarantee (Schleimer et al. 2003, Thm. in §3)
+    driver-checked end-to-end: every pair with a shared gram run of ≥ window
+    consecutive grams (= window+gram_n-1 shared tokens) must share ≥1
+    selected fingerprint (operators/fingerprint.py:coverage_report)."""
+    from fs2_kinesis_firehose_spark.operators import fingerprint as FP
+
+    docs = load_table(spark, sf_dir, "documents")
+    return FP.coverage_report(docs, "text", "doc_id", gram_n=3, window=4)
+
+
 @query("near_dedup_clusters_distributed", oracle=_CLUSTER_SIZES_ORACLE)
 def near_dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same cluster-size histogram as ``near_dedup_cluster_sizes``, but with

@@ -278,13 +278,24 @@ def streaming_progress_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory(tumbling_counts(stream), output_mode="complete")
         # listener delivery is async (event bus): awaitTermination returning
         # does NOT mean every progress event reached the Python listener —
-        # wait until the captured input-row total covers the source
+        # wait until the captured input-row total covers the source.  On
+        # deadline expiry FAIL LOUDLY with the capture state rather than
+        # returning a short row: a partial capture would surface as a
+        # confusing hash mismatch that looks like flakiness (r4 verdict #7).
         deadline = time.time() + 30
         while (
             sum(r["num_input_rows"] for r in cap.rows) < expected
             and time.time() < deadline
         ):
             time.sleep(0.1)
+        captured = sum(r["num_input_rows"] for r in cap.rows)
+        if captured < expected:
+            raise RuntimeError(
+                "streaming_progress_rollup: listener drain deadline (30s) "
+                f"expired with {captured}/{expected} input rows across "
+                f"{len(cap.rows)} progress events — overloaded event bus, "
+                "not a correctness failure; rerun on a quieter machine"
+            )
     progress = cap.to_df(spark).filter(F.col("num_input_rows") > 0)
     summary = throughput_summary(progress)
     return summary.select(

@@ -89,3 +89,41 @@ def test_density_is_sublinear(spark, sf_smoke):
     n_fp = winnow_fingerprints(docs, "text", "doc_id").count()
     # expected density 2/(w+1) = 0.4 of gram count; distinct-ing only lowers
     assert n_fp < 0.6 * n_grams
+
+
+def test_coverage_report_run_lengths_and_guarantee(spark):
+    from fs2_kinesis_firehose_spark.operators.fingerprint import coverage_report
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens -> 6 grams
+    docs = [
+        (0, f"intro words here {shared} closing words"),
+        (1, f"{shared} completely different tail text now"),
+        (2, "unrelated text with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    rows = {(r.key1, r.key2): r for r in coverage_report(df, "text", "doc_id").collect()}
+    assert set(rows) == {(0, 1)}
+    r = rows[(0, 1)]
+    # 8 shared tokens = 6 shared consecutive 3-grams on one diagonal
+    assert r.max_gram_run == 6
+    assert r.n_matches >= 6
+    # run >= window(4) => the guarantee must hold with >=1 shared fingerprint
+    assert r.n_shared_fp >= 1
+    assert bool(r.guarantee_ok) is True
+
+
+def test_coverage_report_below_window_run_is_still_reported(spark):
+    from fs2_kinesis_firehose_spark.operators.fingerprint import coverage_report
+
+    # 6 shared tokens -> 4 shared grams: exactly at the window boundary
+    shared = "one two three four five six"
+    docs = [
+        (0, f"{shared} padding tail a b c"),
+        (1, f"prefix words {shared} other ending"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    rows = coverage_report(df, "text", "doc_id", gram_n=3, window=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.max_gram_run == 4
+    assert r.n_shared_fp >= 1 and bool(r.guarantee_ok) is True
