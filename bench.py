@@ -85,6 +85,9 @@ HEADLINE = [
     "pagerank_top_sources",
     "bm25_postings_topk",
     "winnow_coverage_check",
+    # round-5 addition: distributed Lloyd k-means (GEMM assignment passes +
+    # (cluster, dim) update aggregates; the full training loop is the cost)
+    "kmeans_cluster_stats",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -53,7 +53,16 @@ def pagerank(
     # simple directed graph (a multigraph edge list collapses — each distinct
     # (src, dst) contributes rank/out_deg once).  For weighted semantics,
     # pre-aggregate weights and extend the contribution expression instead.
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # The deduplicated edge list is localCheckpoint'ed: it is consumed 2+2k
+    # times (degrees, vertex set, every iteration's join) and its upstream
+    # lineage may be an expensive pipeline (e.g. the near-dup pair join in
+    # pagerank_top_sources — 3.5× the whole query's cost when re-evaluated
+    # per iteration).
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

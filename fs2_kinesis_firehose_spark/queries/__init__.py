@@ -82,6 +82,7 @@ _WINDOW_PRIORITY: list[str] = [
     "pagerank_top_sources",
     "bm25_postings_topk",
     "winnow_coverage_check",
+    "kmeans_cluster_stats",
     # (2) implementation/oracle changed this round → re-verify
     "bm25_topk",
     "winnow_fingerprint_overlap",
@@ -140,6 +141,7 @@ def load_all() -> None:
     """Import every module that registers queries, then apply the explicit
     driver-window ordering (idempotent)."""
     from fs2_kinesis_firehose_spark.queries import (  # noqa: F401
+        cluster_q,
         curation_q,
         graph_q,
         layout_q,

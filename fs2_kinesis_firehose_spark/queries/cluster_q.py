@@ -1,0 +1,100 @@
+"""Clustering queries: distributed Lloyd k-means over the embeddings table.
+
+The oracle restates the ENTIRE training loop as unrolled CTEs — one
+(distance → argmin-assignment → per-dim mean) block per iteration — using
+DuckDB ``list_inner_product`` for the same sequential-fold dot products the
+Spark side computes (the fold-order equivalence `V.dot` ≡
+``list_inner_product`` is already load-bearing for the ANN/IVF oracles).
+Intermediate centroid means are rounded to 9 decimals on BOTH engines so
+each iteration's assignment literals are bit-identical; the final per-
+cluster energy rounds to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fs2_kinesis_firehose_spark.operators import kmeans as KM
+from fs2_kinesis_firehose_spark.operators.similarity import _seq_sq_norm
+from fs2_kinesis_firehose_spark.queries import query
+from fs2_kinesis_firehose_spark.tables import load_table
+
+_K = 8
+_ITERS = 3
+_DIM = 64
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    ctes = [
+        "pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (
+        SELECT CAST(rn - 1 AS INT) AS cluster, v AS c
+        FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM pts)
+        WHERE rn <= {k}
+    )""",
+    ]
+    for t in range(1, iters + 2):  # iters updates + one final assignment
+        prev = f"c{t - 1}"
+        ctes.append(f"""d{t} AS (
+        SELECT p.vec_id, c.cluster,
+               list_inner_product(c.c, c.c)
+               - 2.0 * list_inner_product(p.v, c.c) AS dist
+        FROM pts p CROSS JOIN {prev} c
+    )""")
+        ctes.append(f"""a{t} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM d{t}
+        ) WHERE rn = 1
+    )""")
+        if t <= iters:
+            ctes.append(f"""m{t} AS (
+        SELECT cluster, list(m ORDER BY dim) AS c FROM (
+            SELECT a.cluster, d.i AS dim, ROUND(AVG(p.v[d.i]), 9) AS m
+            FROM a{t} a JOIN pts p USING (vec_id),
+                 UNNEST(range(1, {dim + 1})) AS d(i)
+            GROUP BY a.cluster, d.i
+        ) GROUP BY cluster
+    )""")
+            ctes.append(f"""c{t} AS (
+        SELECT pc.cluster, COALESCE(m.c, pc.c) AS c
+        FROM {prev} pc LEFT JOIN m{t} m ON pc.cluster = m.cluster
+    )""")
+    final = iters + 1
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT n.cluster, n.n_points,
+           ROUND(list_inner_product(c.c, c.c), 6) AS centroid_sq_norm
+    FROM (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_points
+          FROM a{final} GROUP BY cluster) n
+    JOIN c{iters} c ON n.cluster = c.cluster
+    """
+
+
+@query("kmeans_cluster_stats", oracle=_kmeans_oracle(_K, _ITERS, _DIM))
+def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=8, 3 iterations, deterministic first-k
+    init) over ``embeddings``, then the final assignment's cluster sizes and
+    centroid energies.  Training runs the production GEMM assignment path
+    (fixture-exact vs the HOF reference, pytest-pinned); the oracle replays
+    init, every iteration, and the final assignment."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = KM.kmeans_lloyd(
+        emb, "embedding", "vec_id", k=_K, iterations=_ITERS, round_to=9
+    )
+    # final assignment on the GEMM path too (HOF-equivalence pytest-pinned);
+    # the interpreted HOF fold would dominate the bench at sf0.1
+    assigned = KM._assign_blas(emb, cents, "embedding")
+    energy = F.array(*[F.lit(_seq_sq_norm(c)) for c in cents])
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .withColumn(
+            "centroid_sq_norm",
+            F.round(F.element_at(energy, F.col("cluster") + 1), 6),
+        )
+    )
