@@ -88,6 +88,9 @@ HEADLINE = [
     # round-5 addition: distributed Lloyd k-means (GEMM assignment passes +
     # (cluster, dim) update aggregates; the full training loop is the cost)
     "kmeans_cluster_stats",
+    # round-5 addition: two-pass Misra–Gries heavy hitters (per-partition
+    # sketch pass + broadcast exact recount; ≤ k·P rows ever shuffled)
+    "heavy_hitter_bigrams",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

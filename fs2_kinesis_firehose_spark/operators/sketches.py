@@ -1,0 +1,159 @@
+"""Mergeable frequency sketches: Misra–Gries heavy hitters.
+
+The bounded-memory primitive every 100-TB vocabulary / hot-key / frequent-
+n-gram job needs: find all items whose frequency exceeds ``phi·n`` without
+ever materializing the full (item, count) table on one node.
+
+Two-pass exact heavy hitters (the classic construction):
+
+1. **Candidate generation** — a Misra–Gries summary with ``k`` counters per
+   partition (``mapInPandas``, Arrow-batched: exact per-batch value_counts
+   merged into a dict, compressed back to ``k`` counters whenever it
+   overflows).  Per-partition summaries are merged with ONE hash aggregate
+   (sum of weights) and compressed once more to ``k`` global counters
+   in-plan (threshold = the (k+1)-th largest merged weight, computed by a
+   TakeOrderedAndProject over the ≤ k·P-row summary table — metadata, not
+   data).  By the mergeable-summaries theorem (Agarwal et al., PODS 2012)
+   the result is a valid MG summary of the WHOLE dataset: any item with
+   true count > n/(k+1) survives.  With ``k ≥ ceil(1/phi)`` (enforced)
+   every phi-heavy item is therefore a candidate.
+2. **Exact recount** — broadcast the ≤ k candidate keys back over the data,
+   count exactly, keep ``count ≥ ceil(phi·n)``.  False positives from the
+   sketch are removed here, so the OUTPUT is exact and deterministic —
+   independent of partitioning, batch boundaries, and compress timing —
+   which is what makes the operator oracle-checkable by plain SQL.
+
+Scale shape: one narrow mapInPandas pass (O(k) state, ≤ k rows out per
+partition), one ≤ k·P-row shuffle, one broadcast semi-join + one hash
+aggregate over the data.  No driver-side data ever; the only driver
+artifacts are Catalyst literals.  Skew-proof by construction (the sketch
+pass has no keyed shuffle; the recount aggregates ≤ k distinct keys).
+
+Reference scope note: the fs2-kinesis-firehose reference is a producer-side
+connector (Firehose.scala) with no analytics surface; this operator is part
+of the Tier-C training-data-pipeline extension mandated by SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["misra_gries_summaries", "heavy_hitters"]
+
+
+def _compress(counters: dict, k: int) -> dict:
+    """MG compress: keep ≤ k counters by subtracting the (k+1)-th largest
+    weight from all and dropping non-positives.  Total undercount introduced
+    across all compressions is ≤ n_partition/(k+1)."""
+    if len(counters) <= k:
+        return counters
+    weights = sorted(counters.values(), reverse=True)
+    t = weights[k]  # (k+1)-th largest
+    return {item: w - t for item, w in counters.items() if w > t}
+
+
+def misra_gries_summaries(
+    df: DataFrame, item_col: str, k: int, *, compress_slack: int = 4
+) -> DataFrame:
+    """Per-partition Misra–Gries summaries → DataFrame(item, weight).
+
+    ≤ k rows per input partition; each partition's summary undercounts any
+    item by at most n_partition/(k+1).  NULL items are ignored (SQL-aggregate
+    convention).  ``compress_slack``: the dict is allowed to grow to
+    ``compress_slack·k`` between compressions so the O(k log k) compress
+    amortizes over Arrow batches.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    item_field = df.schema[item_col]
+    out_schema = f"item {item_field.dataType.simpleString()}, weight long"
+    high_water = max(compress_slack * k, k + 1)
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[item_col].value_counts(dropna=True)
+            for item, c in vc.items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > high_water:
+                counters = _compress(counters, k)
+        counters = _compress(counters, k)
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "weight": list(counters.values())}
+        )
+
+    return df.select(item_col).mapInPandas(summarize, schema=out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    phi: float,
+    *,
+    k: int | None = None,
+    totals: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT phi-heavy hitters: DataFrame(item, cnt) with
+    ``cnt = exact count`` for every item whose count ≥ ceil(phi·n),
+    n = number of non-NULL items.
+
+    ``k`` (counter budget) defaults to ``4·ceil(1/phi)``; any ``k ≥
+    ceil(1/phi)`` preserves the no-false-negative guarantee — larger k only
+    reduces recount false positives.  Output is exact regardless of k.
+
+    ``totals``: optional 1-row DataFrame with a ``n`` long column giving the
+    non-NULL item count.  When the item stream is derived (e.g. exploded
+    n-grams behind a window pass), the caller can often compute n at scan
+    speed from the pre-explosion table instead of re-evaluating the
+    derivation a third time — pass it here.  Caller-supplied totals MUST
+    equal the stream's true count or the phi cut is wrong.
+    """
+    if not (0.0 < phi <= 1.0):
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    k_min = math.ceil(1.0 / phi)
+    if k is None:
+        k = 4 * k_min
+    if k < k_min:
+        raise ValueError(
+            f"k={k} breaks the heavy-hitter guarantee for phi={phi}; need k >= {k_min}"
+        )
+
+    items = df.select(item_col).where(F.col(item_col).isNotNull())
+
+    # Pass 1: per-partition sketches → merge → global compress to ≤ k.
+    merged = (
+        misra_gries_summaries(items, item_col, k)
+        .groupBy("item")
+        .agg(F.sum("weight").alias("w"))
+    )
+    # (k+1)-th largest merged weight (0 when < k+1 summaries survive);
+    # TakeOrderedAndProject over ≤ k·P rows, then a 1-row broadcast BNLJ —
+    # the repo-pinned crossJoin idiom (never a CartesianProduct).
+    thr = (
+        merged.orderBy(F.desc("w")).limit(k + 1)
+        .agg(
+            F.when(F.count("*") >= k + 1, F.min("w")).otherwise(F.lit(0)).alias("thr")
+        )
+    )
+    candidates = (
+        merged.crossJoin(F.broadcast(thr))
+        .where(F.col("w") > F.col("thr"))
+        .select(F.col("item").alias(item_col))
+    )
+
+    # Pass 2: exact recount of the ≤ k candidates + the phi·n cut.
+    if totals is None:
+        totals = items.agg(F.count("*").alias("n"))
+    return (
+        items.join(F.broadcast(candidates), item_col, "inner")
+        .groupBy(item_col)
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(totals))
+        .where(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("n")).cast("long"))
+        .select(F.col(item_col).alias("item"), "cnt")
+    )

@@ -79,6 +79,7 @@ _WINDOW_PRIORITY: list[str] = [
     # next round.  Everything green in r04 and unchanged sits out.
     # ---------------------------------------------------------------
     # (1) never driver-verified: this round's new queries
+    "heavy_hitter_bigrams",
     "pagerank_top_sources",
     "bm25_postings_topk",
     "winnow_coverage_check",
@@ -149,6 +150,7 @@ def load_all() -> None:
         relational,
         retrieval_q,
         sinkq,
+        sketch_q,
         streaming_q,
         temporal_q,
         tpch_q,

@@ -1,0 +1,97 @@
+"""Misra–Gries heavy hitters (operators/sketches.py): exactness vs a plain
+groupBy ground truth, the no-false-negative sketch guarantee, compress
+error bound, and input edge cases."""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pytest
+
+from fs2_kinesis_firehose_spark.operators import sketches as SK
+
+
+def _zipf_df(spark, n=20_000, vocab=2_000, seed=7, partitions=8):
+    rng = np.random.default_rng(seed)
+    items = [f"tok{z}" for z in rng.zipf(1.3, n) % vocab]
+    return (
+        spark.createDataFrame([(s,) for s in items], "item string")
+        .repartition(partitions)
+    ), items
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    df, items = _zipf_df(spark)
+    phi = 0.01
+    got = {r["item"]: r["cnt"] for r in SK.heavy_hitters(df, "item", phi).collect()}
+    counts = collections.Counter(items)
+    cut = int(np.ceil(phi * len(items)))
+    want = {t: c for t, c in counts.items() if c >= cut}
+    assert got == want and len(want) > 0
+
+
+def test_exactness_independent_of_k(spark):
+    # Output must not depend on the counter budget (only candidate recall does).
+    df, items = _zipf_df(spark, n=5_000, vocab=500, seed=3)
+    phi = 0.02
+    base = sorted(SK.heavy_hitters(df, "item", phi).collect())
+    loose = sorted(SK.heavy_hitters(df, "item", phi, k=10_000).collect())
+    tight = sorted(SK.heavy_hitters(df, "item", phi, k=50).collect())
+    assert base == loose == tight
+
+
+def test_summary_error_bound(spark):
+    # Each per-partition summary undercounts any item by <= n_p/(k+1).
+    rng = np.random.default_rng(5)
+    items = [f"t{z}" for z in rng.zipf(1.5, 4_000) % 300]
+    df = spark.createDataFrame([(s,) for s in items], "item string").coalesce(1)
+    k = 20
+    summary = {r["item"]: r["weight"] for r in
+               SK.misra_gries_summaries(df, "item", k).collect()}
+    assert len(summary) <= k
+    truth = collections.Counter(items)
+    bound = len(items) / (k + 1)
+    for item, c in truth.items():
+        assert summary.get(item, 0) <= c  # never overcounts
+        assert c - summary.get(item, 0) <= bound  # bounded undercount
+
+
+def test_no_false_negatives_at_minimum_k(spark):
+    df, items = _zipf_df(spark, n=10_000, vocab=1_000, seed=11, partitions=16)
+    phi = 0.05
+    k_min = int(np.ceil(1 / phi))
+    got = {r["item"] for r in SK.heavy_hitters(df, "item", phi, k=k_min).collect()}
+    counts = collections.Counter(items)
+    cut = int(np.ceil(phi * len(items)))
+    assert {t for t, c in counts.items() if c >= cut} == got
+
+
+def test_nulls_ignored_and_empty_input(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "item string"
+    )
+    got = {r["item"]: r["cnt"] for r in SK.heavy_hitters(df, "item", 0.5).collect()}
+    assert got == {"a": 2}  # n=3 non-null, cut=2
+    empty = spark.createDataFrame([], "item string")
+    assert SK.heavy_hitters(empty, "item", 0.1).count() == 0
+
+
+def test_caller_supplied_totals_matches_internal(spark):
+    import pyspark.sql.functions as F
+
+    df, _ = _zipf_df(spark, n=5_000, vocab=500, seed=9)
+    totals = df.where(F.col("item").isNotNull()).agg(F.count("*").alias("n"))
+    a = sorted(SK.heavy_hitters(df, "item", 0.02).collect())
+    b = sorted(SK.heavy_hitters(df, "item", 0.02, totals=totals).collect())
+    assert a == b and len(a) > 0
+
+
+def test_k_and_phi_validation(spark):
+    df = spark.createDataFrame([("a",)], "item string")
+    with pytest.raises(ValueError):
+        SK.heavy_hitters(df, "item", 0.0)
+    with pytest.raises(ValueError):
+        SK.heavy_hitters(df, "item", 0.1, k=5)  # < ceil(1/phi)
+    with pytest.raises(ValueError):
+        SK.misra_gries_summaries(df, "item", 0)
