@@ -91,6 +91,9 @@ HEADLINE = [
     # round-5 addition: two-pass Misra–Gries heavy hitters (per-partition
     # sketch pass + broadcast exact recount; ≤ k·P rows ever shuffled)
     "heavy_hitter_bigrams",
+    # round-5 addition: degree-oriented triangle counting on the hub-skewed
+    # part co-purchase graph (wedge self-join bounded by orientation)
+    "part_copurchase_triangles",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

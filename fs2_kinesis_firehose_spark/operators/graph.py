@@ -1,4 +1,4 @@
-"""Graph analytics over edge DataFrames: PageRank.
+"""Graph analytics over edge DataFrames: PageRank, triangle counting.
 
 Complements the connected-components operator in ``operators/dedup.py``
 (alternating star contraction): PageRank is the other canonical iterative
@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_counts"]
 
 
 def pagerank(
@@ -105,3 +105,70 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")
+
+
+def triangle_counts(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected simple
+    graph: ``(node, tri_cnt)`` for every node in ≥ 1 triangle.
+
+    Edge input is treated as UNDIRECTED: each row links its two endpoints;
+    direction, duplicates, and self-loops are normalized away (canonical
+    u < v form + distinct).
+
+    Scale shape — degree-ordered orientation (the classic bound for skewed
+    graphs, cf. Suri & Vassilvitskii, WWW 2011): every edge is oriented from
+    its lower-(degree, id) endpoint to its higher one, which caps every
+    out-degree at O(√m) no matter how extreme the hub skew.  Wedges are then
+    enumerated only at each triangle's LOWEST-rank apex (one self-join on
+    ``src``, Σ out_deg² ≤ m^{3/2} candidates instead of Σ deg² — the hub
+    node never fans out), and each wedge is closed by ONE hash join back to
+    the oriented edge list.  Because the orientation is a total order, each
+    triangle is produced exactly once, so no post-hoc dedup is needed.
+    The output is orientation-invariant — a plain a<b<c three-way SQL join
+    restates it, which is what the correctness oracle does.
+    """
+    # canonical undirected simple graph: u < v
+    u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(u.alias("u"), v.alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (deg, id) total order; carry the dst rank for wedge ordering
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    with_deg = und.join(du, "u").join(dv, "v")
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    oriented = with_deg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.struct(F.col("dv").alias("d"), F.col("v").alias("n")))
+        .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
+        .alias("dst"),
+    ).localCheckpoint(eager=False)  # consumed 3× below (e1, e2, closing join)
+
+    e1 = oriented.select(F.col("src").alias("apex"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("apex"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "apex").where(F.col("b") < F.col("c"))
+    closing = oriented.select(
+        F.col("src").alias("b_n"), F.col("dst.n").alias("c_n")
+    )
+    tris = wedges.join(
+        closing,
+        (F.col("b.n") == F.col("b_n")) & (F.col("c.n") == F.col("c_n")),
+    ).select("apex", F.col("b.n").alias("bn"), F.col("c.n").alias("cn"))
+
+    return (
+        tris.select(
+            F.explode(F.array("apex", "bn", "cn")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_cnt"))
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fs2_kinesis_firehose_spark.operators import dedup as D
-from fs2_kinesis_firehose_spark.operators.graph import pagerank
+from fs2_kinesis_firehose_spark.operators.graph import pagerank, triangle_counts
 from fs2_kinesis_firehose_spark.queries import query
 from fs2_kinesis_firehose_spark.queries.llm import _DUCK_SHINGLES
 from fs2_kinesis_firehose_spark.tables import load_table
@@ -117,3 +117,40 @@ def pagerank_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("source"), F.round("rank", 6).alias("rank")
     )
+
+
+@query(
+    "part_copurchase_triangles",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    members AS (
+        SELECT a AS part FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT part, COUNT(*) AS tri_cnt FROM members GROUP BY part
+    """,
+)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation per part in the co-purchase graph (parts linked
+    when some order contains both) — the canonical hub-skewed market-basket
+    graph; triangle density identifies substitutable/bundled product
+    clusters.  The oracle restates the orientation-free a<b<c three-way
+    join; the engine runs the degree-oriented O(m^{3/2})-bounded plan
+    (operators/graph.py:triangle_counts)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
+    return triangle_counts(pairs).withColumnRenamed("node", "part")

@@ -88,3 +88,53 @@ def test_empty_edges_returns_empty(edge_df):
 def test_iterations_validated(edge_df):
     with pytest.raises(ValueError):
         pagerank(edge_df([(1, 2)]), iterations=0)
+
+
+# --- triangle_counts -------------------------------------------------------
+
+
+def _tri(spark, rows):
+    df = spark.createDataFrame(rows, "src long, dst long")
+    from fs2_kinesis_firehose_spark.operators.graph import triangle_counts
+
+    return {r["node"]: r["tri_cnt"] for r in triangle_counts(df).collect()}
+
+
+def test_triangles_k4(spark):
+    # complete graph on 4 nodes: 4 triangles, each node in exactly 3
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert _tri(spark, edges) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_star_has_none(spark):
+    # hub-and-spoke: plenty of wedges, zero triangles
+    assert _tri(spark, [(0, i) for i in range(1, 8)]) == {}
+
+
+def test_triangles_direction_dup_selfloop_invariant(spark):
+    base = [(1, 2), (2, 3), (1, 3)]
+    noisy = base + [(2, 1), (3, 2), (1, 2), (1, 1), (3, 3)]
+    assert _tri(spark, noisy) == _tri(spark, base) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_two_sharing_an_edge(spark):
+    # triangles {1,2,3} and {2,3,4} share edge (2,3)
+    edges = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)]
+    assert _tri(spark, edges) == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangles_match_bruteforce_random(spark):
+    import itertools
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    n = 30
+    edges = [(int(a), int(b)) for a in range(n) for b in range(n)
+             if a < b and rng.random() < 0.25]
+    eset = set(edges)
+    want: dict[int, int] = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+    assert _tri(spark, edges) == want
