@@ -94,6 +94,9 @@ HEADLINE = [
     # round-5 addition: degree-oriented triangle counting on the hub-skewed
     # part co-purchase graph (wedge self-join bounded by orientation)
     "part_copurchase_triangles",
+    # round-5 addition: hybrid retrieval (BM25 + dense cosine fused by RRF;
+    # two TakeOrderedAndProject rankers + candidate-only fusion windows)
+    "hybrid_rrf_topk",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from fs2_kinesis_firehose_spark.functions import text as T
 
-__all__ = ["posting_lists", "bm25_scores", "bm25_scores_from_postings", "bm25_topk"]
+__all__ = ["posting_lists", "bm25_scores", "bm25_scores_from_postings", "bm25_topk", "rrf_fuse"]
 
 
 def posting_lists(
@@ -167,3 +167,58 @@ def bm25_topk(
         docs, query_terms, text_col=text_col, key_col=key_col, k1=k1, b=b, round_to=round_to
     )
     return scores.orderBy(F.desc("bm25"), F.asc(key_col)).limit(k)
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    *,
+    key_col: str = "doc_id",
+    rrf_k: int = 60,
+    top_n: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of ≥2 candidate
+    lists: ``score(d) = Σ_r 1/(rrf_k + rank_r(d))`` — the standard way to
+    combine lexical (BM25) and dense (embedding-cosine) retrieval without
+    score calibration.
+
+    Each input DataFrame must be ``(key_col, <score>)`` with exactly one
+    non-key column; ranks are assigned 1-based by (score DESC, key ASC) — the
+    same deterministic tie-break as ``bm25_topk`` / ``brute_force_topk``.
+    Documents absent from a list simply contribute nothing for it (standard
+    RRF).
+
+    CONTRACT: inputs are pre-truncated top-N candidate lists (the practical
+    RRF shape), NOT corpus-sized tables — each ranking is globally ordered
+    with a single-partition window, which is O(N log N) on one task and only
+    sane because N is small.  Truncate upstream (TakeOrderedAndProject)
+    first; this operator fuses candidates, it does not rank the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs >= 2 rankings")
+    contribs = []
+    for r in rankings:
+        others = [c for c in r.columns if c != key_col]
+        if len(others) != 1:
+            raise ValueError(
+                f"each ranking must be (key, score); got columns {r.columns}"
+            )
+        w = Window.orderBy(F.desc(others[0]), F.asc(key_col))
+        contribs.append(
+            r.select(
+                F.col(key_col),
+                (F.lit(1.0) / (F.lit(rrf_k) + F.row_number().over(w))).alias("c"),
+            )
+        )
+    fused = contribs[0]
+    for c in contribs[1:]:
+        fused = fused.unionByName(c)
+    out = (
+        fused.groupBy(key_col)
+        .agg(F.round(F.sum("c"), round_to).alias("rrf_score"))
+    )
+    if top_n is not None:
+        out = out.orderBy(F.desc("rrf_score"), F.asc(key_col)).limit(top_n)
+    return out

@@ -81,6 +81,7 @@ _WINDOW_PRIORITY: list[str] = [
     # (1) never driver-verified: this round's new queries
     "heavy_hitter_bigrams",
     "part_copurchase_triangles",
+    "hybrid_rrf_topk",
     "pagerank_top_sources",
     "bm25_postings_topk",
     "winnow_coverage_check",

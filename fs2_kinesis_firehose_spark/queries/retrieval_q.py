@@ -123,3 +123,87 @@ def bm25_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         index, _PQUERY_TERMS, n_docs, avgdl, k1=_K1, b=_B, round_to=4
     )
     return scores.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_K)
+
+
+# --- hybrid retrieval: BM25 + dense cosine fused with RRF -------------------
+#
+# The two candidate lists reuse the exact building blocks their own green
+# rows verify (bm25_topk's scorer, cosine_topk_bruteforce's scorer); both
+# engines rank the ROUNDED scores, so ranks agree cross-engine even at ties.
+_RRF_CAND = 50  # per-ranker candidate depth
+_RRF_K = 60
+_RRF_TOP = 15
+
+
+@query(
+    "hybrid_rrf_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM toks),
+    posts AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+        WHERE term IN ({_terms_sql})
+        GROUP BY doc_id, dl, term
+    ),
+    dfs AS (SELECT term, COUNT(*) AS df FROM posts GROUP BY term),
+    lex AS (
+        SELECT p.doc_id,
+               ROUND(SUM(
+                   LN(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * (p.tf * {_K1 + 1.0!r})
+                   / (p.tf + {_K1!r} * ({1.0 - _B!r} + {_B!r} * p.dl / s.avgdl))
+               ), 4) AS bm25
+        FROM posts p JOIN dfs f USING (term) CROSS JOIN stats s
+        GROUP BY p.doc_id
+        ORDER BY bm25 DESC, doc_id ASC LIMIT {_RRF_CAND}
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    dense AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND(
+                   list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (SQRT(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                      * SQRT(list_inner_product(q.qv, q.qv))), 6) AS cos_sim
+        FROM embeddings e, q
+        ORDER BY cos_sim DESC, doc_id ASC LIMIT {_RRF_CAND}
+    ),
+    contribs AS (
+        SELECT doc_id,
+               1.0 / ({_RRF_K} + ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)) AS c
+        FROM lex
+        UNION ALL
+        SELECT doc_id,
+               1.0 / ({_RRF_K} + ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC)) AS c
+        FROM dense
+    )
+    SELECT doc_id, ROUND(SUM(c), 6) AS rrf_score
+    FROM contribs
+    GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT {_RRF_TOP}
+    """,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: top-{_RRF_CAND} BM25 candidates + top-{_RRF_CAND}
+    dense-cosine candidates (vec_id=0 probe; doc_id ≡ vec_id in the fixture),
+    fused by reciprocal-rank fusion (k=60) into a top-{_RRF_TOP} list.  Each
+    ranker is its own TakeOrderedAndProject; the fusion windows run over ≤50
+    pre-truncated rows each (the documented rrf_fuse contract)."""
+    from pyspark.sql import functions as F
+
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+    from fs2_kinesis_firehose_spark.queries.llm import _query_vector
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = retrieval.bm25_topk(docs, _QUERY_TERMS, k=_RRF_CAND, k1=_K1, b=_B, round_to=4)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = S.brute_force_topk(emb, _query_vector(spark, sf_dir), k=_RRF_CAND).select(
+        F.col("vec_id").alias("doc_id"), "cos_sim"
+    )
+    return retrieval.rrf_fuse(
+        [lex, dense], key_col="doc_id", rrf_k=_RRF_K, top_n=_RRF_TOP, round_to=6
+    )

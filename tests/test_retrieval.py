@@ -89,3 +89,48 @@ def test_topk_plan_is_take_ordered_no_cartesian(tiny_docs):
     plan = retrieval.bm25_topk(tiny_docs, ["cat"], k=2)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- rrf_fuse ---------------------------------------------------------------
+
+
+def test_rrf_hand_computed(spark):
+    from fs2_kinesis_firehose_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, bm25 double"
+    )
+    dense = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8), (1, 0.7)], "doc_id long, cos_sim double"
+    )
+    got = {r["doc_id"]: r["rrf_score"] for r in
+           rrf_fuse([lex, dense], rrf_k=60).collect()}
+    want = {
+        1: round(1 / 61 + 1 / 63, 6),   # rank 1 lex, rank 3 dense
+        2: round(1 / 62 + 1 / 61, 6),   # rank 2 lex, rank 1 dense
+        3: round(1 / 63, 6),            # lex only
+        4: round(1 / 62, 6),            # dense only
+    }
+    assert got == want
+
+
+def test_rrf_tiebreak_by_key_and_topn(spark):
+    from fs2_kinesis_firehose_spark.operators.retrieval import rrf_fuse
+
+    # equal scores → rank by key ASC; top_n truncates deterministically
+    a = spark.createDataFrame([(5, 1.0), (3, 1.0)], "doc_id long, s double")
+    b = spark.createDataFrame([(3, 2.0), (5, 2.0)], "doc_id long, s double")
+    rows = rrf_fuse([a, b], rrf_k=0, top_n=1).collect()
+    # doc 3 outranks doc 5 in both lists (key tie-break) → 1/1 + 1/1 = 2
+    assert [(r["doc_id"], r["rrf_score"]) for r in rows] == [(3, 2.0)]
+
+
+def test_rrf_validation(spark):
+    from fs2_kinesis_firehose_spark.operators.retrieval import rrf_fuse
+
+    one = spark.createDataFrame([(1, 1.0)], "doc_id long, s double")
+    with pytest.raises(ValueError):
+        rrf_fuse([one])
+    bad = spark.createDataFrame([(1, 1.0, 2.0)], "doc_id long, s double, t double")
+    with pytest.raises(ValueError):
+        rrf_fuse([one, bad])
