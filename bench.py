@@ -97,6 +97,9 @@ HEADLINE = [
     # round-5 addition: hybrid retrieval (BM25 + dense cosine fused by RRF;
     # two TakeOrderedAndProject rankers + candidate-only fusion windows)
     "hybrid_rrf_topk",
+    # round-5 addition: synchronous label propagation over the near-dup doc
+    # graph (3 rounds of join + count + struct-max argmax)
+    "doc_community_labels",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_counts"]
+__all__ = ["pagerank", "triangle_counts", "label_propagation"]
 
 
 def pagerank(
@@ -172,3 +172,65 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("tri_cnt"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al., 2007) for community
+    detection: ``(node, label)`` after a FIXED number of synchronous rounds.
+
+    Deterministic variant: init label(v) = v; each round every node adopts
+    the most frequent label among its NEIGHBORS, ties broken by the MINIMUM
+    label value.  (Classic LPA randomizes update order and tie-breaks; the
+    synchronous/min-tie form trades a little convergence speed for a result
+    that is reproducible and restatable as unrolled SQL CTEs — the same
+    determinism contract as ``pagerank`` and ``kmeans_lloyd``.)
+
+    Edges are treated as UNDIRECTED (symmetrized + dedup'd, self-loops
+    dropped).  Complements the other graph primitives: connected components
+    (reachability), PageRank (authority), triangles (local density) — LPA
+    finds label-cohesive communities *within* components.
+
+    Scale shape: per round one hash join (edges ⋈ labels on src) + one
+    (node, label) count aggregate + one per-node argmax aggregate — the
+    Pregel message step declared as DataFrame ops; label vector is |V| rows;
+    per-round ``localCheckpoint`` keeps lineage flat.  Node ids must be
+    numeric (labels are ids and the tie-break orders them).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    e = (
+        fwd.union(rev)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed every round
+    )
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for i in range(iterations):
+        counts = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax(count) with min-label tie-break, as ONE aggregate:
+        # max(struct(c, -label)) is lexicographic — highest count first,
+        # then highest -label == lowest label (the struct-max idiom from
+        # gopher most-frequent-gram).
+        labels = counts.groupBy("node").agg(
+            (-F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))["nl"]).alias(
+                "label"
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

@@ -82,6 +82,7 @@ _WINDOW_PRIORITY: list[str] = [
     "heavy_hitter_bigrams",
     "part_copurchase_triangles",
     "hybrid_rrf_topk",
+    "doc_community_labels",
     "pagerank_top_sources",
     "bm25_postings_topk",
     "winnow_coverage_check",

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fs2_kinesis_firehose_spark.operators import dedup as D
-from fs2_kinesis_firehose_spark.operators.graph import pagerank, triangle_counts
+from fs2_kinesis_firehose_spark.operators.graph import label_propagation, pagerank, triangle_counts
 from fs2_kinesis_firehose_spark.queries import query
 from fs2_kinesis_firehose_spark.queries.llm import _DUCK_SHINGLES
 from fs2_kinesis_firehose_spark.tables import load_table
@@ -154,3 +154,71 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     pairs = a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
     return triangle_counts(pairs).withColumnRenamed("node", "part")
+
+
+_LPA_ITER = 3
+
+
+def _unrolled_lpa_sql(iterations: int) -> str:
+    """CTE chain l0..l{iterations} mirroring graph.py:label_propagation:
+    synchronous, neighbors-only, argmax(count) with min-label tie-break."""
+    ctes = ["l0 AS (SELECT node, node AS label FROM nodes)"]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""
+    c{i} AS (
+        SELECT e.dst AS node, l.label, COUNT(*) AS c
+        FROM edges e JOIN l{i - 1} l ON e.src = l.node
+        GROUP BY 1, 2
+    ),
+    l{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM c{i}
+        ) WHERE rn = 1
+    )""")
+    return ",\n".join(ctes)
+
+
+@query(
+    "doc_community_labels",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    toks AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    common AS (
+        SELECT a.doc_id AS key1, b.doc_id AS key2, COUNT(*) AS common
+        FROM toks a JOIN toks b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT key1, key2
+        FROM common c
+        JOIN sizes s1 ON c.key1 = s1.doc_id
+        JOIN sizes s2 ON c.key2 = s2.doc_id
+        WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.7
+    ),
+    edges AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT key1 AS src, key2 AS dst FROM pairs
+            UNION ALL
+            SELECT key2 AS src, key1 AS dst FROM pairs
+        ) WHERE src <> dst
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    {_unrolled_lpa_sql(_LPA_ITER)}
+    SELECT node AS doc_id, label FROM l{_LPA_ITER}
+    """,
+)
+def doc_community_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation ({_LPA_ITER} rounds,
+    min-label tie-break) over the J≥0.7 near-dup document graph — community
+    ids for duplication clusters; the fourth graph primitive next to CC /
+    PageRank / triangles.  Oracle replays every round as unrolled CTEs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.7)
+    edges = pairs.select(F.col("key1").alias("src"), F.col("key2").alias("dst"))
+    return label_propagation(edges, iterations=_LPA_ITER).withColumnRenamed(
+        "node", "doc_id"
+    )

@@ -138,3 +138,72 @@ def test_triangles_match_bruteforce_random(spark):
             for x in (a, b, c):
                 want[x] = want.get(x, 0) + 1
     assert _tri(spark, edges) == want
+
+
+# --- label_propagation -----------------------------------------------------
+
+
+def _lpa_ref(edges, iterations):
+    """Python mirror: synchronous, neighbors-only, argmax count with min-label
+    tie-break."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(iterations):
+        new = {}
+        for v, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for u in nbrs:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    return labels
+
+
+def _lpa(spark, edges, iterations=3):
+    from fs2_kinesis_firehose_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iterations=iterations).collect()
+    }
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    # cliques {1,2,3} and {10,11,12} bridged by (3,10): labels settle inside
+    # each clique; the engine must match the synchronous reference exactly.
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    for it in (1, 2, 3, 5):
+        assert _lpa(spark, edges, it) == _lpa_ref(edges, it)
+
+
+def test_lpa_matches_reference_random(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    edges = [(int(a), int(b)) for a in range(40) for b in range(40)
+             if a < b and rng.random() < 0.12]
+    for it in (1, 3):
+        assert _lpa(spark, edges, it) == _lpa_ref(edges, it)
+
+
+def test_lpa_direction_and_dup_invariant(spark):
+    base = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    noisy = base + [(2, 1), (3, 1), (4, 3), (1, 1)]
+    assert _lpa(spark, noisy, 2) == _lpa(spark, base, 2)
+
+
+def test_lpa_validation(spark):
+    import pytest as _pytest
+
+    from fs2_kinesis_firehose_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        label_propagation(df, iterations=0)
