@@ -100,6 +100,9 @@ HEADLINE = [
     # round-5 addition: synchronous label propagation over the near-dup doc
     # graph (3 rounds of join + count + struct-max argmax)
     "doc_community_labels",
+    # round-5 addition: cluster-aware split (per-group window min + hash
+    # assignment; oracle re-proves the 0-leakage contract)
+    "leakage_safe_split_counts",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

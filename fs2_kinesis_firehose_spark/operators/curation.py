@@ -58,6 +58,33 @@ def deterministic_split(
     return df.withColumn("split", expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: Column | str,
+    key_col: str = "doc_id",
+    *,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Cluster-aware ``deterministic_split``: every row is assigned the split
+    of its GROUP's representative (min ``key_col`` in the group), so a
+    duplicate cluster can never straddle train/val/test — the leakage mode a
+    row-level split has by construction whenever dedup is imperfect or
+    deliberately partial (e.g. keeping near-dups for quality reasons).
+
+    ``group_col`` is any cluster id: a content hash (exact-dup groups), a
+    connected-component id from near-dedup, or a semantic-cluster id.  One
+    shuffle (the per-group window min); assignment inherits
+    ``deterministic_split``'s stability under repartitioning and re-runs.
+    """
+    from pyspark.sql.window import Window
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    rep = F.min(key_col).over(Window.partitionBy(g))
+    out = df.withColumn("_rep", rep)
+    return deterministic_split(out, "_rep", weights=weights, salt=salt).drop("_rep")
+
+
 def weighted_source_sample(
     df: DataFrame,
     weights: dict[str, float],

@@ -83,6 +83,7 @@ _WINDOW_PRIORITY: list[str] = [
     "part_copurchase_triangles",
     "hybrid_rrf_topk",
     "doc_community_labels",
+    "leakage_safe_split_counts",
     "pagerank_top_sources",
     "bm25_postings_topk",
     "winnow_coverage_check",

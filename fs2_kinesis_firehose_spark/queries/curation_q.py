@@ -487,3 +487,68 @@ def repeated_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") >= 2)
     )
+
+
+# frac over an arbitrary column (the representative key), same md5 recipe
+_DUCK_FRAC_COL = (
+    "CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(CAST({col} AS VARCHAR), '{salt}')), 1, 8)) "
+    "AS BIGINT) / 4294967296.0"
+)
+
+
+@query(
+    "leakage_safe_split_counts",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, sha256(text) AS grp FROM documents
+    ),
+    r AS (
+        SELECT doc_id, grp,
+               MIN(doc_id) OVER (PARTITION BY grp) AS rep
+        FROM g
+    ),
+    s AS (
+        SELECT doc_id, grp,
+               CASE WHEN {_DUCK_FRAC_COL.format(col="rep", salt="split")} < 0.8 THEN 'train'
+                    WHEN {_DUCK_FRAC_COL.format(col="rep", salt="split")} < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM r
+    ),
+    leaky AS (
+        SELECT COUNT(*) AS n_leaky_groups FROM (
+            SELECT grp FROM s GROUP BY grp HAVING COUNT(DISTINCT split) > 1
+        )
+    )
+    SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT grp) AS n_groups,
+           l.n_leaky_groups
+    FROM s, leaky l
+    GROUP BY split, l.n_leaky_groups
+    """,
+)
+def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware 80/10/10 split over exact-dup groups (sha256(text)):
+    each group's split is decided by its min-doc_id representative, so dup
+    clusters never straddle splits.  ``n_leaky_groups`` recomputes the
+    straddle count from scratch on BOTH engines — the oracle proves the
+    no-leakage contract (0), not just the counts."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_grp", F.sha2(F.col("text"), 256)
+    )
+    s = C.leakage_safe_split(
+        docs, "_grp", "doc_id",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1}, salt="split",
+    )
+    leaky = (
+        s.groupBy("_grp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(F.count(F.when(F.col("ns") > 1, 1)).alias("n_leaky_groups"))
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_grp").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leaky))  # 1 row → BNLJ
+        .select("split", "n_docs", "n_groups", "n_leaky_groups")
+    )

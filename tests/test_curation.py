@@ -207,3 +207,40 @@ def test_normalize_text_canonicalizes_case_punct_spacing(spark):
     )
     got = {r["doc_id"]: r["norm_text"] for r in normalize_text(df).collect()}
     assert got == {0: "hello world", 1: "hello world", 2: "helloworld"}
+
+
+# --- leakage_safe_split ----------------------------------------------------
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    import pyspark.sql.functions as F
+
+    from fs2_kinesis_firehose_spark.operators import curation as C
+
+    # 60 groups of 3 duplicate rows each
+    rows = [(g * 10 + i, f"text-{g}") for g in range(60) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    s = C.leakage_safe_split(df.withColumn("g", F.sha2("text", 256)), "g")
+    per_group = s.groupBy("g").agg(F.countDistinct("split").alias("ns")).collect()
+    assert all(r["ns"] == 1 for r in per_group)
+    # all three splits occupied across 60 groups (sanity, not a tautology)
+    assert s.select("split").distinct().count() == 3
+
+
+def test_leakage_safe_split_matches_rep_assignment(spark):
+    import pyspark.sql.functions as F
+
+    from fs2_kinesis_firehose_spark.operators import curation as C
+
+    rows = [(g * 10 + i, f"text-{g}") for g in range(40) for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = C.leakage_safe_split(df.withColumn("g", F.sha2("text", 256)), "g")
+    # the representative (min doc_id = g*10) decides: recompute via the
+    # row-level split of a reps-only frame and compare per group
+    reps = df.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    want = {
+        r["text"]: r["split"]
+        for r in C.deterministic_split(reps, "doc_id").collect()
+    }
+    got = {r["text"]: r["split"] for r in s.select("text", "split").distinct().collect()}
+    assert got == want

@@ -209,3 +209,18 @@ def test_no_cartesian_product_catalog_wide(spark, sf_smoke):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_heavy_hitters_sketch_plan(spark, sf_smoke):
+    """Misra–Gries pipeline: sketch pass is MapInPandas; candidate recount
+    joins broadcast (never a shuffled corpus-side join on candidates)."""
+    plan = explain_str(q.QUERIES["heavy_hitter_bigrams"](spark, sf_smoke))
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_rrf_rankers_use_take_ordered(spark, sf_smoke):
+    """Both RRF rankers must truncate via TakeOrderedAndProject (per-
+    partition heaps), not a global Sort+Limit."""
+    plan = explain_str(q.QUERIES["hybrid_rrf_topk"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
