@@ -85,6 +85,50 @@ def leakage_safe_split(
     return deterministic_split(out, "_rep", weights=weights, salt=salt).drop("_rep")
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    *,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+    round_to: int = 9,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row gets key ``u^(1/w)`` for a per-row
+    uniform ``u``; the n largest keys are an exact weighted sample.  Ranking
+    uses the monotone-equivalent ``ln(u)/w`` (the raw power form collapses
+    toward 1 for large weights and would drown in rounding ties).
+
+    ``u`` is derived from md5(key, salt) with a half-ulp offset so it is
+    never exactly 0 (``ln`` stays finite) — fully deterministic: stable
+    under repartitioning, retries, and re-runs, and restatable in SQL.
+    Rows with ``w <= 0`` or NULL are excluded (zero-weight rows are
+    unsampleable by definition).  Returns the input columns plus
+    ``sample_key`` (rounded to ``round_to``; ranking ties broken by
+    ``key_col`` ASC).
+
+    One scan + TakeOrderedAndProject (per-partition heaps, no global sort).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    bits = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (bits + F.lit(0.5)) / F.lit(HASH_SPACE)
+    key = F.round(F.log(u) / F.col(weight_col), round_to)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.asc(key_col))
+        .limit(n)
+    )
+
+
 def weighted_source_sample(
     df: DataFrame,
     weights: dict[str, float],

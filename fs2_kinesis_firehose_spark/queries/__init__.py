@@ -84,6 +84,7 @@ _WINDOW_PRIORITY: list[str] = [
     "hybrid_rrf_topk",
     "doc_community_labels",
     "leakage_safe_split_counts",
+    "weighted_sample_docs",
     "pagerank_top_sources",
     "bm25_postings_topk",
     "winnow_coverage_check",

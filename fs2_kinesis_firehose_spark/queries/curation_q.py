@@ -552,3 +552,30 @@ def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(leaky))  # 1 row → BNLJ
         .select("split", "n_docs", "n_groups", "n_leaky_groups")
     )
+
+
+# uniform in (0,1) for the A-ES sample: half-ulp offset so ln() stays finite
+_DUCK_U = (
+    "((CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(CAST(doc_id AS VARCHAR), 'wsample')), 1, 8)) "
+    "AS BIGINT) + 0.5) / 4294967296.0)"
+)
+
+
+@query(
+    "weighted_sample_docs",
+    oracle=f"""
+    SELECT doc_id, ROUND(LN({_DUCK_U}) / n_chars, 9) AS sample_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY sample_key DESC, doc_id ASC
+    LIMIT 100
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted sample (without replacement) of 100 documents, weight =
+    n_chars — Efraimidis–Spirakis exponential keys over the deterministic
+    md5 uniform; TakeOrderedAndProject ranking (per-partition heaps)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.weighted_sample(docs, "n_chars", 100, key_col="doc_id").select(
+        "doc_id", "sample_key"
+    )

@@ -244,3 +244,52 @@ def test_leakage_safe_split_matches_rep_assignment(spark):
     }
     got = {r["text"]: r["split"] for r in s.select("text", "split").distinct().collect()}
     assert got == want
+
+
+# --- weighted_sample (A-ES) ------------------------------------------------
+
+
+def test_weighted_sample_matches_numpy_mirror(spark):
+    import hashlib
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from fs2_kinesis_firehose_spark.operators import curation as C
+
+    rows = [(i, float(1 + (i % 7))) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double").repartition(9)
+    got = [(r["doc_id"], r["sample_key"]) for r in
+           C.weighted_sample(df, "w", 50, key_col="doc_id").collect()]
+
+    import math
+    def key(i, w):
+        h = hashlib.md5(f"{i}wsample".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 0.5) / 2**32
+        return round(math.log(u) / w, 9)
+
+    want = sorted(((i, key(i, w)) for i, w in rows),
+                  key=lambda t: (-t[1], t[0]))[:50]
+    assert got == want
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from fs2_kinesis_firehose_spark.operators import curation as C
+
+    # weight 50 vs 1: the heavy half should dominate a 100-of-2000 sample
+    rows = [(i, 50.0 if i < 1000 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    ids = [r["doc_id"] for r in C.weighted_sample(df, "w", 100).collect()]
+    assert sum(1 for i in ids if i < 1000) > 85
+
+
+def test_weighted_sample_excludes_nonpositive_and_validates(spark):
+    import pytest as _pytest
+
+    from fs2_kinesis_firehose_spark.operators import curation as C
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, None), (4, 2.0)], "doc_id long, w double"
+    )
+    assert [r["doc_id"] for r in C.weighted_sample(df, "w", 10).collect()] == [4]
+    with _pytest.raises(ValueError):
+        C.weighted_sample(df, "w", 0)
