@@ -103,6 +103,9 @@ HEADLINE = [
     # round-5 addition: cluster-aware split (per-group window min + hash
     # assignment; oracle re-proves the 0-leakage contract)
     "leakage_safe_split_counts",
+    # round-5 addition: CCNet bucket filter (LM train+score, exact-percentile
+    # boundary broadcast, when-chain assignment — no ntile sort)
+    "ccnet_perplexity_buckets",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -129,6 +129,50 @@ def weighted_sample(
     )
 
 
+def quantile_bucket(
+    df: DataFrame,
+    col: str,
+    probs: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    *,
+    round_to: int = 6,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Bucket rows by EXACT quantiles of ``col`` (linear interpolation —
+    ``percentile``/``quantile_cont`` semantics, identical in Spark and
+    DuckDB): the CCNet head/middle/tail perplexity partition (Wenzek et al.
+    2019) and any other score-stratified keep rule.
+
+    Scale shape: ONE exact-percentile aggregate produces a 1-row boundary
+    frame (len(probs) doubles — metadata), broadcast back via BNLJ; the
+    assignment is a codegen'd when-chain — no global sort, no ntile window
+    (a corpus-wide ntile needs a single-partition sort; boundaries + a
+    when-chain is the distributed form).  Boundaries are rounded to
+    ``round_to`` so both engines compare against the identical literal;
+    rows with NULL ``col`` get a NULL bucket (they were never scored).
+    """
+    if len(labels) != len(probs) + 1:
+        raise ValueError("need len(labels) == len(probs) + 1")
+    if list(probs) != sorted(probs):
+        raise ValueError("probs must be ascending")
+    qs = df.agg(
+        *[
+            F.round(F.percentile(F.col(col), F.lit(p)), round_to).alias(f"_q{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    out = df.crossJoin(F.broadcast(qs))  # 1 row → BroadcastNestedLoopJoin
+    expr = None
+    for i, lab in enumerate(labels[:-1]):
+        cond = F.col(col) <= F.col(f"_q{i}")
+        expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
+    expr = expr.otherwise(labels[-1])
+    out = out.withColumn(
+        bucket_col, F.when(F.col(col).isNull(), F.lit(None)).otherwise(expr)
+    )
+    return out.drop(*[f"_q{i}" for i in range(len(probs))])
+
+
 def weighted_source_sample(
     df: DataFrame,
     weights: dict[str, float],

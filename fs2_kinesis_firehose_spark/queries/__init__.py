@@ -85,6 +85,7 @@ _WINDOW_PRIORITY: list[str] = [
     "doc_community_labels",
     "leakage_safe_split_counts",
     "weighted_sample_docs",
+    "ccnet_perplexity_buckets",
     "pagerank_top_sources",
     "bm25_postings_topk",
     "winnow_coverage_check",

@@ -1464,3 +1464,79 @@ def multimodal_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFram
     return docs.mapInPandas(
         roundtrip, "doc_id bigint, height int, width int, mean_pixel double"
     )
+
+
+_CCNET_P1 = 1.0 / 3.0
+_CCNET_P2 = 2.0 / 3.0
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    big AS (
+        SELECT doc_id, w[CAST(t.i AS INT)] AS w1, w[CAST(t.i AS INT) + 1] AS w2
+        FROM words, UNNEST(range(1, len(w))) AS t(i)
+    ),
+    bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+    v AS (
+        SELECT COUNT(DISTINCT tok) AS v
+        FROM (SELECT w1 AS tok FROM big UNION ALL SELECT w2 FROM big)
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               ln(COALESCE(bi.c12, 0) + 1) - ln(u.c1 + (SELECT v FROM v)) AS logp
+        FROM big b
+        LEFT JOIN bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+        JOIN uni u ON b.w1 = u.w1
+    ),
+    ce AS (
+        SELECT d.doc_id, a.cross_entropy
+        FROM documents d
+        LEFT JOIN (
+            SELECT doc_id, ROUND(-SUM(logp) / COUNT(*), 4) AS cross_entropy
+            FROM scored GROUP BY doc_id
+        ) a USING (doc_id)
+    ),
+    qs AS (
+        SELECT ROUND(quantile_cont(cross_entropy, {_CCNET_P1!r}), 6) AS q1,
+               ROUND(quantile_cont(cross_entropy, {_CCNET_P2!r}), 6) AS q2
+        FROM ce
+    ),
+    bucketed AS (
+        SELECT CASE WHEN cross_entropy IS NULL THEN 'unscored'
+                    WHEN cross_entropy <= q.q1 THEN 'head'
+                    WHEN cross_entropy <= q.q2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM ce, qs q
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           (bucket IN ('head', 'middle')) AS keep
+    FROM bucketed
+    GROUP BY bucket
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet bucket filter (Wenzek et al. 2019): score every document with
+    the corpus-trained bigram LM, split by exact cross-entropy terciles,
+    keep head+middle.  Boundaries come from ONE exact-percentile aggregate
+    broadcast back (no corpus-wide ntile sort); the oracle replays LM,
+    terciles, and keep rule end-to-end."""
+    from fs2_kinesis_firehose_spark.operators import curation as C
+    from fs2_kinesis_firehose_spark.operators import lm as LM
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = LM.train_bigram_lm(docs, "text", "doc_id")
+    ce = LM.score_cross_entropy(docs, model, "text", "doc_id").select(
+        "doc_id", "cross_entropy"
+    )
+    bucketed = C.quantile_bucket(
+        ce, "cross_entropy", (_CCNET_P1, _CCNET_P2), ("head", "middle", "tail")
+    )
+    return (
+        bucketed.select(F.coalesce(F.col("bucket"), F.lit("unscored")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("keep", F.col("bucket").isin("head", "middle"))
+    )

@@ -293,3 +293,30 @@ def test_weighted_sample_excludes_nonpositive_and_validates(spark):
     assert [r["doc_id"] for r in C.weighted_sample(df, "w", 10).collect()] == [4]
     with _pytest.raises(ValueError):
         C.weighted_sample(df, "w", 0)
+
+
+# --- quantile_bucket -------------------------------------------------------
+
+
+def test_quantile_bucket_terciles_and_nulls(spark):
+    from fs2_kinesis_firehose_spark.operators import curation as C
+
+    rows = [(i, float(i)) for i in range(1, 10)] + [(99, None)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    got = {r["id"]: r["bucket"] for r in C.quantile_bucket(df, "x").collect()}
+    # exact terciles of 1..9: q1/3 = 3.666667, q2/3 = 6.333333
+    assert got == {1: "head", 2: "head", 3: "head",
+                   4: "middle", 5: "middle", 6: "middle",
+                   7: "tail", 8: "tail", 9: "tail", 99: None}
+
+
+def test_quantile_bucket_validation(spark):
+    import pytest as _pytest
+
+    from fs2_kinesis_firehose_spark.operators import curation as C
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, x double")
+    with _pytest.raises(ValueError):
+        C.quantile_bucket(df, "x", (0.5,), ("a",))
+    with _pytest.raises(ValueError):
+        C.quantile_bucket(df, "x", (0.7, 0.3), ("a", "b", "c"))
