@@ -106,6 +106,9 @@ HEADLINE = [
     # round-5 addition: CCNet bucket filter (LM train+score, exact-percentile
     # boundary broadcast, when-chain assignment — no ntile sort)
     "ccnet_perplexity_buckets",
+    # round-5 addition: MERGE-shaped snapshot upsert (one full-outer join,
+    # per-column coalesce, per-action accounting in exact cents)
+    "snapshot_upsert_accounting",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

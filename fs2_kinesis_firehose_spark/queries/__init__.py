@@ -86,6 +86,7 @@ _WINDOW_PRIORITY: list[str] = [
     "leakage_safe_split_counts",
     "weighted_sample_docs",
     "ccnet_perplexity_buckets",
+    "snapshot_upsert_accounting",
     "pagerank_top_sources",
     "bm25_postings_topk",
     "winnow_coverage_check",
@@ -160,6 +161,7 @@ def load_all() -> None:
         streaming_q,
         temporal_q,
         tpch_q,
+        upsert_q,
     )
 
     ordered = {n: QUERIES[n] for n in _WINDOW_PRIORITY if n in QUERIES}

@@ -1,0 +1,82 @@
+"""Snapshot-upsert accounting query (operators/upsert.py).
+
+The change batch is derived deterministically from the orders table itself
+(update / delete / insert cohorts by key residue, mutually disjoint), so
+both engines can rebuild it exactly.  The ENGINE applies the batch through
+the operator's full-outer-join MERGE plan; the ORACLE classifies every key
+directly from the residue rules — two independent mechanisms that must
+agree on the per-action row counts and (exact, cents-domain) totals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fs2_kinesis_firehose_spark.operators.upsert import upsert_snapshot
+from fs2_kinesis_firehose_spark.queries import query
+from fs2_kinesis_firehose_spark.tables import load_table
+
+# exact cents: o_totalprice is a 2-dp value stored as double; *100 + ROUND
+# lands on the same integer in both engines (value is within 1 ulp of it)
+_CENTS = "CAST(ROUND({col} * 100) AS BIGINT)"
+
+
+@query(
+    "snapshot_upsert_accounting",
+    oracle=f"""
+    WITH snap AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+    )
+    SELECT 'unchanged' AS action, COUNT(*) AS n_rows,
+           CAST(SUM({_CENTS.format(col="o_totalprice")}) AS BIGINT) AS total_cents
+    FROM snap WHERE o_orderkey % 10 <> 3 AND o_orderkey % 100 <> 55
+    UNION ALL
+    SELECT 'updated', COUNT(*),
+           CAST(SUM({_CENTS.format(col="(o_totalprice + 7.77)")}) AS BIGINT)
+    FROM snap WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT 'inserted', COUNT(*),
+           CAST(SUM({_CENTS.format(col="o_totalprice")}) AS BIGINT)
+    FROM snap WHERE o_orderkey % 100 = 7
+    UNION ALL
+    SELECT 'deleted', COUNT(*),
+           CAST(SUM({_CENTS.format(col="o_totalprice")}) AS BIGINT)
+    FROM snap WHERE o_orderkey % 100 = 55
+    """,
+)
+def snapshot_upsert_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-shaped batch apply on the orders snapshot: price-correct every
+    key ≡3 (mod 10) (+7.77), delete every key ≡55 (mod 100), insert a
+    negative-key copy of every key ≡7 (mod 100); account per action in
+    exact cents.  The engine runs the operator's single full-outer-join
+    plan; the oracle re-derives each cohort independently."""
+    key = F.col("o_orderkey")
+    snap = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    upd = snap.where(key % 10 == 3).select(
+        key.alias("o_orderkey"),
+        (F.col("o_totalprice") + F.lit(7.77)).alias("o_totalprice"),
+        F.lit(False).alias("is_delete"),
+    )
+    dele = snap.where(key % 100 == 55).select(
+        "o_orderkey", "o_totalprice", F.lit(True).alias("is_delete")
+    )
+    ins = snap.where(key % 100 == 7).select(
+        (-key).alias("o_orderkey"),
+        F.col("o_totalprice"),
+        F.lit(False).alias("is_delete"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    merged = upsert_snapshot(
+        snap, changes, "o_orderkey", delete_col="is_delete", action_col="action"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    live = merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(cents).alias("total_cents")
+    )
+    deleted = dele.agg(
+        F.lit("deleted").alias("action"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("total_cents"),
+    )
+    return live.unionByName(deleted)

@@ -1,0 +1,64 @@
+"""Snapshot upsert (operators/upsert.py): per-key rules, version resolution,
+schema validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from fs2_kinesis_firehose_spark.operators.upsert import upsert_snapshot
+
+
+@pytest.fixture()
+def snap(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, amt double",
+    )
+
+
+def test_insert_update_delete_unchanged(spark, snap):
+    changes = spark.createDataFrame(
+        [(2, "B", 22.0, False), (3, None, 0.0, True), (9, "z", 90.0, False)],
+        "id long, name string, amt double, is_delete boolean",
+    )
+    out = upsert_snapshot(snap, changes, "id", delete_col="is_delete",
+                          action_col="action")
+    got = {r["id"]: (r["name"], r["amt"], r["action"]) for r in out.collect()}
+    assert got == {
+        1: ("a", 10.0, "unchanged"),
+        2: ("B", 22.0, "updated"),
+        9: ("z", 90.0, "inserted"),
+    }
+    # schema preserved when no audit column requested
+    out2 = upsert_snapshot(snap, changes, "id", delete_col="is_delete")
+    assert out2.columns == snap.columns
+
+
+def test_version_latest_wins(spark, snap):
+    changes = spark.createDataFrame(
+        [(2, "old", 21.0, 1), (2, "new", 22.0, 5), (9, "z", 90.0, 1)],
+        "id long, name string, amt double, v int",
+    )
+    out = upsert_snapshot(snap, changes, "id", version_col="v")
+    got = {r["id"]: (r["name"], r["amt"]) for r in out.collect()}
+    assert got[2] == ("new", 22.0) and got[9] == ("z", 90.0) and len(got) == 4
+
+
+def test_missing_columns_rejected(spark, snap):
+    bad = spark.createDataFrame([(1, "x")], "id long, name string")
+    with pytest.raises(ValueError, match="amt"):
+        upsert_snapshot(snap, bad, "id")
+
+
+def test_determinism_under_repartition(spark, snap):
+    changes = spark.createDataFrame(
+        [(i, f"n{i}", float(i), False) for i in range(0, 200, 2)],
+        "id long, name string, amt double, is_delete boolean",
+    )
+    a = sorted(upsert_snapshot(snap, changes, "id", delete_col="is_delete").collect())
+    b = sorted(
+        upsert_snapshot(
+            snap.repartition(7), changes.repartition(5), "id", delete_col="is_delete"
+        ).collect()
+    )
+    assert a == b
