@@ -87,6 +87,7 @@ _WINDOW_PRIORITY: list[str] = [
     "weighted_sample_docs",
     "ccnet_perplexity_buckets",
     "snapshot_upsert_accounting",
+    "trailing_7d_customer_revenue",
     "pagerank_top_sources",
     "bm25_postings_topk",
     "winnow_coverage_check",

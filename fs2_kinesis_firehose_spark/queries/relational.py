@@ -905,3 +905,32 @@ def nation_balance_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@query(
+    "trailing_7d_customer_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE)
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_cents
+    FROM orders
+    """,
+)
+def trailing_7d_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window frame: per order, the customer's trailing-7-day
+    revenue (value-based frame over the order DATE — same-day orders are
+    peers and always share a frame, unlike a ROWS frame).  Cents-domain sum
+    so both engines aggregate exactly.  One shuffle on the window key; the
+    frame is evaluated with a sliding aggregate, never a self-join."""
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(days).rangeBetween(-6, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(cents).over(w).alias("trailing_cents"),
+    )
