@@ -109,6 +109,9 @@ HEADLINE = [
     # round-5 addition: MERGE-shaped snapshot upsert (one full-outer join,
     # per-column coalesce, per-action accounting in exact cents)
     "snapshot_upsert_accounting",
+    # round-5 addition: streaming CDC apply (3 foreachBatch MERGE batches
+    # through chained snapshot versions, convergent under redelivery)
+    "streaming_upsert_accounting",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -88,6 +88,7 @@ _WINDOW_PRIORITY: list[str] = [
     "ccnet_perplexity_buckets",
     "snapshot_upsert_accounting",
     "trailing_7d_customer_revenue",
+    "streaming_upsert_accounting",
     "pagerank_top_sources",
     "bm25_postings_topk",
     "winnow_coverage_check",

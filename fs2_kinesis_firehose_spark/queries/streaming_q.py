@@ -409,3 +409,90 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
         .parquet(str(out_dir))
         .select("doc_id", "n_corpus_dups")
     )
+
+
+@query(
+    "streaming_upsert_accounting",
+    # Streaming CDC apply: the change feed is the orders table replayed
+    # THREE times (copies=3, one file per trigger → 3 batches — an
+    # at-least-once source redelivering every change).  Each batch derives
+    # its update/delete/insert cohorts and MERGEs them into a versioned
+    # snapshot via operators/upsert.upsert_snapshot; cohort values are
+    # functions of the base row, so redelivered batches converge instead of
+    # compounding — the final snapshot equals the single-delivery closed
+    # form, which is exactly what the oracle states.  A non-idempotent
+    # apply (e.g. price += on the snapshot value) would triple the update
+    # and fail the hash.
+    oracle="""
+    SELECT 'existing' AS cohort, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(
+               (CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 7.77
+                     ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders WHERE o_orderkey % 100 <> 55
+    UNION ALL
+    SELECT 'inserted', COUNT(*),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM orders WHERE o_orderkey % 100 = 7
+    """,
+)
+def streaming_upsert_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE: per-batch upsert_snapshot into chained snapshot
+    versions (v{batch_id}, overwrite mode → replay-idempotent), snapshot
+    read-back and cents-exact accounting at the end."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from fs2_kinesis_firehose_spark.operators.upsert import upsert_snapshot
+
+    root = (
+        Path(tempfile.gettempdir())
+        / "fs2spark-stream-upsert"
+        / hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    )
+    if root.exists():
+        shutil.rmtree(root)
+    staging, snaps = str(root / "staging"), root / "snaps"
+    snaps.mkdir(parents=True)
+    base = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base.write.mode("overwrite").parquet(str(snaps / "v_base"))
+    current = {"path": str(snaps / "v_base")}
+
+    def apply_batch(df: DataFrame, batch_id: int) -> None:
+        key = F.col("o_orderkey")
+        upd = df.where(key % 10 == 3).select(
+            key.alias("o_orderkey"),
+            (F.col("o_totalprice") + F.lit(7.77)).alias("o_totalprice"),
+            F.lit(False).alias("is_delete"),
+        )
+        dele = df.where(key % 100 == 55).select(
+            "o_orderkey", "o_totalprice", F.lit(True).alias("is_delete")
+        )
+        ins = df.where(key % 100 == 7).select(
+            (-key).alias("o_orderkey"),
+            F.col("o_totalprice"),
+            F.lit(False).alias("is_delete"),
+        )
+        changes = upd.unionByName(dele).unionByName(ins)
+        snap = df.sparkSession.read.parquet(current["path"])
+        out = upsert_snapshot(snap, changes, "o_orderkey", delete_col="is_delete")
+        dst = str(snaps / f"v{batch_id}")
+        out.write.mode("overwrite").parquet(dst)
+        current["path"] = dst
+
+    stream = replay_parquet(
+        spark, sf_dir, "orders", copies=3, staging_dir=staging,
+        max_files_per_trigger=1,
+    ).select("o_orderkey", "o_totalprice")
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    final = spark.read.parquet(current["path"])
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return final.groupBy(
+        F.when(F.col("o_orderkey") < 0, "inserted")
+        .otherwise("existing")
+        .alias("cohort")
+    ).agg(F.count(F.lit(1)).alias("n_rows"), F.sum(cents).alias("total_cents"))
