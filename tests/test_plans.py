@@ -224,3 +224,13 @@ def test_rrf_rankers_use_take_ordered(spark, sf_smoke):
     partition heaps), not a global Sort+Limit."""
     plan = explain_str(q.QUERIES["hybrid_rrf_topk"](spark, sf_smoke))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_snapshot_upsert_is_single_full_outer_join(spark, sf_smoke):
+    """The MERGE apply must be ONE full-outer join on the key — never a
+    per-cohort join cascade or a cartesian shape."""
+    plan = explain_str(q.QUERIES["snapshot_upsert_accounting"](spark, sf_smoke))
+    # formatted mode prints each join once in the tree and once in the
+    # detail block — one physical FullOuter join == one "Join type:" line
+    assert plan.count("Join type: FullOuter") == 1
+    assert "CartesianProduct" not in plan
