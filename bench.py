@@ -112,6 +112,9 @@ HEADLINE = [
     # round-5 addition: streaming CDC apply (3 foreachBatch MERGE batches
     # through chained snapshot versions, convergent under redelivery)
     "streaming_upsert_accounting",
+    # round-5 addition: N-step funnel (filtered aggregate + join per step,
+    # all keyed on user_id)
+    "event_funnel_times",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

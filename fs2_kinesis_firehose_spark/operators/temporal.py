@@ -146,3 +146,54 @@ def time_bucket_rollup(
         ),
         *agg_cols,
     )
+
+
+def funnel_times(
+    df,
+    steps: list[str],
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """N-step ordered funnel: for each key, the earliest completion time of
+    every successive step STRICTLY AFTER the previous step's completion —
+    the standard product-analytics conversion cascade (view → click →
+    purchase).  Returns one row per key that completed step 1, with columns
+    ``t1..tN`` as epoch-microsecond longs (NULL from the first uncompleted
+    step onward).
+
+    Strict ordering means a step-2 event at exactly t1 does NOT count —
+    each step must strictly follow the previous one; re-orderable same-
+    timestamp events are not a conversion.
+
+    Scale shape: step i is one filtered aggregate + one hash join, all
+    keyed on ``key_col`` — 2(N−1)+1 shuffles on ONE key, so a pre-
+    partitioned/bucketed event table pays a single exchange.  No windows,
+    no Python; declarative joins Catalyst can reorder and AQE can size.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    t = F.unix_micros(F.col(ts_col))
+    cur = (
+        df.where(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(t).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = df.where(F.col(type_col) == step).select(
+            F.col(key_col), t.alias("_t")
+        )
+        reached = (
+            nxt.join(
+                cur.where(F.col(f"t{i - 1}").isNotNull()).select(
+                    key_col, f"t{i - 1}"
+                ),
+                key_col,
+            )
+            .where(F.col("_t") > F.col(f"t{i - 1}"))
+            .groupBy(key_col)
+            .agg(F.min("_t").alias(f"t{i}"))
+        )
+        cur = cur.join(reached, key_col, "left")
+    return cur

@@ -89,6 +89,7 @@ _WINDOW_PRIORITY: list[str] = [
     "snapshot_upsert_accounting",
     "trailing_7d_customer_revenue",
     "streaming_upsert_accounting",
+    "event_funnel_times",
     "pagerank_top_sources",
     "bm25_postings_topk",
     "winnow_coverage_check",

@@ -122,3 +122,39 @@ def hourly_daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         granularities=("hour", "day"),
     )
+
+
+@query(
+    "event_funnel_times",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+    s1 AS (
+        SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.t) AS t2
+        FROM e JOIN s1 ON e.user_id = s1.user_id AND e.t > s1.t1
+        WHERE e.event_type = 'click'
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.t) AS t3
+        FROM e JOIN s2 ON e.user_id = s2.user_id AND e.t > s2.t2
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def event_funnel_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion cascade per user: earliest
+    completion of each step strictly after the previous one (epoch-µs
+    longs, NULL once the funnel stalls).  Joins-and-aggregates on ONE key —
+    no windows, no Python (operators/temporal.py:funnel_times)."""
+    from fs2_kinesis_firehose_spark.operators.temporal import funnel_times
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_times(ev, ["view", "click", "purchase"], key_col="user_id")

@@ -107,3 +107,45 @@ def test_time_bucket_rollup_single_shuffle(spark):
     # grouping-sets expand feeds ONE exchange (plus AQE reader nodes), not
     # one scan+shuffle per grain
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- funnel_times ----------------------------------------------------------
+
+
+def test_funnel_strict_order_and_stall(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from fs2_kinesis_firehose_spark.operators.temporal import funnel_times
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 1 converts fully: view@1, click@5, purchase@7
+        (1, "view", ts(1)), (1, "click", ts(5)), (1, "purchase", ts(7)),
+        # earlier click (before view) must NOT count; later one does
+        (2, "click", ts(1)), (2, "view", ts(2)), (2, "click", ts(9)),
+        # user 3 stalls after view (purchase before click doesn't count)
+        (3, "view", ts(1)), (3, "purchase", ts(2)),
+        # user 4: click at the SAME instant as view — strict '>' rejects it
+        (4, "view", ts(3)), (4, "click", ts(3)),
+        # user 5 never views → absent from output
+        (5, "click", ts(1)), (5, "purchase", ts(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r["user_id"]: (r["t1"], r["t2"], r["t3"])
+           for r in funnel_times(df, ["view", "click", "purchase"]).collect()}
+
+    def us(s):
+        return int(dt.datetime(2024, 1, 1, 0, 0, s, tzinfo=dt.timezone.utc)
+                   .timestamp() * 1_000_000)
+
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1] == (us(1), us(5), us(7))
+    assert out[2] == (us(2), us(9), None)
+    assert out[3] == (us(1), None, None)
+    assert out[4] == (us(3), None, None)
+    with _pytest.raises(ValueError):
+        funnel_times(df, ["view"])
