@@ -115,6 +115,8 @@ HEADLINE = [
     # round-5 addition: N-step funnel (filtered aggregate + join per step,
     # all keyed on user_id)
     "event_funnel_times",
+    # round-5 addition: hourly zero-fill + gaps-and-islands report
+    "hourly_gap_report",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -197,3 +197,41 @@ def funnel_times(
         )
         cur = cur.join(reached, key_col, "left")
     return cur
+
+
+def hourly_fill(
+    df,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    count_col: str = "n_events",
+):
+    """Per-key hourly resample with zero-fill: one row for EVERY hour between
+    a key's first and last event (inclusive), ``count_col`` = events in that
+    hour (0 for gaps) — the dense grid rate-limit audits, gap reports, and
+    time-series models need (a plain groupBy silently drops empty buckets).
+
+    Scale shape: aggregate to (key, hour) first — the grid is generated
+    from the AGGREGATED table's per-key min/max (one ``sequence`` +
+    ``posexplode``-free explode, codegen), never from raw events; the fill
+    join is keyed on (key, hour).  Grid size is Σ per-key spans — data-
+    independent of raw event count.
+    """
+    bucket = F.date_trunc("hour", F.col(ts_col))
+    base = (
+        df.groupBy(F.col(key_col), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias(count_col))
+    )
+    grid = (
+        base.groupBy(key_col)
+        .agg(F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("_b0", "_b1", F.expr("interval 1 hour"))
+            ).alias("bucket"),
+        )
+    )
+    return grid.join(base, [key_col, "bucket"], "left").select(
+        key_col, "bucket", F.coalesce(F.col(count_col), F.lit(0)).alias(count_col)
+    )

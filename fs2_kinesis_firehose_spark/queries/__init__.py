@@ -90,6 +90,7 @@ _WINDOW_PRIORITY: list[str] = [
     "trailing_7d_customer_revenue",
     "streaming_upsert_accounting",
     "event_funnel_times",
+    "hourly_gap_report",
     "pagerank_top_sources",
     "bm25_postings_topk",
     "winnow_coverage_check",

@@ -158,3 +158,88 @@ def event_funnel_times(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return funnel_times(ev, ["view", "click", "purchase"], key_col="user_id")
+
+
+@query(
+    "hourly_gap_report",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest([b0 + to_hours(CAST(i AS BIGINT))
+                       FOR i IN range(0, date_diff('hour', b0, b1) + 1)]) AS bucket
+        FROM (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+              FROM base GROUP BY 1)
+    ),
+    filled AS (
+        SELECT g.user_id, g.bucket, COALESCE(b.n, 0) AS n
+        FROM grid g LEFT JOIN base b USING (user_id, bucket)
+    ),
+    flagged AS (
+        SELECT user_id, bucket, n,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY bucket) AS rn_all,
+               CASE WHEN n = 0 THEN
+                   ROW_NUMBER() OVER (PARTITION BY user_id, (n = 0) ORDER BY bucket)
+               END AS rn_zero
+        FROM filled
+    ),
+    runs AS (
+        SELECT user_id, COUNT(*) AS run_len
+        FROM flagged WHERE n = 0
+        GROUP BY user_id, rn_all - rn_zero
+    )
+    SELECT f.user_id,
+           COUNT(*) AS n_hours,
+           COUNT(*) FILTER (n = 0) AS n_gap_hours,
+           COALESCE(MAX(r.longest), 0) AS longest_gap
+    FROM filled f
+    LEFT JOIN (SELECT user_id, MAX(run_len) AS longest FROM runs GROUP BY 1) r
+      USING (user_id)
+    GROUP BY f.user_id
+    """,
+)
+def hourly_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-coverage audit per user: zero-fill the hourly series between
+    each user's first and last event (operators/temporal.py:hourly_fill),
+    then classic gaps-and-islands (rn_all − rn_zero) for the longest silent
+    streak.  The dense grid is generated from per-key min/max of the
+    AGGREGATED series — grid size is span-bounded, independent of raw event
+    count."""
+    from pyspark.sql.window import Window
+
+    from fs2_kinesis_firehose_spark.operators.temporal import hourly_fill
+
+    ev = load_table(spark, sf_dir, "events")
+    filled = hourly_fill(ev, "user_id", "ts")
+    w_all = Window.partitionBy("user_id").orderBy("bucket")
+    w_zero = Window.partitionBy("user_id", F.col("n_events") == 0).orderBy("bucket")
+    flagged = filled.select(
+        "user_id",
+        "n_events",
+        F.row_number().over(w_all).alias("rn_all"),
+        F.when(F.col("n_events") == 0, F.row_number().over(w_zero)).alias("rn_zero"),
+    )
+    runs = (
+        flagged.where(F.col("n_events") == 0)
+        .groupBy("user_id", (F.col("rn_all") - F.col("rn_zero")).alias("_island"))
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("user_id")
+        .agg(F.max("run_len").alias("longest"))
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.count(F.when(F.col("n_events") == 0, 1)).alias("n_gap_hours"),
+        )
+        .join(runs, "user_id", "left")
+        .select(
+            "user_id",
+            "n_hours",
+            "n_gap_hours",
+            F.coalesce(F.col("longest"), F.lit(0)).alias("longest_gap"),
+        )
+    )

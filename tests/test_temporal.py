@@ -149,3 +149,22 @@ def test_funnel_strict_order_and_stall(spark):
     assert out[4] == (us(3), None, None)
     with _pytest.raises(ValueError):
         funnel_times(df, ["view"])
+
+
+def test_hourly_fill_zero_buckets(spark):
+    import datetime as dt
+
+    from fs2_kinesis_firehose_spark.operators.temporal import hourly_fill
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    rows = [
+        (1, ts(0, 10)), (1, ts(0, 50)),      # hour 0: 2 events
+        (1, ts(3, 5)),                        # hours 1-2: gaps, hour 3: 1
+        (2, ts(5)),                           # single event → single bucket
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r["user_id"], r["bucket"].hour): r["n_events"]
+           for r in hourly_fill(df, "user_id", "ts").collect()}
+    assert out == {(1, 0): 2, (1, 1): 0, (1, 2): 0, (1, 3): 1, (2, 5): 1}
