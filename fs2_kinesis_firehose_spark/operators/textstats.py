@@ -278,3 +278,46 @@ def gopher_repetition(df: DataFrame, text_col: str = "text", key_col: str = "doc
         *[f"dup_{n}gram_char_frac" for n in DUP_NGRAM_THRESHOLDS],
         keep.alias("keep_repetition"),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    top_k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k keywords per document by smoothed TF-IDF:
+    ``tf · ln((1 + N) / (1 + df))`` with raw term counts; rank = (score
+    DESC, term ASC) — document tagging / topic labels / index terms.
+
+    Returns ``(key, term, rank, tfidf)`` rows, ``rank ∈ 1..top_k`` (fewer
+    for docs with < k distinct terms).  One (key, term) aggregate, a
+    broadcast-sized per-term df table joined back, and a per-doc window over
+    each doc's DISTINCT terms only (bounded by vocabulary-per-doc, not
+    corpus size).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(key_col), F.explode(T.tokens(text_col)).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(key_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(key_col).distinct().count()  # 1 driver scalar (metadata)
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfs), "term").select(
+        key_col,
+        "term",
+        F.round(
+            F.col("tf")
+            * F.log((1.0 + float(n_docs)) / (F.lit(1.0) + F.col("df"))),
+            round_to,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(key_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(key_col, "term", "rank", "tfidf")
+    )

@@ -91,6 +91,7 @@ _WINDOW_PRIORITY: list[str] = [
     "streaming_upsert_accounting",
     "event_funnel_times",
     "hourly_gap_report",
+    "tfidf_doc_keywords",
     "pagerank_top_sources",
     "bm25_postings_topk",
     "winnow_coverage_check",

@@ -1540,3 +1540,41 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .withColumn("keep", F.col("bucket").isin("head", "middle"))
     )
+
+
+@query(
+    "tfidf_doc_keywords",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT t.doc_id, t.term,
+               ROUND(t.tf * LN((1.0 + n.n_docs) / (1.0 + f.df)), 6) AS tfidf
+        FROM tf t JOIN dfs f USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, rank, tfidf
+    FROM (
+        SELECT doc_id, term, tfidf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term ASC) AS INT)
+                   AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+    """,
+)
+def tfidf_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by smooth TF-IDF (tf · ln((1+N)/(1+df)),
+    ranked score DESC / term ASC) — document tagging for curation and
+    retrieval.  Per-term df broadcast back; the ranking window runs over
+    each doc's distinct terms only (operators/textstats.py:tfidf_keywords)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.tfidf_keywords(docs, "text", "doc_id", top_k=3)

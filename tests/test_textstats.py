@@ -82,3 +82,33 @@ def test_gopher_quality_single_token_doc_has_zero_bigram_fraction(spark):
     out = {r.doc_id: r for r in gopher_quality(df).collect()}
     assert out[1].top_bigram_fraction == 0.0
     assert out[2].top_bigram_fraction == 1.0  # one bigram, trivially dominant
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    import math
+
+    from fs2_kinesis_firehose_spark.operators.textstats import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = [(r["doc_id"], r["term"], r["rank"], r["tfidf"])
+           for r in tfidf_keywords(docs, top_k=2).collect()]
+
+    def idf(df_):  # N = 3
+        return math.log((1.0 + 3) / (1.0 + df_))
+
+    want = [
+        (1, "apple", 1, round(2 * idf(1), 6)),   # tf=2, df=1
+        (1, "banana", 2, round(1 * idf(2), 6)),
+        (2, "banana", 1, round(1 * idf(2), 6)),  # banana beats cherry by term ASC
+        (2, "cherry", 2, round(1 * idf(2), 6)),
+        (3, "cherry", 1, round(3 * idf(2), 6)),
+        (3, "common", 2, round(1 * idf(3), 6)),
+    ]
+    assert sorted(out) == sorted(want)
