@@ -117,6 +117,8 @@ HEADLINE = [
     "event_funnel_times",
     # round-5 addition: hourly zero-fill + gaps-and-islands report
     "hourly_gap_report",
+    # round-5 addition: TF-IDF doc keywords (broadcast df, per-doc window)
+    "tfidf_doc_keywords",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)
