@@ -119,6 +119,9 @@ HEADLINE = [
     "hourly_gap_report",
     # round-5 addition: TF-IDF doc keywords (broadcast df, per-doc window)
     "tfidf_doc_keywords",
+    # round-5 addition: Bloom runtime filter (distributed bitmap build +
+    # Arrow membership prefilter + exact semi join)
+    "bloom_semijoin_revenue",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

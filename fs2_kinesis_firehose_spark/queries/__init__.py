@@ -92,6 +92,7 @@ _WINDOW_PRIORITY: list[str] = [
     "event_funnel_times",
     "hourly_gap_report",
     "tfidf_doc_keywords",
+    "bloom_semijoin_revenue",
     "pagerank_top_sources",
     "bm25_postings_topk",
     "winnow_coverage_check",

@@ -934,3 +934,48 @@ def trailing_7d_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.sum(cents).over(w).alias("trailing_cents"),
     )
+
+
+@query(
+    "bloom_semijoin_revenue",
+    # The Bloom prefilter has no false negatives and the exact semi join
+    # removes its false positives, so the output is EXACTLY the plain
+    # semi-join aggregate — which is what the oracle states.  A broken
+    # filter (false negatives) would drop rows and fail the hash.
+    oracle="""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l.l_returnflag
+    """,
+)
+def bloom_semijoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pattern (operators/bloom.py): build a Bloom bitmap
+    over the urgent-order keys (JVM-side xxhash64 positions, per-partition
+    bitmap OR, P-bitmap driver fold), prefilter lineitem with one Arrow
+    membership pass, then the exact semi join.  At 100 TB the bitmap ships
+    in ~1 MB where the key set itself would be GBs — the same trick as
+    engine-internal runtime row-group filtering, exposed as an operator."""
+    from fs2_kinesis_firehose_spark.operators import bloom as B
+
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    bm = B.bloom_build(urgent, "o_orderkey", n_bits=1 << 18, n_hashes=5)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    pre = B.bloom_prefilter(li, "l_orderkey", bm, n_bits=1 << 18, n_hashes=5)
+    exact = pre.join(
+        urgent.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", "left_semi"
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
