@@ -122,6 +122,9 @@ HEADLINE = [
     # round-5 addition: Bloom runtime filter (distributed bitmap build +
     # Arrow membership prefilter + exact semi join)
     "bloom_semijoin_revenue",
+    # round-5 addition: SCD2 history (two chained change batches, current-
+    # slice-only outer join, no-op suppression)
+    "scd2_version_accounting",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

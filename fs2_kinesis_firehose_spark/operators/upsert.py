@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["upsert_snapshot"]
+__all__ = ["upsert_snapshot", "scd2_apply"]
 
 
 def upsert_snapshot(
@@ -87,3 +87,76 @@ def upsert_snapshot(
     if action_col is None:
         return out.drop("_action")
     return out.withColumnRenamed("_action", action_col)
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    change_ts_col: str,
+    *,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply one change batch to a history
+    table, preserving full lineage as validity intervals.
+
+    ``history`` rows carry ``[from_col, to_col)`` with ``to_col`` NULL on
+    the current version; ``changes`` carries the key, every data column,
+    and ``change_ts_col``.  Per key in the batch:
+
+    - current version exists and data differs → current row is CLOSED
+      (``to_col`` = change ts) and a new current row opens at the change ts
+    - current version exists with identical data → NO-OP (no spurious
+      version — the standard SCD2 idempotence rule)
+    - no current version → new current row opens at the change ts
+
+    Closed historical rows are never touched.  Changes must be unique per
+    key (one batch = one tick; chain batches for multiple ticks).
+
+    One full-outer-shaped join on the key (expressed as one outer join over
+    the CURRENT slice only + union with the closed slice); deterministic
+    under retries like ``upsert_snapshot``.
+    """
+    data_cols = [
+        c for c in history.columns if c not in (key_col, from_col, to_col)
+    ]
+    missing = [
+        c for c in [key_col, *data_cols, change_ts_col] if c not in changes.columns
+    ]
+    if missing:
+        raise ValueError(f"changes is missing columns: {missing}")
+
+    closed = history.where(F.col(to_col).isNotNull())
+    cur = history.where(F.col(to_col).isNull()).alias("s")
+    c = changes.alias("c")
+    j = cur.join(c, F.col(f"s.{key_col}") == F.col(f"c.{key_col}"), "full_outer")
+    in_change = F.col(f"c.{key_col}").isNotNull()
+    in_cur = F.col(f"s.{key_col}").isNotNull()
+    differs = in_change & in_cur & ~F.struct(
+        *[F.col(f"s.{d}") for d in data_cols]
+    ).eqNullSafe(F.struct(*[F.col(f"c.{d}") for d in data_cols]))
+
+    # surviving current rows: untouched keys + no-op changes keep the old
+    # row; real changes and brand-new keys open a fresh current version
+    keep_old_current = j.where(in_cur & (~in_change | ~differs)).select(
+        F.col(f"s.{key_col}").alias(key_col),
+        *[F.col(f"s.{d}").alias(d) for d in data_cols],
+        F.col(f"s.{from_col}").alias(from_col),
+        F.lit(None).cast(history.schema[to_col].dataType).alias(to_col),
+    )
+    closed_now = j.where(differs).select(
+        F.col(f"s.{key_col}").alias(key_col),
+        *[F.col(f"s.{d}").alias(d) for d in data_cols],
+        F.col(f"s.{from_col}").alias(from_col),
+        F.col(f"c.{change_ts_col}").cast(history.schema[to_col].dataType).alias(to_col),
+    )
+    new_current = j.where(differs | (in_change & ~in_cur)).select(
+        F.col(f"c.{key_col}").alias(key_col),
+        *[F.col(f"c.{d}").alias(d) for d in data_cols],
+        F.col(f"c.{change_ts_col}").cast(history.schema[from_col].dataType).alias(from_col),
+        F.lit(None).cast(history.schema[to_col].dataType).alias(to_col),
+    )
+    return closed.unionByName(keep_old_current).unionByName(closed_now).unionByName(
+        new_current
+    )

@@ -93,6 +93,7 @@ _WINDOW_PRIORITY: list[str] = [
     "hourly_gap_report",
     "tfidf_doc_keywords",
     "bloom_semijoin_revenue",
+    "scd2_version_accounting",
     "pagerank_top_sources",
     "bm25_postings_topk",
     "winnow_coverage_check",

@@ -80,3 +80,74 @@ def snapshot_upsert_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).alias("total_cents"),
     )
     return live.unionByName(deleted)
+
+
+@query(
+    "scd2_version_accounting",
+    # Two chained SCD2 batches over the orders base (t=0):
+    #   batch 1 @1000: keys ≡3 (mod 10) reprice +7.77
+    #   batch 2 @2000: keys ≡13 (mod 100) reprice +12.77 (a REAL change on
+    #     top of batch 1) and keys ≡23 (mod 100) resent at +7.77 — identical
+    #     to their current version, so the no-op rule must suppress it.
+    # Version-count cohorts are therefore closed-form; a missing no-op rule
+    # (or a lost close) shifts a cohort and fails the hash.
+    oracle=f"""
+    SELECT 3 AS n_versions, COUNT(*) AS n_keys,
+           CAST(SUM({_CENTS.format(col="(o_totalprice + 12.77)")}) AS BIGINT)
+               AS current_cents
+    FROM orders WHERE o_orderkey % 100 = 13
+    UNION ALL
+    SELECT 2, COUNT(*),
+           CAST(SUM({_CENTS.format(col="(o_totalprice + 7.77)")}) AS BIGINT)
+    FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey % 100 <> 13
+    UNION ALL
+    SELECT 1, COUNT(*),
+           CAST(SUM({_CENTS.format(col="o_totalprice")}) AS BIGINT)
+    FROM orders WHERE o_orderkey % 10 <> 3
+    """,
+)
+def scd2_version_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history tracking (operators/upsert.py:scd2_apply): two chained
+    change batches over the orders base, then version-count cohorts with
+    exact-cents current sums.  Exercises close+open, chaining, and the
+    no-op suppression rule in one driver-hashed result."""
+    key = F.col("o_orderkey")
+    price = F.col("o_totalprice")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    b1 = base.where(key % 10 == 3).select(
+        "o_orderkey",
+        (price + F.lit(7.77)).alias("o_totalprice"),
+        F.lit(1000).cast("long").alias("change_ts"),
+    )
+    b2 = (
+        base.where(key % 100 == 13).select(
+            "o_orderkey",
+            (price + F.lit(12.77)).alias("o_totalprice"),
+            F.lit(2000).cast("long").alias("change_ts"),
+        )
+        .unionByName(
+            base.where(key % 100 == 23).select(
+                "o_orderkey",
+                (price + F.lit(7.77)).alias("o_totalprice"),  # == current → no-op
+                F.lit(2000).cast("long").alias("change_ts"),
+            )
+        )
+    )
+    from fs2_kinesis_firehose_spark.operators.upsert import scd2_apply
+
+    h1 = scd2_apply(base, b1, "o_orderkey", "change_ts")
+    h2 = scd2_apply(h1, b2, "o_orderkey", "change_ts").localCheckpoint(eager=False)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_key = h2.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.when(F.col("valid_to").isNull(), cents)).alias("cur_cents"),
+    )
+    return per_key.groupBy("n_versions").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cur_cents").alias("current_cents"),
+    )

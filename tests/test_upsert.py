@@ -62,3 +62,60 @@ def test_determinism_under_repartition(spark, snap):
         ).collect()
     )
     assert a == b
+
+
+# --- scd2_apply ------------------------------------------------------------
+
+
+@pytest.fixture()
+def hist0(spark):
+    return spark.createDataFrame(
+        [(1, "a", 0, None), (2, "b", 0, None), (3, "c", 0, 5)],  # key 3 closed@5
+        "id long, val string, valid_from long, valid_to long",
+    )
+
+
+def test_scd2_change_close_and_open(spark, hist0):
+    from fs2_kinesis_firehose_spark.operators.upsert import scd2_apply
+
+    changes = spark.createDataFrame(
+        [(1, "A", 10), (9, "z", 10)], "id long, val string, change_ts long"
+    )
+    out = scd2_apply(hist0, changes, "id", "change_ts")
+    rows = {(r["id"], r["val"], r["valid_from"], r["valid_to"]) for r in out.collect()}
+    assert rows == {
+        (1, "a", 0, 10),    # closed at change ts
+        (1, "A", 10, None), # new current
+        (2, "b", 0, None),  # untouched current
+        (3, "c", 0, 5),     # closed history never touched
+        (9, "z", 10, None), # brand-new key
+    }
+
+
+def test_scd2_noop_change_creates_no_version(spark, hist0):
+    from fs2_kinesis_firehose_spark.operators.upsert import scd2_apply
+
+    noop = spark.createDataFrame([(2, "b", 10)], "id long, val string, change_ts long")
+    out = scd2_apply(hist0, noop, "id", "change_ts")
+    assert sorted(out.collect()) == sorted(hist0.collect())
+
+
+def test_scd2_chained_batches(spark, hist0):
+    from fs2_kinesis_firehose_spark.operators.upsert import scd2_apply
+
+    b1 = spark.createDataFrame([(1, "A", 10)], "id long, val string, change_ts long")
+    b2 = spark.createDataFrame([(1, "AA", 20)], "id long, val string, change_ts long")
+    out = scd2_apply(scd2_apply(hist0, b1, "id", "change_ts"), b2, "id", "change_ts")
+    one = sorted(
+        (r["val"], r["valid_from"], r["valid_to"])
+        for r in out.where("id = 1").collect()
+    )
+    assert one == [("A", 10, 20), ("AA", 20, None), ("a", 0, 10)]
+
+
+def test_scd2_missing_columns_rejected(spark, hist0):
+    from fs2_kinesis_firehose_spark.operators.upsert import scd2_apply
+
+    bad = spark.createDataFrame([(1, 10)], "id long, change_ts long")
+    with pytest.raises(ValueError, match="val"):
+        scd2_apply(hist0, bad, "id", "change_ts")
