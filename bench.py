@@ -125,6 +125,9 @@ HEADLINE = [
     # round-5 addition: SCD2 history (two chained change batches, current-
     # slice-only outer join, no-op suppression)
     "scd2_version_accounting",
+    # round-5 addition: distributed PCA (one Arrow stats pass + driver eigh
+    # + GEMM projection + spectral-invariant checks)
+    "pca_embedding_variance",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -94,6 +94,7 @@ _WINDOW_PRIORITY: list[str] = [
     "tfidf_doc_keywords",
     "bloom_semijoin_revenue",
     "scd2_version_accounting",
+    "pca_embedding_variance",
     "pagerank_top_sources",
     "bm25_postings_topk",
     "winnow_coverage_check",

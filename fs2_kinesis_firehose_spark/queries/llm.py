@@ -1578,3 +1578,75 @@ def tfidf_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     each doc's distinct terms only (operators/textstats.py:tfidf_keywords)."""
     docs = load_table(spark, sf_dir, "documents")
     return TS.tfidf_keywords(docs, "text", "doc_id", top_k=3)
+
+
+@query(
+    "pca_embedding_variance",
+    # Invariant-style oracle (the bpe_learned_token_counts precedent):
+    # eigendecomposition is not SQL-expressible, but its CONTRACT is —
+    # the trace cross-check is recomputed from scratch in SQL (per-dim
+    # var_pop sum), and the booleans assert the spectral invariants the
+    # engine must satisfy (Σλ ≤ trace, monotone spectrum, orthonormal
+    # components, projected variance = Σλ by Pythagoras).  Any broken
+    # invariant flips a bool and fails the hash.
+    oracle="""
+    WITH x AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    dims AS (
+        SELECT generate_subscripts(e, 1) AS i, unnest(e) AS v FROM x
+    ),
+    trace AS (
+        SELECT ROUND(SUM(vp), 6) AS total_var6
+        FROM (SELECT var_pop(v) AS vp FROM dims GROUP BY i)
+    )
+    SELECT (SELECT COUNT(*) FROM x) AS n_vectors,
+           trace.total_var6,
+           TRUE AS explained_le_total,
+           TRUE AS eigen_monotone,
+           TRUE AS orthonormal_ok,
+           TRUE AS pythagoras_ok
+    FROM trace
+    """,
+)
+def pca_embedding_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/pca.py): sufficient statistics in one
+    Arrow pass, d×d eigh on the driver (metadata), GEMM projection; k=8
+    over the 64-dim embeddings.  The driver row carries the SQL-recomputed
+    trace plus the spectral invariants as booleans."""
+    import numpy as np
+
+    from fs2_kinesis_firehose_spark.operators import pca as P
+
+    k = 8
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    model = P.pca_fit(emb, k)
+    explained = float(np.sum(model["eigenvalues"]))
+    q = np.asarray(model["components"])
+    orthonormal_ok = bool(
+        np.max(np.abs(q @ q.T - np.eye(k))) < 1e-8
+    )
+    eigen_monotone = bool(np.all(np.diff(model["eigenvalues"]) <= 1e-12))
+    explained_le_total = bool(0.0 < explained <= model["total_variance"] + 1e-9)
+
+    proj = P.pca_project(emb, model, round_to=None)
+    svar = proj.agg(
+        *[
+            F.var_pop(F.element_at("pca", i + 1)).alias(f"_v{i}")
+            for i in range(k)
+        ]
+    )
+    total_score_var = sum(F.col(f"_v{i}") for i in range(k))
+    return svar.select(
+        F.lit(model["n"]).cast("long").alias("n_vectors"),
+        F.lit(round(model["total_variance"], 6)).alias("total_var6"),
+        F.lit(explained_le_total).alias("explained_le_total"),
+        F.lit(eigen_monotone).alias("eigen_monotone"),
+        F.lit(orthonormal_ok).alias("orthonormal_ok"),
+        (F.abs(total_score_var - F.lit(explained)) < F.lit(1e-6)).alias(
+            "pythagoras_ok"
+        ),
+    )
