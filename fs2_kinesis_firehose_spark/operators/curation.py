@@ -73,15 +73,22 @@ def leakage_safe_split(
     deliberately partial (e.g. keeping near-dups for quality reasons).
 
     ``group_col`` is any cluster id: a content hash (exact-dup groups), a
-    connected-component id from near-dedup, or a semantic-cluster id.  One
-    shuffle (the per-group window min); assignment inherits
-    ``deterministic_split``'s stability under repartitioning and re-runs.
+    connected-component id from near-dedup, or a semantic-cluster id.
+    Rows with a NULL group ("not in any cluster") are split independently
+    by their OWN key — they do not collapse into one mega-group (which
+    would both skew the split ratios by the whole NULL population and put
+    every NULL row in a single window partition).  One shuffle (the
+    per-group window min); assignment inherits ``deterministic_split``'s
+    stability under repartitioning and re-runs.
     """
     from pyspark.sql.window import Window
 
     g = F.col(group_col) if isinstance(group_col, str) else group_col
-    rep = F.min(key_col).over(Window.partitionBy(g))
-    out = df.withColumn("_rep", rep)
+    # partition by (group, NULL-fallback key): NULL-group rows become
+    # singleton partitions keyed by their own key — no skewed NULL
+    # partition, and min(key) over a singleton is the row's own key
+    w = Window.partitionBy(g, F.when(g.isNull(), F.col(key_col)))
+    out = df.withColumn("_rep", F.min(key_col).over(w))
     return deterministic_split(out, "_rep", weights=weights, salt=salt).drop("_rep")
 
 

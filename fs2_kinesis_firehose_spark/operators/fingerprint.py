@@ -73,6 +73,7 @@ def winnow_fingerprints(
     *,
     gram_n: int = 3,
     window: int = 4,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(key, fingerprint) rows: the distinct window-minimum gram hashes.
 
@@ -80,8 +81,14 @@ def winnow_fingerprints(
     ``0 .. max(0, n_grams - window)`` (a document with fewer than ``window``
     grams is one short window — its minimum is still selected, so every
     document with ≥1 gram has ≥1 fingerprint).
+
+    ``grams``: optionally pass a precomputed (ideally checkpointed)
+    ``gram_hash_rows`` output to share the tokenize+posexplode+window stage
+    with other consumers (the coverage audit does this) instead of
+    re-scanning the corpus.
     """
-    grams = gram_hash_rows(df, text_col, key_col, gram_n=gram_n)
+    if grams is None:
+        grams = gram_hash_rows(df, text_col, key_col, gram_n=gram_n)
     # one more pass over the SAME doc-key partitioning (no extra shuffle
     # shape): per-window min + gram count to bound the valid window starts
     wo = Window.partitionBy(key_col).orderBy("_gpos")
@@ -109,16 +116,18 @@ def fingerprint_overlap_pairs(
     gram_n: int = 3,
     window: int = 4,
     min_shared: int = 2,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(key1, key2, n_shared) for document pairs sharing ≥ ``min_shared``
     winnowing fingerprints — the shared-passage candidate report.
 
     The join is on the fingerprint value (inverted-index bucketing); the
     pair aggregate shuffles on the pair key.  Both stages are bounded by
-    fingerprint frequency, not corpus size².
+    fingerprint frequency, not corpus size².  ``grams``: see
+    ``winnow_fingerprints``.
     """
     fp = winnow_fingerprints(
-        df, text_col, key_col, gram_n=gram_n, window=window
+        df, text_col, key_col, gram_n=gram_n, window=window, grams=grams
     ).localCheckpoint(eager=False)
     a = fp.select(F.col(key_col).alias("key1"), "fingerprint")
     b = fp.select(F.col(key_col).alias("key2"), "fingerprint")
@@ -188,8 +197,11 @@ def coverage_report(
         )
         .filter(F.col("n_matches") >= min_matches)
     )
+    # reuse the checkpointed gram stream — the fingerprint selection would
+    # otherwise rebuild the identical tokenize+posexplode+window stage
     shared = fingerprint_overlap_pairs(
-        df, text_col, key_col, gram_n=gram_n, window=window, min_shared=1
+        df, text_col, key_col, gram_n=gram_n, window=window, min_shared=1,
+        grams=grams,
     ).withColumnRenamed("n_shared", "n_shared_fp")
     return (
         pair_stats.join(shared, ["key1", "key2"], "left")

@@ -98,12 +98,19 @@ def pca_project(
     round_to: int | None = 6,
 ) -> DataFrame:
     """Append ``out_col`` = (x − mean) @ componentsᵀ as array<double> —
-    one GEMM per Arrow batch against the broadcast (k×d) component matrix."""
+    one GEMM per Arrow batch against the broadcast (k×d) component matrix.
+
+    Rows with NULL vectors are DROPPED — the same filter ``pca_fit``
+    applies, so fit/project over the same raw table is symmetric (without
+    this, a NULL row would crash the Arrow worker mid-GEMM)."""
     mean = np.asarray(model["mean"], dtype=np.float64)
     comps = np.asarray(model["components"], dtype=np.float64)
+    df = df.where(F.col(vec_col).isNotNull())
 
     def project(batches):
         for pdf in batches:
+            if pdf.empty:
+                continue
             X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             Z = (X - mean) @ comps.T
             if round_to is not None:

@@ -193,17 +193,32 @@ def rrf_fuse(
     with a single-partition window, which is O(N log N) on one task and only
     sane because N is small.  Truncate upstream (TakeOrderedAndProject)
     first; this operator fuses candidates, it does not rank the corpus.
+
+    Each ranking must be UNIQUE per key (one row per candidate) — enforced
+    with an eager check, cheap because inputs are candidate-sized: a
+    ranking with duplicate keys would silently contribute several
+    1/(k+rank) terms for one document and inflate its fused score.
     """
     from pyspark.sql.window import Window
 
     if len(rankings) < 2:
         raise ValueError("rrf_fuse needs >= 2 rankings")
     contribs = []
-    for r in rankings:
+    for idx, r in enumerate(rankings):
         others = [c for c in r.columns if c != key_col]
         if len(others) != 1:
             raise ValueError(
                 f"each ranking must be (key, score); got columns {r.columns}"
+            )
+        dup = (
+            r.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+            .first()
+        )
+        if dup is not None:
+            raise ValueError(
+                f"ranking {idx} has duplicate key {dup[0]!r}: aggregate to one "
+                "row per candidate before fusing"
             )
         w = Window.orderBy(F.desc(others[0]), F.asc(key_col))
         contribs.append(

@@ -97,10 +97,19 @@ def heavy_hitters(
     *,
     k: int | None = None,
     totals: DataFrame | None = None,
+    min_count: int | None = None,
 ) -> DataFrame:
     """EXACT phi-heavy hitters: DataFrame(item, cnt) with
     ``cnt = exact count`` for every item whose count ≥ ceil(phi·n),
     n = number of non-NULL items.
+
+    Threshold precision: ``ceil(phi·n)`` is evaluated in DOUBLE arithmetic
+    on the double ``phi`` actually passed — for a decimal like 0.07 whose
+    double is infinitesimally above the decimal value, ``0.07·100`` is
+    7.000000000000001 and the cut becomes 8, not 7.  When the cut must be
+    decimal-exact, compute it yourself (e.g. ``math.ceil(Fraction(7, 100)
+    * n)``) and pass ``min_count`` to override the phi·n cut entirely
+    (phi then governs only the sketch's candidate-recall bound).
 
     ``k`` (counter budget) defaults to ``4·ceil(1/phi)``; any ``k ≥
     ceil(1/phi)`` preserves the no-false-negative guarantee — larger k only
@@ -149,11 +158,16 @@ def heavy_hitters(
     # Pass 2: exact recount of the ≤ k candidates + the phi·n cut.
     if totals is None:
         totals = items.agg(F.count("*").alias("n"))
+    cut = (
+        F.lit(int(min_count))
+        if min_count is not None
+        else F.ceil(F.lit(phi) * F.col("n")).cast("long")
+    )
     return (
         items.join(F.broadcast(candidates), item_col, "inner")
         .groupBy(item_col)
         .agg(F.count("*").alias("cnt"))
         .crossJoin(F.broadcast(totals))
-        .where(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("n")).cast("long"))
+        .where(F.col("cnt") >= cut)
         .select(F.col(item_col).alias("item"), "cnt")
     )

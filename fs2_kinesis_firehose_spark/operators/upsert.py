@@ -51,7 +51,11 @@ def upsert_snapshot(
     if missing:
         raise ValueError(f"changes is missing snapshot columns: {missing}")
 
-    ch = changes
+    # NULL-key change rows are dropped: a NULL key matches nothing in a
+    # full-outer join, and without this filter such a row would surface as
+    # a phantom all-NULL "unchanged" output row (the in_change flag below
+    # is derived from c.key IS NOT NULL).
+    ch = changes.where(F.col(key_col).isNotNull())
     if version_col is not None:
         from pyspark.sql.window import Window
 
@@ -129,7 +133,9 @@ def scd2_apply(
 
     closed = history.where(F.col(to_col).isNotNull())
     cur = history.where(F.col(to_col).isNull()).alias("s")
-    c = changes.alias("c")
+    # NULL-key changes are dropped explicitly (same contract as
+    # upsert_snapshot — a NULL key can never match or open a version)
+    c = changes.where(F.col(key_col).isNotNull()).alias("c")
     j = cur.join(c, F.col(f"s.{key_col}") == F.col(f"c.{key_col}"), "full_outer")
     in_change = F.col(f"c.{key_col}").isNotNull()
     in_cur = F.col(f"s.{key_col}").isNotNull()

@@ -67,15 +67,18 @@ WINDOW_EXEMPT: dict[str, str] = {
 
 _WINDOW_PRIORITY: list[str] = [
     # --- r5 window.  Rotation state: after r4's clean sweep, every
-    # registered query except the three NEW this round has a green driver row
+    # registered query except this round's NEW ones has a green driver row
     # in some prior round; the r4 window re-greened 50.  This window
-    # (1) heads with the three queries that have never earned a driver row;
-    # (2) re-verifies the three whose implementation/oracle changed this
-    # round (bm25_topk's oracle tokenizer, the winnowing gram-build refactor,
-    # the progress-rollup deadline path); (3) rotates in the 12 queries whose
-    # newest green row is r02 (the oldest evidence in the registry); then
-    # (4) fills with 32 of the 41 r03-evidence queries — the remaining 9
-    # (named in the README rotation note) keep their r03 rows and rotate in
+    # (1) heads with the TWENTY queries that have never earned a driver row
+    # (round 5 added sixteen new operators/queries on top of the four from
+    # its opening commits); (2) re-verifies the three whose implementation
+    # or oracle changed this round (bm25_topk's oracle tokenizer, the
+    # winnowing gram-build refactor, the progress-rollup deadline path);
+    # (3) rotates in the 12 queries whose newest green row is r02 (the
+    # oldest evidence in the registry); then (4) fills the remaining ~15
+    # slots with r03-evidence queries — the other r03-green queries (the
+    # authoritative name list lives in the README rotation note) keep their
+    # r03 rows plus every-run test_oracle_parity coverage and rotate in
     # next round.  Everything green in r04 and unchanged sits out.
     # ---------------------------------------------------------------
     # (1) never driver-verified: this round's new queries

@@ -320,3 +320,20 @@ def test_quantile_bucket_validation(spark):
         C.quantile_bucket(df, "x", (0.5,), ("a",))
     with _pytest.raises(ValueError):
         C.quantile_bucket(df, "x", (0.7, 0.3), ("a", "b", "c"))
+
+
+def test_leakage_safe_split_null_groups_split_independently(spark):
+    import pyspark.sql.functions as F
+
+    from fs2_kinesis_firehose_spark.operators import curation as C
+
+    # 300 rows with NULL group: each must be split by its OWN key (matching
+    # the row-level deterministic_split), not collapsed into one mega-group
+    df = spark.createDataFrame(
+        [(i, None) for i in range(300)], "doc_id long, g string"
+    ).repartition(5)
+    got = {r["doc_id"]: r["split"] for r in C.leakage_safe_split(df, "g").collect()}
+    want = {r["doc_id"]: r["split"]
+            for r in C.deterministic_split(df, "doc_id").collect()}
+    assert got == want
+    assert len(set(got.values())) == 3  # not one split for everyone

@@ -63,3 +63,14 @@ def test_validation(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="no vectors"):
         P.pca_fit(empty, k=1)
+
+
+def test_project_drops_null_vectors(spark):
+    X = np.eye(4) * 2
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(4)] + [(9, None)],
+        "vec_id long, embedding array<double>",
+    )
+    m = P.pca_fit(df, k=2)
+    rows = P.pca_project(df, m).collect()
+    assert {r["vec_id"] for r in rows} == {0, 1, 2, 3}

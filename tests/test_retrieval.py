@@ -134,3 +134,12 @@ def test_rrf_validation(spark):
     bad = spark.createDataFrame([(1, 1.0, 2.0)], "doc_id long, s double, t double")
     with pytest.raises(ValueError):
         rrf_fuse([one, bad])
+
+
+def test_rrf_rejects_duplicate_keys(spark):
+    from fs2_kinesis_firehose_spark.operators.retrieval import rrf_fuse
+
+    ok = spark.createDataFrame([(1, 1.0), (2, 2.0)], "doc_id long, s double")
+    dup = spark.createDataFrame([(1, 1.0), (1, 2.0)], "doc_id long, s double")
+    with pytest.raises(ValueError, match="duplicate key"):
+        rrf_fuse([ok, dup])

@@ -119,3 +119,14 @@ def test_scd2_missing_columns_rejected(spark, hist0):
     bad = spark.createDataFrame([(1, 10)], "id long, change_ts long")
     with pytest.raises(ValueError, match="val"):
         scd2_apply(hist0, bad, "id", "change_ts")
+
+
+def test_null_key_changes_dropped(spark, snap):
+    # a dirty CDC row with a NULL key must not produce a phantom output row
+    changes = spark.createDataFrame(
+        [(None, "x", 1.0, False), (2, "B", 22.0, False)],
+        "id long, name string, amt double, is_delete boolean",
+    )
+    out = upsert_snapshot(snap, changes, "id", delete_col="is_delete")
+    assert out.where("id IS NULL").count() == 0
+    assert out.count() == 3  # 1 unchanged ×2 + 1 updated
