@@ -5,8 +5,15 @@ easily as bits (1 M keys ≈ 1.2 MB at 10 bits/key vs ~100 MB of boxed longs).
 
 Build: positions are computed JVM-side (``xxhash64(key, seed_i)`` per hash
 function — codegen, no Python in the scan), per-partition bitmaps are OR'd
-in one Arrow pass, and only P partition bitmaps (metadata: P × n_bits/8
-bytes) ever reach the driver, where they fold into the final bitmap.
+in one Arrow pass and emitted as their NON-ZERO 64-bit words ``(i, w)``;
+a JVM-side ``bit_or`` hash aggregate folds the words across partitions, so
+driver traffic is exactly ONE bitmap (≤ n_bits/64 word rows) no matter how
+many tasks ran — a 10k-task build of a 1e9-key-scale bitmap collects the
+same ~n_bits/8 bytes a 2-task build does.  (The earlier one-level fold
+collected P whole bitmaps, a driver choke point at large P.)  Sparse
+partitions emit only their set words, so shuffle volume is
+``min(keys·n_hashes, bitmap)`` per partition, with the distributed
+aggregate absorbing the P-way fan-in.
 
 Apply: positions again JVM-side; the membership test is one vectorized
 Arrow batch op against the (task-shipped) bitmap.  No false negatives —
@@ -26,7 +33,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bloom_build", "bloom_prefilter"]
+__all__ = ["bloom_build", "bloom_prefilter", "expected_fpp"]
 
 
 def _positions(key_col: str | Column, n_bits: int, n_hashes: int) -> Column:
@@ -36,32 +43,56 @@ def _positions(key_col: str | Column, n_bits: int, n_hashes: int) -> Column:
     )
 
 
-def bloom_build(
-    df: DataFrame, key_col: str, *, n_bits: int = 1 << 20, n_hashes: int = 5
-) -> bytes:
-    """Build the bitmap over ``df[key_col]`` (NULLs ignored).  Returns
-    ``n_bits/8`` bytes.  Distributed: one narrow scan + one Arrow pass;
-    driver traffic is P partition bitmaps, not keys."""
-    if n_bits % 8:
-        raise ValueError("n_bits must be a multiple of 8")
+def _word_rows(
+    df: DataFrame, key_col: str, *, n_bits: int, n_hashes: int
+) -> DataFrame:
+    """Folded bitmap as non-zero 64-bit words ``(i long, w long)``: one
+    Arrow pass builds a per-partition bitmap and emits its set words; a
+    JVM-side ``bit_or`` aggregate ORs them across partitions.  Row count is
+    ≤ n_bits/64 and independent of the task count — this is the
+    driver-bounded fold ``bloom_build`` collects (exposed separately so
+    tests can pin the bound)."""
     n_bytes = n_bits // 8
+    n_words = (n_bytes + 7) // 8  # bitmap padded to whole 64-bit words
 
     pos = (
         df.where(F.col(key_col).isNotNull())
         .select(F.explode(_positions(key_col, n_bits, n_hashes)).alias("p"))
     )
 
-    def to_bitmap(batches):
-        bm = np.zeros(n_bytes, dtype=np.uint8)
+    def to_words(batches):
+        bm = np.zeros(n_words * 8, dtype=np.uint8)
         for pdf in batches:
             p = pdf["p"].to_numpy(dtype=np.int64)
             np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
-        yield pd.DataFrame({"bm": [bm.tobytes()]})
+        w = bm.view(np.int64)
+        nz = np.flatnonzero(w)
+        yield pd.DataFrame({"i": nz.astype(np.int64), "w": w[nz]})
 
-    out = np.zeros(n_bytes, dtype=np.uint8)
-    for row in pos.mapInPandas(to_bitmap, "bm binary").collect():
-        out |= np.frombuffer(row["bm"], dtype=np.uint8)
-    return out.tobytes()
+    return (
+        pos.mapInPandas(to_words, "i long, w long")
+        .groupBy("i")
+        .agg(F.bit_or("w").alias("w"))
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, *, n_bits: int = 1 << 20, n_hashes: int = 5
+) -> bytes:
+    """Build the bitmap over ``df[key_col]`` (NULLs ignored).  Returns
+    ``n_bits/8`` bytes.  Distributed: one narrow scan + one Arrow pass +
+    one word-level ``bit_or`` aggregate; the driver collects at most
+    ``n_bits/64`` word rows (one bitmap's worth), independent of the
+    partition count."""
+    if n_bits % 8:
+        raise ValueError("n_bits must be a multiple of 8")
+    n_bytes = n_bits // 8
+    n_words = (n_bytes + 7) // 8
+
+    out = np.zeros(n_words, dtype=np.int64)
+    for row in _word_rows(df, key_col, n_bits=n_bits, n_hashes=n_hashes).collect():
+        out[row["i"]] = row["w"]
+    return out.view(np.uint8)[:n_bytes].tobytes()
 
 
 def bloom_prefilter(

@@ -3,11 +3,17 @@
 Dimensionality reduction is the standard pre-step for ANN indexing,
 SemDeDup blocking, and embedding visualization.  The classic distributed
 construction: the corpus never leaves the cluster — one narrow Arrow pass
-accumulates the per-partition sufficient statistics (n, Σx, XᵀX), the
-driver folds P statistic blocks (d×d each — metadata, d=64 → 32 KB) into
-the covariance matrix and eigendecomposes it (LAPACK ``eigh`` on a d×d
-symmetric matrix, microseconds), and projection is one GEMM per Arrow
-batch against the broadcast component matrix.
+accumulates per-partition CENTERED sufficient statistics
+(n, mean, M = Σ(x−mean)(x−mean)ᵀ), merged batch-to-batch and
+block-to-block with the pairwise update of Chan, Golub & LeVeque (1979):
+``M = M_a + M_b + δδᵀ·n_a·n_b/(n_a+n_b)``, ``δ = mean_b − mean_a``.
+Centered accumulation avoids the catastrophic cancellation the single-pass
+``E[xxᵀ] − μμᵀ`` form suffers when embeddings sit far from the origin
+(variance tiny relative to ‖μ‖²).  The driver folds P statistic blocks
+(d×d each — metadata, d=64 → 32 KB) into the covariance matrix and
+eigendecomposes it (LAPACK ``eigh`` on a d×d symmetric matrix,
+microseconds); projection is one GEMM per Arrow batch against the
+broadcast (k×d) component matrix.
 
 Determinism: ``eigh`` is deterministic for a fixed matrix; component SIGN
 is normalized (largest-|loading| coordinate made positive, ties by lowest
@@ -36,41 +42,62 @@ def pca_fit(df: DataFrame, k: int, *, vec_col: str = "embedding") -> dict:
     if k < 1:
         raise ValueError("k must be >= 1")
 
+    def merge(a, b):
+        """Chan et al. pairwise merge of (n, mean, M) centered-stat blocks."""
+        na, ma, Ma = a
+        nb, mb, Mb = b
+        tot = na + nb
+        delta = mb - ma
+        return (
+            tot,
+            ma + delta * (nb / tot),
+            Ma + Mb + np.outer(delta, delta) * (na * nb / tot),
+        )
+
     def partial_stats(batches):
-        n = 0
-        s = None
-        g = None
+        acc = None
         for pdf in batches:
             X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            n += X.shape[0]
-            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
-            g = X.T @ X if g is None else g + X.T @ X
-        if n == 0:
+            if X.shape[0] == 0:
+                continue
+            bmean = X.mean(axis=0)
+            Xc = X - bmean
+            block = (X.shape[0], bmean, Xc.T @ Xc)
+            acc = block if acc is None else merge(acc, block)
+        if acc is None:
             return
+        n_p, mean_p, M_p = acc
         yield pd.DataFrame(
-            {"n": [n], "s": [s.tobytes()], "g": [g.tobytes()], "d": [s.shape[0]]}
+            {
+                "n": [n_p],
+                "mean": [mean_p.tobytes()],
+                "m2": [M_p.tobytes()],
+                "d": [mean_p.shape[0]],
+            }
         )
 
     parts = (
         df.select(vec_col)
         .where(F.col(vec_col).isNotNull())
-        .mapInPandas(partial_stats, "n long, s binary, g binary, d int")
+        .mapInPandas(partial_stats, "n long, mean binary, m2 binary, d int")
         .collect()
     )
     if not parts:
         raise ValueError("pca_fit: no vectors")
     d = parts[0]["d"]
-    n = sum(p["n"] for p in parts)
-    s = np.zeros(d)
-    g = np.zeros((d, d))
+    acc = None
     for p in parts:
-        s += np.frombuffer(p["s"], dtype=np.float64)
-        g += np.frombuffer(p["g"], dtype=np.float64).reshape(d, d)
+        block = (
+            int(p["n"]),
+            np.frombuffer(p["mean"], dtype=np.float64).copy(),
+            np.frombuffer(p["m2"], dtype=np.float64).reshape(d, d).copy(),
+        )
+        acc = block if acc is None else merge(acc, block)
+    n, mean, M = acc
     if k > d:
         raise ValueError(f"k={k} exceeds dimensionality d={d}")
 
-    mean = s / n
-    cov = g / n - np.outer(mean, mean)  # population covariance
+    cov = M / n  # population covariance (centered stats — no cancellation)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:k]
     eigenvalues = evals[order]

@@ -194,10 +194,13 @@ def rrf_fuse(
     sane because N is small.  Truncate upstream (TakeOrderedAndProject)
     first; this operator fuses candidates, it does not rank the corpus.
 
-    Each ranking must be UNIQUE per key (one row per candidate) — enforced
-    with an eager check, cheap because inputs are candidate-sized: a
-    ranking with duplicate keys would silently contribute several
-    1/(k+rank) terms for one document and inflate its fused score.
+    Each ranking must be UNIQUE per key (one row per candidate): a ranking
+    with duplicate keys would silently contribute several 1/(k+rank) terms
+    for one document and inflate its fused score.  The check is LAZY and
+    in-plan — the fusing aggregate also counts rows vs distinct ranking ids
+    per key and ``raise_error``s on a mismatch at execution time — so plan
+    construction triggers ZERO Spark jobs and never forces the (possibly
+    expensive, un-cached) candidate pipelines to run twice.
     """
     from pyspark.sql.window import Window
 
@@ -210,29 +213,42 @@ def rrf_fuse(
             raise ValueError(
                 f"each ranking must be (key, score); got columns {r.columns}"
             )
-        dup = (
-            r.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > 1)
-            .first()
-        )
-        if dup is not None:
-            raise ValueError(
-                f"ranking {idx} has duplicate key {dup[0]!r}: aggregate to one "
-                "row per candidate before fusing"
-            )
         w = Window.orderBy(F.desc(others[0]), F.asc(key_col))
         contribs.append(
             r.select(
                 F.col(key_col),
+                F.lit(idx).alias("_ridx"),
                 (F.lit(1.0) / (F.lit(rrf_k) + F.row_number().over(w))).alias("c"),
             )
         )
     fused = contribs[0]
     for c in contribs[1:]:
         fused = fused.unionByName(c)
-    out = (
-        fused.groupBy(key_col)
-        .agg(F.round(F.sum("c"), round_to).alias("rrf_score"))
+    # duplicate-key guard folded into the ONE fusing aggregate: a key with
+    # more contribution rows than distinct ranking ids was duplicated inside
+    # some ranking → fail loudly when the plan actually runs
+    agg = fused.groupBy(key_col).agg(
+        F.round(F.sum("c"), round_to).alias("rrf_score"),
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct("_ridx").alias("_nd"),
+    )
+    out = agg.select(
+        F.col(key_col),
+        F.when(
+            F.col("_n") > F.col("_nd"),
+            F.raise_error(
+                F.concat(
+                    F.lit("rrf_fuse: duplicate key "),
+                    F.col(key_col).cast("string"),
+                    F.lit(
+                        " within a ranking: aggregate to one row per "
+                        "candidate before fusing"
+                    ),
+                )
+            ).cast("double"),
+        )
+        .otherwise(F.col("rrf_score"))
+        .alias("rrf_score"),
     )
     if top_n is not None:
         out = out.orderBy(F.desc("rrf_score"), F.asc(key_col)).limit(top_n)

@@ -98,6 +98,7 @@ def heavy_hitters(
     k: int | None = None,
     totals: DataFrame | None = None,
     min_count: int | None = None,
+    checkpoint_items: bool = True,
 ) -> DataFrame:
     """EXACT phi-heavy hitters: DataFrame(item, cnt) with
     ``cnt = exact count`` for every item whose count ≥ ceil(phi·n),
@@ -121,6 +122,14 @@ def heavy_hitters(
     speed from the pre-explosion table instead of re-evaluating the
     derivation a third time — pass it here.  Caller-supplied totals MUST
     equal the stream's true count or the phi cut is wrong.
+
+    ``checkpoint_items``: the items projection feeds the sketch pass AND
+    the exact recount (and the count when ``totals`` is not given); when its
+    lineage is a derived pipeline (tokenize → window → explode), every
+    consumer would re-run it.  By default it is ``localCheckpoint(eager=
+    False)``-pinned (the repo idiom from graph.py/fingerprint.py) so the
+    derivation runs once; pass ``False`` when the projection is a plain
+    column scan cheaper to re-read than to spool to executor storage.
     """
     if not (0.0 < phi <= 1.0):
         raise ValueError(f"phi must be in (0, 1], got {phi}")
@@ -133,6 +142,8 @@ def heavy_hitters(
         )
 
     items = df.select(item_col).where(F.col(item_col).isNotNull())
+    if checkpoint_items:
+        items = items.localCheckpoint(eager=False)
 
     # Pass 1: per-partition sketches → merge → global compress to ≤ k.
     merged = (

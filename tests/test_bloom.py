@@ -49,6 +49,25 @@ def test_prefilter_then_join_equals_plain_join(spark, keys_df):
     ).count() == 0
 
 
+def test_fold_rows_bounded_and_partition_invariant(spark, keys_df):
+    # the driver-side fold collects WORD rows, bounded by the bitmap size
+    # (n_bits/64) and independent of the task count — the two-level-fold
+    # contract that keeps a 10k-task build from choking the driver
+    n_bits, n_hashes = 1 << 16, 5
+    rows = B._word_rows(keys_df, "k", n_bits=n_bits, n_hashes=n_hashes).count()
+    assert rows <= n_bits // 64
+    rows48 = B._word_rows(
+        keys_df.repartition(48), "k", n_bits=n_bits, n_hashes=n_hashes
+    ).count()
+    assert rows == rows48  # fold output is the bitmap, not per-partition state
+    # and the bitmap itself is bit-identical across partitionings
+    bm1 = B.bloom_build(keys_df.coalesce(1), "k", n_bits=n_bits, n_hashes=n_hashes)
+    bm48 = B.bloom_build(
+        keys_df.repartition(48), "k", n_bits=n_bits, n_hashes=n_hashes
+    )
+    assert bm1 == bm48
+
+
 def test_validation(spark, keys_df):
     with pytest.raises(ValueError):
         B.bloom_build(keys_df, "k", n_bits=1001)

@@ -32,6 +32,20 @@ def test_fit_matches_numpy(spark):
     assert np.allclose(Z.var(axis=0), m["eigenvalues"], rtol=1e-9)
 
 
+def test_fit_stable_far_from_origin(spark):
+    # catastrophic-cancellation regression: a huge mean offset with tiny
+    # variance destroys the single-pass E[xxT] − μμT form (relative error
+    # ~‖μ‖²·eps/σ² ≈ 1e12·1e-16/1e-4 = 1e0); the centered Chan-merge
+    # accumulation must still match numpy to tight relative tolerance
+    rng = np.random.default_rng(17)
+    X = rng.normal(0, 1e-2, (300, 4)) @ np.diag([3, 2, 1, 0.5]) + 1e6
+    m = P.pca_fit(_df(spark, X), k=2)
+    cov = np.cov(X, rowvar=False, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:2]
+    assert np.allclose(m["eigenvalues"], evals, rtol=1e-6)
+    assert np.isclose(m["total_variance"], np.trace(cov), rtol=1e-6)
+
+
 def test_fit_independent_of_partitioning(spark):
     rng = np.random.default_rng(9)
     X = rng.normal(0, 1, (200, 5))

@@ -141,5 +141,31 @@ def test_rrf_rejects_duplicate_keys(spark):
 
     ok = spark.createDataFrame([(1, 1.0), (2, 2.0)], "doc_id long, s double")
     dup = spark.createDataFrame([(1, 1.0), (1, 2.0)], "doc_id long, s double")
-    with pytest.raises(ValueError, match="duplicate key"):
-        rrf_fuse([ok, dup])
+    # the guard is in-plan: the error surfaces when the fused plan RUNS
+    fused = rrf_fuse([ok, dup])
+    with pytest.raises(Exception, match="duplicate key"):
+        fused.collect()
+
+
+def test_rrf_construction_is_lazy(spark):
+    # plan construction must trigger ZERO Spark jobs: feed rankings whose
+    # evaluation raises — an eager guard (the old per-ranking .first())
+    # would blow up here, a lazy plan only at collect()
+    from pyspark.sql import functions as F
+
+    from fs2_kinesis_firehose_spark.operators.retrieval import rrf_fuse
+
+    def poison(name):
+        return spark.range(2).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") >= 0, F.raise_error(F.lit(f"{name} evaluated"))
+            )
+            .otherwise(F.lit(0.0))
+            .cast("double")
+            .alias("s"),
+        )
+
+    fused = rrf_fuse([poison("a"), poison("b")])  # must not raise
+    with pytest.raises(Exception, match="evaluated"):
+        fused.collect()
