@@ -128,6 +128,21 @@ HEADLINE = [
     # round-5 addition: distributed PCA (one Arrow stats pass + driver eigh
     # + GEMM projection + spectral-invariant checks)
     "pca_embedding_variance",
+    # round-6 addition: DOULION sampled triangle estimate — the at-scale
+    # companion to the exact path above; the wedge join runs on a p²
+    # fraction of the wedges (p=0.5 → ~4x cheaper, same oracle exactness)
+    "approx_triangle_estimate",
+    # round-6 addition: KLL quantile sketch over doc lengths (per-partition
+    # compactors + driver merge + ONE exact rank-interval validation scan)
+    "kll_doclen_quantiles",
+    # round-6 addition: multi-tick SCD2 (five change cohorts, ONE batch,
+    # keyed window chain compression + interval assembly)
+    "scd2_multi_tick_accounting",
+    # round-6 addition: Q18 with the Bloom runtime filter composed in (the
+    # bitmap build + scan-side membership pass replace nothing — the win is
+    # fact rows dropping before the exchange; compare against
+    # tpch_q18_large_volume_customers above)
+    "tpch_q18_bloom_prefilter",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -43,7 +43,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["misra_gries_summaries", "heavy_hitters"]
+__all__ = [
+    "misra_gries_summaries",
+    "heavy_hitters",
+    "count_min_table",
+    "count_min_lookup",
+]
 
 
 def _compress(counters: dict, k: int) -> dict:
@@ -181,4 +186,84 @@ def heavy_hitters(
         .crossJoin(F.broadcast(totals))
         .where(F.col("cnt") >= cut)
         .select(F.col(item_col).alias("item"), "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005)
+# ---------------------------------------------------------------------------
+def _cm_hash(item, width: int, r: int, salt: str):
+    """Row-r CM column: first 32 bits of md5(item || salt || r) mod width —
+    the repo's engine-portable hash (bit-identical in DuckDB), so the whole
+    sketch is deterministic and cross-engine restatable."""
+    c = F.col(item) if isinstance(item, str) else item
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(c.cast("string"), F.lit(f"{salt}{r}"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def count_min_table(
+    df: DataFrame,
+    item_col: str,
+    *,
+    width: int = 1 << 12,
+    depth: int = 4,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-Min sketch AS A DATAFRAME: ``(row int, col long, cnt long)``
+    holding the non-zero counters — the point-frequency companion to the
+    Misra–Gries top-k sketch above (CM answers "how often did THIS key
+    occur" for ANY key, with one-sided error: estimates never undercount).
+
+    Entirely JVM-side: one ``posexplode`` of the depth hash columns (md5 —
+    codegen) + ONE hash aggregate; ≤ depth·width rows regardless of input
+    size, mergeable by unioning tables and summing cnt (counters are
+    linear).  NULL items are ignored.  Unlike the classic array form, the
+    DataFrame form needs no driver fold at all — the sketch stays
+    distributed, joins as a table, and a SQL oracle can recompute it
+    bit-for-bit (deterministic hashes, exact counts).
+    """
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width >= 2, depth >= 1; got {width}, {depth}")
+    hashes = F.array(*[_cm_hash(item_col, width, r, salt) for r in range(depth)])
+    return (
+        df.where(F.col(item_col).isNotNull())
+        .select(F.posexplode(hashes).alias("row", "col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_lookup(
+    cm: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    *,
+    width: int = 1 << 12,
+    depth: int = 4,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-frequency estimates for each probe key: ``(item_col, cm_est)``
+    with ``cm_est = min over rows of counter[r][h_r(key)]`` — ≥ the true
+    count always (one-sided), ≤ true + 2n/width per row w.h.p.
+
+    ``width``/``depth``/``salt`` must match the build.  Probes explode to
+    depth rows, broadcast-join the sketch table on (row, col), and take one
+    min aggregate — probe-sized work, the corpus is never touched.
+    """
+    pos = probes.select(
+        item_col,
+        F.posexplode(
+            F.array(*[_cm_hash(item_col, width, r, salt) for r in range(depth)])
+        ).alias("row", "col"),
+    )
+    return (
+        pos.join(cm, ["row", "col"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est"))
     )

@@ -107,21 +107,35 @@ def scd2_apply(
 
     ``history`` rows carry ``[from_col, to_col)`` with ``to_col`` NULL on
     the current version; ``changes`` carries the key, every data column,
-    and ``change_ts_col``.  Per key in the batch:
+    and ``change_ts_col``.  The batch may hold MULTIPLE ticks per key (the
+    shape real CDC feeds have): each key's changes are applied in
+    ``change_ts_col`` order as an in-batch version chain.  Per key:
 
-    - current version exists and data differs → current row is CLOSED
-      (``to_col`` = change ts) and a new current row opens at the change ts
-    - current version exists with identical data → NO-OP (no spurious
-      version — the standard SCD2 idempotence rule)
-    - no current version → new current row opens at the change ts
+    - each change whose data differs from the version in force just before
+      its timestamp opens a version at its ts and closes the previous one
+      (the pre-batch current row, or the previously opened in-batch version)
+    - a change identical to the version in force is a NO-OP (no spurious
+      version — the standard SCD2 idempotence rule, applied at every link
+      of the chain, including a leading resend of the current version)
+    - a key with no current version opens its first version at its first
+      effective change
 
-    Closed historical rows are never touched.  Changes must be unique per
-    key (one batch = one tick; chain batches for multiple ticks).
+    Closed historical rows are never touched; current rows with a NULL key
+    pass through unchanged (a NULL key can never match a change — the
+    lossless contract; NULL-key CHANGE rows are dropped, as in
+    ``upsert_snapshot``).  ``(key, change_ts)`` must be unique — equal
+    timestamps on one key have no defined order (the same contract MERGE
+    has for duplicate match rows).
 
-    One full-outer-shaped join on the key (expressed as one outer join over
-    the CURRENT slice only + union with the closed slice); deterministic
-    under retries like ``upsert_snapshot``.
+    Scale shape: one keyed window pass over the BATCH (batch-sized, not
+    history-sized) for the chain compression + interval assembly, one
+    key join batch←current slice for the in-force comparison base, and one
+    join + one anti-join current→batch for close/keep — history only ever
+    streams through the closed-slice union.  Deterministic under retries
+    like ``upsert_snapshot``.
     """
+    from pyspark.sql.window import Window
+
     data_cols = [
         c for c in history.columns if c not in (key_col, from_col, to_col)
     ]
@@ -131,38 +145,66 @@ def scd2_apply(
     if missing:
         raise ValueError(f"changes is missing columns: {missing}")
 
+    to_type = history.schema[to_col].dataType
+    from_type = history.schema[from_col].dataType
     closed = history.where(F.col(to_col).isNotNull())
-    cur = history.where(F.col(to_col).isNull()).alias("s")
-    # NULL-key changes are dropped explicitly (same contract as
-    # upsert_snapshot — a NULL key can never match or open a version)
-    c = changes.where(F.col(key_col).isNotNull()).alias("c")
-    j = cur.join(c, F.col(f"s.{key_col}") == F.col(f"c.{key_col}"), "full_outer")
-    in_change = F.col(f"c.{key_col}").isNotNull()
-    in_cur = F.col(f"s.{key_col}").isNotNull()
-    differs = in_change & in_cur & ~F.struct(
-        *[F.col(f"s.{d}") for d in data_cols]
-    ).eqNullSafe(F.struct(*[F.col(f"c.{d}") for d in data_cols]))
+    cur_all = history.where(F.col(to_col).isNull())
+    # NULL-key current rows are routed through unchanged (they cannot match
+    # any change); only non-NULL-key current rows join the batch
+    null_key_current = cur_all.where(F.col(key_col).isNull())
+    cur = cur_all.where(F.col(key_col).isNotNull())
 
-    # surviving current rows: untouched keys + no-op changes keep the old
-    # row; real changes and brand-new keys open a fresh current version
-    keep_old_current = j.where(in_cur & (~in_change | ~differs)).select(
-        F.col(f"s.{key_col}").alias(key_col),
+    dstruct = F.struct(*[F.col(d).alias(d) for d in data_cols])
+    ch = (
+        changes.where(F.col(key_col).isNotNull())
+        .select(key_col, change_ts_col, *[c for c in data_cols])
+    )
+    cur_data = cur.select(
+        F.col(key_col), dstruct.alias("_cur_data")
+    )
+
+    # Chain compression: order each key's changes by ts; a change is
+    # EFFECTIVE iff its data differs from the version in force just before
+    # it — the previous change row when one exists (equality is transitive,
+    # so comparing against the raw predecessor equals comparing against the
+    # previously *kept* one), else the pre-batch current version (NULL
+    # struct when the key is new → first change always effective).
+    wk = Window.partitionBy(key_col).orderBy(change_ts_col)
+    base = F.coalesce(F.lag("_data").over(wk), F.col("_cur_data"))
+    kept = (
+        ch.withColumn("_data", dstruct)
+        .join(cur_data, key_col, "left")
+        .withColumn("_base", base)
+        .where(F.col("_base").isNull() | ~F.col("_data").eqNullSafe(F.col("_base")))
+    )
+    # interval assembly over the kept chain: each version closes at the
+    # next kept change's ts (NULL on the last = new current version)
+    new_versions = kept.withColumn(
+        "_next_ts", F.lead(change_ts_col).over(wk)
+    ).select(
+        F.col(key_col),
+        *[F.col(d) for d in data_cols],
+        F.col(change_ts_col).cast(from_type).alias(from_col),
+        F.col("_next_ts").cast(to_type).alias(to_col),
+    )
+
+    # pre-batch current rows: closed at the key's FIRST effective change,
+    # kept as-is when the key had none (untouched or all-no-op)
+    first_kept = kept.groupBy(key_col).agg(
+        F.min(change_ts_col).alias("_close_ts")
+    )
+    s = cur.alias("s")
+    closed_now = s.join(first_kept, key_col).select(
+        F.col(key_col),
         *[F.col(f"s.{d}").alias(d) for d in data_cols],
         F.col(f"s.{from_col}").alias(from_col),
-        F.lit(None).cast(history.schema[to_col].dataType).alias(to_col),
+        F.col("_close_ts").cast(to_type).alias(to_col),
     )
-    closed_now = j.where(differs).select(
-        F.col(f"s.{key_col}").alias(key_col),
-        *[F.col(f"s.{d}").alias(d) for d in data_cols],
-        F.col(f"s.{from_col}").alias(from_col),
-        F.col(f"c.{change_ts_col}").cast(history.schema[to_col].dataType).alias(to_col),
-    )
-    new_current = j.where(differs | (in_change & ~in_cur)).select(
-        F.col(f"c.{key_col}").alias(key_col),
-        *[F.col(f"c.{d}").alias(d) for d in data_cols],
-        F.col(f"c.{change_ts_col}").cast(history.schema[from_col].dataType).alias(from_col),
-        F.lit(None).cast(history.schema[to_col].dataType).alias(to_col),
-    )
-    return closed.unionByName(keep_old_current).unionByName(closed_now).unionByName(
-        new_current
+    keep_old_current = cur.join(first_kept, key_col, "left_anti")
+
+    return (
+        closed.unionByName(null_key_current)
+        .unionByName(keep_old_current)
+        .unionByName(closed_now)
+        .unionByName(new_versions)
     )

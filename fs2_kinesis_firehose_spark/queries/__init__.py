@@ -66,93 +66,78 @@ WINDOW_EXEMPT: dict[str, str] = {
 }
 
 _WINDOW_PRIORITY: list[str] = [
-    # --- r5 window.  Rotation state: after r4's clean sweep, every
-    # registered query except this round's NEW ones has a green driver row
-    # in some prior round; the r4 window re-greened 50.  This window
-    # (1) heads with the TWENTY queries that have never earned a driver row
-    # (round 5 added sixteen new operators/queries on top of the four from
-    # its opening commits); (2) re-verifies the three whose implementation
-    # or oracle changed this round (bm25_topk's oracle tokenizer, the
-    # winnowing gram-build refactor, the progress-rollup deadline path);
-    # (3) rotates in the 12 queries whose newest green row is r02 (the
-    # oldest evidence in the registry); then (4) fills the remaining ~15
-    # slots with r03-evidence queries — the other r03-green queries (the
-    # authoritative name list lives in the README rotation note) keep their
-    # r03 rows plus every-run test_oracle_parity coverage and rotate in
-    # next round.  Everything green in r04 and unchanged sits out.
+    # --- r6 window.  Rotation state: r5 swept 50/50 green; after it the
+    # registry's OLDEST driver evidence is r1/r2 for five scalar-function
+    # queries (map/date/math/string/json — missed by earlier rotations) and
+    # r3 for the 26 queries named in the README r5 rotation note (the
+    # r1/r2-green names map_functions/date_functions/math_functions/
+    # string_functions/events_json_extract were RETIRED in the round-3
+    # scalar-surface consolidation — they survive only in
+    # verified_green.json history, so the r3 set IS the oldest live
+    # evidence).  This window: (1) heads with the FOUR queries that have
+    # never earned a driver row (this round's new operators — multi-tick
+    # SCD2, DOULION triangle estimate, KLL quantiles, Q18+Bloom); (2)
+    # re-verifies the FIVE whose implementation changed this round
+    # (rrf_fuse lazy guard, bloom word-fold, scd2_apply rewrite, pca
+    # centered stats, heavy_hitters checkpoint); (3) rotates in ALL 26
+    # r3-evidence queries — after this round every registered query's
+    # newest green row is r4+; (4) fills the last 15 slots with
+    # r4-evidence flagships (heavy Tier-C scale paths).
     # ---------------------------------------------------------------
     # (1) never driver-verified: this round's new queries
-    "heavy_hitter_bigrams",
-    "part_copurchase_triangles",
+    "scd2_multi_tick_accounting",
+    "approx_triangle_estimate",
+    "kll_doclen_quantiles",
+    "tpch_q18_bloom_prefilter",
+    # (2) implementation changed this round -> re-verify
     "hybrid_rrf_topk",
-    "doc_community_labels",
-    "leakage_safe_split_counts",
-    "weighted_sample_docs",
-    "ccnet_perplexity_buckets",
-    "snapshot_upsert_accounting",
-    "trailing_7d_customer_revenue",
-    "streaming_upsert_accounting",
-    "event_funnel_times",
-    "hourly_gap_report",
-    "tfidf_doc_keywords",
     "bloom_semijoin_revenue",
     "scd2_version_accounting",
     "pca_embedding_variance",
-    "pagerank_top_sources",
-    "bm25_postings_topk",
-    "winnow_coverage_check",
-    "kmeans_cluster_stats",
-    # (2) implementation/oracle changed this round → re-verify
-    "bm25_topk",
-    "winnow_fingerprint_overlap",
-    "streaming_progress_rollup",
-    # (3) newest green row is r02 — oldest evidence (README r4 rotation note)
-    "all_party_names_union",
-    "array_functions",
-    "customers_with_orders",
-    "full_outer_nation_balance",
-    "late_shipments",
-    "market_segment_rollup",
-    "monthly_revenue_running",
-    "nations_with_customers_and_suppliers",
-    "nations_without_rich_suppliers",
-    "parts_never_ordered",
-    "segment_count_distinct",
-    "top_orders_per_customer",
-    # (4) r03-evidence refresh: TPC-H suite, streaming family, sink surface,
-    # heavy Tier-C
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "streaming_tumbling_counts",
-    "streaming_sliding_stats",
-    "streaming_session_counts",
+    "heavy_hitter_bigrams",
+    # (3) r3-evidence queries (the README r5 rotation-note list, complete)
+    "ann_recall_at_k",
+    "customer_order_left_join",
+    "doc_chunk_stats",
+    "dsir_importance_weights",
+    "event_type_pivot",
+    "events_props_functions",
+    "firehose_delivery_accounting",
+    "hourly_daily_event_rollup",
+    "interval_join_incident_counts",
+    "lm_perplexity_scores",
+    "multimodal_png_roundtrip_stats",
+    "nation_balance_unpivot",
+    "normalized_dedup_stats",
+    "repeated_chunk_stats",
+    "salted_join_priority_revenue",
+    "scalar_string_date_math",
+    "semantic_dedup_survivors",
+    "simhash_neardup_pairs",
+    "span_dedup_stats",
     "streaming_dedup_counts",
+    "streaming_session_counts",
+    "streaming_sliding_stats",
+    "streaming_stateful_user_stats",
     "streaming_static_join_revenue",
     "streaming_stream_stream_join",
-    "streaming_stateful_user_stats",
-    "firehose_delivery_accounting",
-    "interval_join_incident_counts",
     "user_session_stats",
-    "simhash_neardup_pairs",
-    "semantic_dedup_survivors",
-    "span_dedup_stats",
-    "lm_perplexity_scores",
-    "dsir_importance_weights",
-    "normalized_dedup_stats",
-    "multimodal_png_roundtrip_stats",
-    "doc_chunk_stats",
+    # (4) r4-evidence flagships: heavy Tier-C scale paths
+    "near_dedup_clusters_distributed",
+    "minhash_lsh_pairs",
+    "curation_funnel_counts",
+    "streaming_incremental_neardup",
+    "kinesis_roundtrip_counts",
+    "exactly_once_replay_counts",
+    "pricing_summary",
+    "cosine_topk_bruteforce",
+    "dedup_exact",
+    "benchmark_contamination",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_blocked",
+    "gopher_repetition_flags",
+    "ivf_topk",
+    "bpe_learned_token_counts",
 ]
 
 

@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fs2_kinesis_firehose_spark.operators import dedup as D
-from fs2_kinesis_firehose_spark.operators.graph import label_propagation, pagerank, triangle_counts
+from fs2_kinesis_firehose_spark.operators.graph import (
+    label_propagation,
+    pagerank,
+    triangle_count_estimate,
+    triangle_counts,
+)
 from fs2_kinesis_firehose_spark.queries import query
 from fs2_kinesis_firehose_spark.queries.llm import _DUCK_SHINGLES
 from fs2_kinesis_firehose_spark.tables import load_table
@@ -222,3 +227,55 @@ def doc_community_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, iterations=_LPA_ITER).withColumnRenamed(
         "node", "doc_id"
     )
+
+
+_DOULION_P = 0.5
+
+
+@query(
+    "approx_triangle_estimate",
+    # The oracle restates the ENTIRE pipeline: the co-purchase edge set,
+    # the identical md5 edge coin (hash_fraction(u||'|'||v, 'doulion') < p
+    # — bit-identical in DuckDB), and an a<b<c exact triangle count on the
+    # SAME sampled graph, scaled by 1/p³.  Deterministic sampling is the
+    # point: the estimate is reproducible and cross-engine checkable, not
+    # just statistically plausible.
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    s AS (
+        SELECT u, v FROM e
+        WHERE CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(CAST(u AS VARCHAR), '|',
+                   CAST(v AS VARCHAR), 'doulion')), 1, 8)) AS BIGINT)
+              / 4294967296.0 < {_DOULION_P}
+    ),
+    tri AS (
+        SELECT COUNT(*) AS tri_sampled
+        FROM s e1
+        JOIN s e2 ON e1.v = e2.u
+        JOIN s e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*) FROM s) AS n_edges_sampled,
+           tri_sampled,
+           ROUND(tri_sampled / {_DOULION_P ** 3}, 2) AS est_triangles
+    FROM tri
+    """,
+)
+def approx_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sampled triangle estimate (operators/graph.py:
+    triangle_count_estimate, p={_DOULION_P}) over the same co-purchase
+    graph ``part_copurchase_triangles`` counts exactly — the at-scale
+    companion: the wedge join runs on a p² fraction of the wedges, and the
+    deterministic md5 coin makes the sampled count itself oracle-exact.
+    pytest (tests/test_graph.py) bounds the estimator's relative error vs
+    the exact count."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
+    return triangle_count_estimate(pairs, _DOULION_P)

@@ -956,7 +956,8 @@ def trailing_7d_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bloom_semijoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-filter pattern (operators/bloom.py): build a Bloom bitmap
     over the urgent-order keys (JVM-side xxhash64 positions, per-partition
-    bitmap OR, P-bitmap driver fold), prefilter lineitem with one Arrow
+    bitmap OR, word-level bit_or fold — driver collects ≤ one bitmap's
+    worth of rows at any task count), prefilter lineitem with one Arrow
     membership pass, then the exact semi join.  At 100 TB the bitmap ships
     in ~1 MB where the key set itself would be GBs — the same trick as
     engine-internal runtime row-group filtering, exposed as an operator."""

@@ -55,3 +55,68 @@ def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         SK.heavy_hitters(bigrams, "bg", _PHI, k=_K, totals=totals)
         .withColumnRenamed("item", "bigram")
     )
+
+
+_KLL_PHIS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+_KLL_EPS = 0.01  # ~5x the observed k=200 rank error — deterministic margin
+
+
+@query(
+    "kll_doclen_quantiles",
+    # Same verification strategy as approx_distinct_users (the sanctioned
+    # pattern for sketches whose internal values are engine-specific): the
+    # sketch's quantile estimates are reduced to their RANK-ERROR GUARANTEE,
+    # checked in-plan against the exact rank interval of each estimate
+    # (one scan, 2 conditional sums per phi — no global sort), which the
+    # oracle states as TRUE.  n is recomputed exactly by both engines.
+    oracle="""
+    SELECT 0.01 AS phi, COUNT(text) AS n, TRUE AS rank_ok FROM documents
+    UNION ALL SELECT 0.1,  COUNT(text), TRUE FROM documents
+    UNION ALL SELECT 0.25, COUNT(text), TRUE FROM documents
+    UNION ALL SELECT 0.5,  COUNT(text), TRUE FROM documents
+    UNION ALL SELECT 0.75, COUNT(text), TRUE FROM documents
+    UNION ALL SELECT 0.9,  COUNT(text), TRUE FROM documents
+    UNION ALL SELECT 0.99, COUNT(text), TRUE FROM documents
+    """,
+)
+def kll_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketch (operators/kll.py) over document text lengths:
+    per-partition compactor summaries merged on the driver (metadata, no
+    sort), then every phi estimate is validated against its EXACT rank
+    interval [count(len < est), count(len <= est)] in one scan — the
+    emitted ``rank_ok`` booleans make the sketch's accuracy contract
+    driver-checkable."""
+    from fs2_kinesis_firehose_spark.operators.kll import kll_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(F.length("text").cast("double").alias("len")).where(
+        F.col("len").isNotNull()
+    )
+    sk = kll_sketch(lens, "len", k=200)
+    ests = [sk.quantile(p) for p in _KLL_PHIS]
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, v in enumerate(ests):
+        aggs.append(F.sum((F.col("len") < F.lit(v)).cast("long")).alias(f"lo{i}"))
+        aggs.append(F.sum((F.col("len") <= F.lit(v)).cast("long")).alias(f"hi{i}"))
+    stats = lens.agg(*aggs).localCheckpoint(eager=False)  # ONE exact pass
+
+    parts = []
+    for i, phi in enumerate(_KLL_PHIS):
+        target = F.lit(phi) * F.col("n")
+        err = F.greatest(
+            F.lit(0.0),
+            F.col(f"lo{i}") - target,
+            target - F.col(f"hi{i}"),
+        )
+        parts.append(
+            stats.select(
+                F.lit(phi).alias("phi"),
+                F.col("n"),
+                (err <= F.lit(_KLL_EPS) * F.col("n")).alias("rank_ok"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -337,6 +337,69 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "tpch_q18_bloom_prefilter",
+    # IDENTICAL result contract to tpch_q18_large_volume_customers (same
+    # oracle): the Bloom prefilter admits every true key (no false
+    # negatives) and the exact semi join removes false positives, so the
+    # runtime filter changes the PLAN, never the answer.  The plan pin in
+    # tests/test_plans.py asserts the membership filter drops fact rows
+    # scan-side, before the first exchange.
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o_totalprice, 2) AS totalprice,
+           SUM(l_quantity) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+          )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q18_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 with the Bloom runtime filter (operators/bloom.py) composed into
+    a TPC-H shape: the qualifying-orderkey set (big-quantity orders) is
+    folded into a bitmap and the lineitem fact scan is prefiltered by one
+    Arrow membership pass BEFORE the exact semi join — at 100 TB the
+    bitmap ships in ~1 MB where the key set would be GBs, and the fact
+    rows drop at the scan instead of crossing the exchange.  Same answer
+    as the canonical tpch_q18_large_volume_customers, by construction."""
+    from fs2_kinesis_firehose_spark.operators import bloom as B
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    bm = B.bloom_build(big, "l_orderkey", n_bits=1 << 18, n_hashes=5)
+    pre = B.bloom_prefilter(l, "l_orderkey", bm, n_bits=1 << 18, n_hashes=5)
+    return (
+        pre.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
     "tpch_q8_market_share",
     oracle="""
     WITH all_nations AS (

@@ -151,3 +151,90 @@ def scd2_version_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("cur_cents").alias("current_cents"),
     )
+
+
+@query(
+    "scd2_multi_tick_accounting",
+    # ONE batch holding up to two ticks per key — the in-batch version-chain
+    # path of scd2_apply (multi-tick CDC shape):
+    #   keys ≡3 (mod 10):  tick @1000 reprice +7.77
+    #   keys ≡13 (mod 100): + tick @2000 reprice +12.77 (chained real change)
+    #   keys ≡23 (mod 100): + tick @2000 resend +7.77 (in-chain no-op)
+    #   keys ≡7 (mod 100):  tick @1000 resend of the BASE price (leading
+    #     no-op) + tick @2000 reprice +3.33 — current must open at 2000
+    # ``current_from_sum`` (Σ valid_from over current versions) pins the
+    # open/close timestamps, so a mis-timed close (e.g. a leading no-op
+    # closing the base at 1000) shifts the sum and fails the hash.
+    oracle=f"""
+    SELECT 3 AS n_versions,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 100 = 13) AS n_keys,
+           (SELECT CAST(SUM({_CENTS.format(col="(o_totalprice + 12.77)")}) AS BIGINT)
+            FROM orders WHERE o_orderkey % 100 = 13) AS current_cents,
+           (SELECT 2000 * COUNT(*) FROM orders WHERE o_orderkey % 100 = 13)
+               AS current_from_sum
+    UNION ALL
+    SELECT 2,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderkey % 10 = 3 AND o_orderkey % 100 <> 13)
+           + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 100 = 7),
+           (SELECT CAST(SUM({_CENTS.format(col="(o_totalprice + 7.77)")}) AS BIGINT)
+            FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey % 100 <> 13)
+           + (SELECT CAST(SUM({_CENTS.format(col="(o_totalprice + 3.33)")}) AS BIGINT)
+              FROM orders WHERE o_orderkey % 100 = 7),
+           (SELECT 1000 * COUNT(*) FROM orders
+            WHERE o_orderkey % 10 = 3 AND o_orderkey % 100 <> 13)
+           + (SELECT 2000 * COUNT(*) FROM orders WHERE o_orderkey % 100 = 7)
+    UNION ALL
+    SELECT 1,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderkey % 10 <> 3 AND o_orderkey % 100 <> 7),
+           (SELECT CAST(SUM({_CENTS.format(col="o_totalprice")}) AS BIGINT)
+            FROM orders WHERE o_orderkey % 10 <> 3 AND o_orderkey % 100 <> 7),
+           0
+    """,
+)
+def scd2_multi_tick_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 with MULTIPLE ticks per key in one batch (operators/upsert.py:
+    scd2_apply's in-batch chain): chained close+open, in-chain no-op
+    suppression, and the leading-resend rule, all accounted per version
+    count with exact cents and a current-valid_from checksum."""
+    key = F.col("o_orderkey")
+    price = F.col("o_totalprice")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+
+    def tick(pred, delta, ts):
+        return base.where(pred).select(
+            "o_orderkey",
+            (price + F.lit(delta)).alias("o_totalprice"),
+            F.lit(ts).cast("long").alias("change_ts"),
+        )
+
+    batch = (
+        tick(key % 10 == 3, 7.77, 1000)
+        .unionByName(tick(key % 100 == 7, 0.0, 1000))   # leading no-op resend
+        .unionByName(tick(key % 100 == 13, 12.77, 2000))
+        .unionByName(tick(key % 100 == 23, 7.77, 2000))  # in-chain no-op
+        .unionByName(tick(key % 100 == 7, 3.33, 2000))
+    )
+    from fs2_kinesis_firehose_spark.operators.upsert import scd2_apply
+
+    h = scd2_apply(base, batch, "o_orderkey", "change_ts").localCheckpoint(
+        eager=False
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cur = F.col("valid_to").isNull()
+    per_key = h.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.when(cur, cents)).alias("cur_cents"),
+        F.sum(F.when(cur, F.col("valid_from"))).alias("cur_from"),
+    )
+    return per_key.groupBy("n_versions").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cur_cents").alias("current_cents"),
+        F.sum("cur_from").alias("current_from_sum"),
+    )

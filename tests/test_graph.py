@@ -140,6 +140,62 @@ def test_triangles_match_bruteforce_random(spark):
     assert _tri(spark, edges) == want
 
 
+# --- triangle_count_estimate (DOULION) -------------------------------------
+
+
+def test_doulion_exact_at_p1(spark):
+    # p=1 keeps every edge: the estimate IS the exact count
+    from fs2_kinesis_firehose_spark.operators.graph import triangle_count_estimate
+
+    edges = [(a, b) for a in range(6) for b in range(6) if a < b]  # K6: C(6,3)=20
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count_estimate(df, 1.0).collect()[0]
+    assert row["n_edges"] == 15 and row["n_edges_sampled"] == 15
+    assert row["tri_sampled"] == 20 and row["est_triangles"] == 20.0
+
+
+def test_doulion_relative_error_bounded(spark):
+    # dense-ish random graph: the p=0.5 estimate must land near the exact
+    # count (DOULION is unbiased; on ~1.5k triangles ±30% is a loose bound)
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 40
+    edges = [
+        (int(a), int(b))
+        for a in range(n)
+        for b in range(n)
+        if a < b and rng.random() < 0.3
+    ]
+    eset = set(edges)
+    exact = sum(
+        1
+        for a, b, c in itertools.combinations(range(n), 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    from fs2_kinesis_firehose_spark.operators.graph import triangle_count_estimate
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count_estimate(df, 0.5).collect()[0]
+    assert exact > 100  # the bound below is meaningless on a tiny count
+    assert abs(row["est_triangles"] - exact) / exact < 0.3
+    # deterministic coin: identical rerun, partitioning-invariant
+    row2 = triangle_count_estimate(df.repartition(13), 0.5).collect()[0]
+    assert row == row2
+
+
+def test_doulion_validation(spark):
+    from fs2_kinesis_firehose_spark.operators.graph import triangle_count_estimate
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        triangle_count_estimate(df, 0.0)
+    with pytest.raises(ValueError):
+        triangle_count_estimate(df, 1.5)
+
+
 # --- label_propagation -----------------------------------------------------
 
 

@@ -234,3 +234,22 @@ def test_snapshot_upsert_is_single_full_outer_join(spark, sf_smoke):
     # detail block — one physical FullOuter join == one "Join type:" line
     assert plan.count("Join type: FullOuter") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_q18_bloom_prefilter_drops_fact_rows_scan_side(spark, sf_smoke):
+    """The Bloom membership pass (ArrowEvalPython) must sit directly over
+    the lineitem fact scan — rows drop BEFORE the first exchange, which is
+    the entire point of a runtime filter."""
+    plan = explain_str(
+        q.QUERIES["tpch_q18_bloom_prefilter"](spark, sf_smoke), mode="simple"
+    )
+    lines = plan.splitlines()
+    hit = False
+    for i, line in enumerate(lines):
+        if "FileScan parquet" in line and "lineitem" in line:
+            above = "\n".join(lines[max(0, i - 5) : i])
+            if "ArrowEvalPython" in above:
+                # membership filter is scan-adjacent; the exchange is above it
+                hit = True
+    assert hit, plan
+    assert "CartesianProduct" not in plan

@@ -113,6 +113,76 @@ def test_scd2_chained_batches(spark, hist0):
     assert one == [("A", 10, 20), ("AA", 20, None), ("a", 0, 10)]
 
 
+def test_scd2_multi_tick_chain_in_one_batch(spark, hist0):
+    # TWO ticks for one key in a single batch: the in-batch chain must
+    # close each version at the next tick, matching chained single-tick
+    # applies exactly
+    from fs2_kinesis_firehose_spark.operators.upsert import scd2_apply
+
+    batch = spark.createDataFrame(
+        [(1, "A", 10), (1, "AA", 20)], "id long, val string, change_ts long"
+    )
+    out = scd2_apply(hist0, batch, "id", "change_ts")
+    one = sorted(
+        (r["val"], r["valid_from"], r["valid_to"])
+        for r in out.where("id = 1").collect()
+    )
+    assert one == [("A", 10, 20), ("AA", 20, None), ("a", 0, 10)]
+    # and equals the chained two-batch application
+    b1 = spark.createDataFrame([(1, "A", 10)], "id long, val string, change_ts long")
+    b2 = spark.createDataFrame([(1, "AA", 20)], "id long, val string, change_ts long")
+    chained = scd2_apply(scd2_apply(hist0, b1, "id", "change_ts"), b2, "id", "change_ts")
+    assert sorted(out.collect()) == sorted(chained.collect())
+
+
+def test_scd2_multi_tick_noop_links_suppressed(spark, hist0):
+    from fs2_kinesis_firehose_spark.operators.upsert import scd2_apply
+
+    # leading resend of the current version (no-op) followed by a real
+    # change: current closes at the REAL change's ts; and an in-batch
+    # duplicate run (B@30 after B@20) adds no version
+    batch = spark.createDataFrame(
+        [(1, "a", 10), (1, "B", 20), (1, "B", 30)],
+        "id long, val string, change_ts long",
+    )
+    out = scd2_apply(hist0, batch, "id", "change_ts")
+    one = sorted(
+        (r["val"], r["valid_from"], r["valid_to"])
+        for r in out.where("id = 1").collect()
+    )
+    assert one == [("B", 20, None), ("a", 0, 20)]
+    # value returning to an earlier state IS a new version (run-boundary,
+    # not set-membership, semantics)
+    back = spark.createDataFrame(
+        [(2, "x", 10), (2, "b", 20)], "id long, val string, change_ts long"
+    )
+    two = sorted(
+        (r["val"], r["valid_from"], r["valid_to"])
+        for r in scd2_apply(hist0, back, "id", "change_ts").where("id = 2").collect()
+    )
+    assert two == [("b", 0, 10), ("b", 20, None), ("x", 10, 20)]
+
+
+def test_scd2_null_key_current_rows_pass_through(spark):
+    # lossless contract: a NULL-key CURRENT row cannot match any change and
+    # must survive the apply unchanged (regression: it used to vanish)
+    from fs2_kinesis_firehose_spark.operators.upsert import scd2_apply
+
+    hist = spark.createDataFrame(
+        [(None, "orphan", 0, None), (None, "closed", 0, 5), (1, "a", 0, None)],
+        "id long, val string, valid_from long, valid_to long",
+    )
+    changes = spark.createDataFrame(
+        [(1, "A", 10)], "id long, val string, change_ts long"
+    )
+    out = scd2_apply(hist, changes, "id", "change_ts")
+    null_rows = sorted(
+        (r["val"], r["valid_from"], r["valid_to"])
+        for r in out.where("id IS NULL").collect()
+    )
+    assert null_rows == [("closed", 0, 5), ("orphan", 0, None)]
+
+
 def test_scd2_missing_columns_rejected(spark, hist0):
     from fs2_kinesis_firehose_spark.operators.upsert import scd2_apply
 
