@@ -143,6 +143,13 @@ HEADLINE = [
     # fact rows dropping before the exchange; compare against
     # tpch_q18_large_volume_customers above)
     "tpch_q18_bloom_prefilter",
+    # round-6 addition: Count-Min point frequencies (posexplode + one
+    # aggregate sketch build, broadcast probe lookup)
+    "count_min_bigram_estimates",
+    # round-6 addition: prefix-filter exact similarity join (rare-shingle
+    # prefix self-join + row-local verify; compare minhash_lsh_pairs and
+    # the inverted-index ngram_jaccard_pairs — three paths, one answer)
+    "prefix_jaccard_pairs",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

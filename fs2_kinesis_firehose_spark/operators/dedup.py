@@ -931,3 +931,100 @@ def span_dedup(
             F.coalesce("text_kept", F.lit("")).alias("text_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter exact similarity join (AllPairs / PPJoin family)
+# ---------------------------------------------------------------------------
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold, EXACTLY, via prefix
+    filtering (Chaudhuri et al., ICDE 2006; Bayardo et al., WWW 2007 —
+    the AllPairs algorithm; PPJoin's base filter): same output contract as
+    ``ngram_jaccard_pairs``, different candidate generator.
+
+    Order every document's shingles by GLOBAL rarity (document frequency
+    ASC, shingle ASC — a total order both engines can restate); a document
+    of size s keeps only its first ``s - ceil(t*s) + 1`` shingles as its
+    PREFIX.  Guarantee: if J(A,B) >= t then |A∩B| >= ceil(t*|A|), and the
+    smallest common shingle w is preceded in A only by non-common shingles
+    (<= |A| - |A∩B| of them), so w sits inside A's prefix — and B's, by the
+    same argument.  Joining on prefix shingles therefore finds EVERY
+    qualifying pair; each candidate is then verified exactly against the
+    two full shingle sets (``array_intersect`` on row-local arrays).
+
+    Scale shape vs the inverted-index join: the self-join key set shrinks
+    from ALL shingles to the rare prefix shingles — under df-ascending
+    order the hot shingles (the k² skew buckets that dominate
+    ``ngram_jaccard_pairs`` at scale) fall OUT of short prefixes, and the
+    verify step is candidate-sized row-local array work, no shuffle.
+    Complements MinHash-LSH: exact (no recall loss), no banding tuning;
+    LSH still wins when even the prefix join is too dense.  One extra
+    aggregate (document frequencies) + one keyed window over the shingle
+    stream buys the pruning.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql.window import Window
+
+    shingled = T.word_ngram_rows(
+        df, text_col, key_col, shingle_n, distinct=True
+    ).localCheckpoint(eager=False)  # feeds dfreq, prefixes, and the verify sets
+    dfreq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wk = Window.partitionBy(key_col).orderBy(F.asc("df"), F.asc("shingle"))
+    ranked = (
+        shingled.join(dfreq, "shingle")
+        .withColumn("_pos", F.row_number().over(wk))
+        .withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy(key_col)))
+    )
+    # ceil in double arith can round UP past the true integer (0.7*10 ->
+    # 7.000000000000001 -> ceil 8) and silently SHORTEN the prefix below
+    # the guarantee; nudge down by an epsilon — a too-long prefix only adds
+    # candidates, which the exact verify removes
+    prefix_len = F.col("_sz") - F.ceil(
+        F.lit(threshold) * F.col("_sz") - F.lit(1e-9)
+    ) + F.lit(1)
+    prefix = ranked.where(F.col("_pos") <= prefix_len).select(key_col, "shingle")
+
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .select(
+            F.col(f"l.{key_col}").alias("key1"), F.col(f"r.{key_col}").alias("key2")
+        )
+        .distinct()
+    )
+    sets = shingled.groupBy(key_col).agg(
+        F.collect_set("shingle").alias("_toks"), F.count(F.lit(1)).alias("_sz")
+    )
+    s1 = sets.select(
+        F.col(key_col).alias("key1"), F.col("_toks").alias("t1"), F.col("_sz").alias("sz1")
+    )
+    s2 = sets.select(
+        F.col(key_col).alias("key2"), F.col("_toks").alias("t2"), F.col("_sz").alias("sz2")
+    )
+    common = F.size(F.array_intersect(F.col("t1"), F.col("t2")))
+    return (
+        cand.join(s1, "key1")
+        .join(s2, "key2")
+        .select(
+            "key1",
+            "key2",
+            F.round(
+                common.cast("double")
+                / (F.col("sz1") + F.col("sz2") - common).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

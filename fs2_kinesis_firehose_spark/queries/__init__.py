@@ -74,14 +74,15 @@ _WINDOW_PRIORITY: list[str] = [
     # string_functions/events_json_extract were RETIRED in the round-3
     # scalar-surface consolidation — they survive only in
     # verified_green.json history, so the r3 set IS the oldest live
-    # evidence).  This window: (1) heads with the FOUR queries that have
+    # evidence).  This window: (1) heads with the SIX queries that have
     # never earned a driver row (this round's new operators — multi-tick
-    # SCD2, DOULION triangle estimate, KLL quantiles, Q18+Bloom); (2)
+    # SCD2, DOULION triangle estimate, KLL quantiles, Q18+Bloom, Count-Min
+    # point frequencies, prefix-filter exact similarity join); (2)
     # re-verifies the FIVE whose implementation changed this round
     # (rrf_fuse lazy guard, bloom word-fold, scd2_apply rewrite, pca
     # centered stats, heavy_hitters checkpoint); (3) rotates in ALL 26
     # r3-evidence queries — after this round every registered query's
-    # newest green row is r4+; (4) fills the last 15 slots with
+    # newest green row is r4+; (4) fills the last 13 slots with
     # r4-evidence flagships (heavy Tier-C scale paths).
     # ---------------------------------------------------------------
     # (1) never driver-verified: this round's new queries
@@ -89,6 +90,8 @@ _WINDOW_PRIORITY: list[str] = [
     "approx_triangle_estimate",
     "kll_doclen_quantiles",
     "tpch_q18_bloom_prefilter",
+    "count_min_bigram_estimates",
+    "prefix_jaccard_pairs",
     # (2) implementation changed this round -> re-verify
     "hybrid_rrf_topk",
     "bloom_semijoin_revenue",
@@ -136,8 +139,6 @@ _WINDOW_PRIORITY: list[str] = [
     "ngram_jaccard_pairs",
     "embedding_neardup_blocked",
     "gopher_repetition_flags",
-    "ivf_topk",
-    "bpe_learned_token_counts",
 ]
 
 

@@ -74,6 +74,43 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "prefix_jaccard_pairs",
+    # IDENTICAL oracle to ngram_jaccard_pairs: prefix filtering is a
+    # candidate-generation change with an exactness proof (the smallest
+    # common shingle of any qualifying pair sits in BOTH prefixes under the
+    # df-ascending total order), so the pair set must match bit-for-bit.
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    toks AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    common AS (
+        SELECT a.doc_id AS key1, b.doc_id AS key2, COUNT(*) AS common
+        FROM toks a JOIN toks b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT key1, key2,
+           ROUND(common * 1.0 / (s1.sz + s2.sz - common), 6) AS jaccard
+    FROM common c
+    JOIN sizes s1 ON c.key1 = s1.doc_id
+    JOIN sizes s2 ON c.key2 = s2.doc_id
+    WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.7
+    """,
+)
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact J>=0.7 near-dup pairs via PREFIX FILTERING (AllPairs/PPJoin,
+    operators/dedup.py:prefix_filter_jaccard_pairs): the self-join runs
+    only on each doc's rare-shingle prefix (df-ascending order), so the
+    hot-shingle k-squared buckets that dominate the inverted-index join at
+    scale never form; candidates verify against row-local shingle arrays.
+    Third exact-similarity path next to the inverted-index join and
+    MinHash-LSH — all three driver-proven to the same oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.7
+    )
+
+
+@query(
     "ngram_jaccard_filtered",
     oracle=f"""
     WITH sh AS ({_DUCK_SHINGLES}),

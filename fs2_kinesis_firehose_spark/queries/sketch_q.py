@@ -120,3 +120,82 @@ def kll_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_CM_W, _CM_D = 4096, 4
+
+
+def _cm_oracle() -> str:
+    """DuckDB restatement of the ENTIRE Count-Min pipeline — the sketch is
+    deterministic (md5 row hashes + exact counts), so unlike HLL/KLL the
+    estimates themselves are cross-engine hashable, no bound-boolean
+    weakening needed."""
+    build_arms = "\n        UNION ALL ".join(
+        f"SELECT {r} AS row, CAST(CONCAT('0x', SUBSTRING(md5(bg || 'cm{r}'), 1, 8)) "
+        f"AS BIGINT) % {_CM_W} AS col FROM big"
+        for r in range(_CM_D)
+    )
+    probe_arms = "\n        UNION ALL ".join(
+        f"SELECT bg, exact_cnt, {r} AS row, CAST(CONCAT('0x', "
+        f"SUBSTRING(md5(bg || 'cm{r}'), 1, 8)) AS BIGINT) % {_CM_W} AS col FROM probes"
+        for r in range(_CM_D)
+    )
+    return f"""
+    WITH w AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS words FROM documents
+    ),
+    big AS (
+        SELECT unnest([words[i] || ' ' || words[i + 1]
+                       FOR i IN range(1, len(words))]) AS bg
+        FROM w
+    ),
+    cm AS (
+        SELECT row, col, COUNT(*) AS cnt
+        FROM ({build_arms})
+        GROUP BY row, col
+    ),
+    probes AS (
+        SELECT bg, COUNT(*) AS exact_cnt FROM big
+        GROUP BY bg ORDER BY exact_cnt DESC, bg ASC LIMIT 20
+    ),
+    pos AS ({probe_arms})
+    SELECT pos.bg AS bigram, pos.exact_cnt,
+           MIN(COALESCE(cm.cnt, 0)) AS cm_est,
+           MIN(COALESCE(cm.cnt, 0)) >= pos.exact_cnt AS overestimates
+    FROM pos LEFT JOIN cm ON pos.row = cm.row AND pos.col = cm.col
+    GROUP BY pos.bg, pos.exact_cnt
+    """
+
+
+@query("count_min_bigram_estimates", oracle=_cm_oracle())
+def count_min_bigram_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency sketch (operators/sketches.py:
+    count_min_table — the companion to Misra–Gries: CM answers "how often
+    did THIS key occur" for ANY key, one-sided error) built over the bigram
+    stream as a ≤ depth×width-row DataFrame, probed for the exact top-20
+    bigrams.  Emits estimate AND exact count side by side — the
+    deterministic md5 hashing makes even the estimates bit-comparable
+    across engines, the strongest oracle any sketch here has."""
+    from fs2_kinesis_firehose_spark.operators.sketches import (
+        count_min_lookup,
+        count_min_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = word_ngram_rows(
+        docs, "text", "doc_id", 2, distinct=False, out_col="bg"
+    ).localCheckpoint(eager=False)  # feeds the sketch build AND exact counts
+    cm = count_min_table(bigrams, "bg", width=_CM_W, depth=_CM_D)
+    probes = (
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("bg"))
+        .limit(20)
+    )
+    est = count_min_lookup(cm, probes.select("bg"), "bg", width=_CM_W, depth=_CM_D)
+    return probes.join(est, "bg").select(
+        F.col("bg").alias("bigram"),
+        "exact_cnt",
+        "cm_est",
+        (F.col("cm_est") >= F.col("exact_cnt")).alias("overestimates"),
+    )

@@ -256,3 +256,50 @@ def test_contamination_benchmark_needs_no_key_column(spark):
     # "beta gamma nope" matches nothing)
     got = {r["doc_id"]: r["n_overlap"] for r in contamination_overlap(corpus, bench).collect()}
     assert got == {1: 1}
+
+
+# --- prefix-filter exact similarity join (AllPairs/PPJoin) ------------------
+
+
+def test_prefix_filter_equals_inverted_index_join(spark, sf_smoke):
+    """The prefix-filter join promises the IDENTICAL exact pair set as the
+    inverted-index join — same semantics, cheaper candidate generation."""
+    docs = load_table(spark, sf_smoke, "documents")
+    a = {
+        (r.key1, r.key2, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    b = {
+        (r.key1, r.key2, r.jaccard)
+        for r in D.prefix_filter_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    assert a, "fixture should contain planted near-duplicates"
+    assert a == b
+
+
+def test_prefix_filter_hand_case_and_thresholds(spark):
+    df = _docs_with_dupes(spark)
+    for t in (0.5, 0.7, 0.9):
+        a = {
+            (r.key1, r.key2, r.jaccard)
+            for r in D.ngram_jaccard_pairs(df, threshold=t).collect()
+        }
+        b = {
+            (r.key1, r.key2, r.jaccard)
+            for r in D.prefix_filter_jaccard_pairs(df, threshold=t).collect()
+        }
+        assert a == b
+    # exact dup pair must always be present with J = 1.0
+    pairs = {
+        (r.key1, r.key2): r.jaccard
+        for r in D.prefix_filter_jaccard_pairs(df, threshold=0.9).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+
+
+def test_prefix_filter_validation(spark):
+    import pytest
+
+    df = _docs_with_dupes(spark)
+    with pytest.raises(ValueError):
+        D.prefix_filter_jaccard_pairs(df, threshold=0.0)

@@ -95,3 +95,71 @@ def test_k_and_phi_validation(spark):
         SK.heavy_hitters(df, "item", 0.1, k=5)  # < ceil(1/phi)
     with pytest.raises(ValueError):
         SK.misra_gries_summaries(df, "item", 0)
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+
+def test_cm_overestimates_never_undercounts(spark):
+    from fs2_kinesis_firehose_spark.operators.sketches import (
+        count_min_lookup,
+        count_min_table,
+    )
+
+    data = [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5 + [("d",)] * 1
+    df = spark.createDataFrame(data, "item string").repartition(5)
+    cm = count_min_table(df, "item", width=64, depth=4)
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "item string")
+    got = {
+        r["item"]: r["cm_est"]
+        for r in count_min_lookup(cm, probes, "item", width=64, depth=4).collect()
+    }
+    true = {"a": 50, "b": 20, "c": 5, "d": 1}
+    for k, t in true.items():
+        assert got[k] >= t  # one-sided error
+    # wide sketch, 4 keys → no collisions: estimates exact
+    assert got == true
+
+
+def test_cm_absent_key_and_determinism(spark):
+    from fs2_kinesis_firehose_spark.operators.sketches import (
+        count_min_lookup,
+        count_min_table,
+    )
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(100)], "item string")
+    cm = count_min_table(df, "item", width=4096, depth=4)
+    probes = spark.createDataFrame([("nope",)], "item string")
+    est = count_min_lookup(cm, probes, "item", width=4096, depth=4).collect()[0]
+    assert est["cm_est"] == 0  # 100 keys in 4096 cells: some row misses
+    # partitioning-invariant (plain aggregate over deterministic hashes)
+    a = sorted(count_min_table(df, "item", width=64, depth=2).collect())
+    b = sorted(count_min_table(df.repartition(17), "item", width=64, depth=2).collect())
+    assert a == b
+
+
+def test_cm_mergeable_by_summing(spark):
+    import pyspark.sql.functions as F
+
+    from fs2_kinesis_firehose_spark.operators.sketches import count_min_table
+
+    a = spark.createDataFrame([("x",)] * 7 + [("y",)] * 3, "item string")
+    b = spark.createDataFrame([("x",)] * 2 + [("z",)] * 4, "item string")
+    merged = (
+        count_min_table(a, "item", width=32, depth=3)
+        .unionByName(count_min_table(b, "item", width=32, depth=3))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = count_min_table(a.unionByName(b), "item", width=32, depth=3)
+    assert sorted(merged.collect()) == sorted(direct.collect())
+
+
+def test_cm_validation(spark):
+    from fs2_kinesis_firehose_spark.operators.sketches import count_min_table
+
+    df = spark.createDataFrame([("a",)], "item string")
+    with pytest.raises(ValueError):
+        count_min_table(df, "item", width=1, depth=4)
+    with pytest.raises(ValueError):
+        count_min_table(df, "item", width=64, depth=0)
