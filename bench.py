@@ -150,6 +150,11 @@ HEADLINE = [
     # prefix self-join + row-local verify; compare minhash_lsh_pairs and
     # the inverted-index ngram_jaccard_pairs — three paths, one answer)
     "prefix_jaccard_pairs",
+    # round-6 addition: k-core peeling (adaptive rounds of degree agg +
+    # fringe anti-joins; 143 of 2000 parts peel at k=80)
+    "part_copurchase_kcore",
+    # round-6 addition: cohort retention (two aggs + one key join)
+    "cohort_retention_matrix",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

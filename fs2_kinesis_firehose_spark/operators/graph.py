@@ -31,6 +31,7 @@ __all__ = [
     "triangle_counts",
     "triangle_count_estimate",
     "label_propagation",
+    "k_core",
 ]
 
 
@@ -298,3 +299,58 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    distributed peeling formulation of Montresor et al. 2013): repeatedly
+    delete every vertex of degree < k until none remains; what survives is
+    the (unique) maximal subgraph with minimum degree >= k.  Returns
+    ``(node, core_deg)`` — the surviving vertices with their WITHIN-CORE
+    degree.  The classic density/quality triage primitive: spam farms and
+    boilerplate clusters sit in deep cores, the long tail peels away.
+
+    Edge input is treated as UNDIRECTED (canonicalized + dedup'd,
+    self-loops dropped).  Deterministic: the k-core is unique, so the
+    result is independent of peel order/partitioning.
+
+    Scale shape: per round ONE degree aggregate + two broadcast-sized
+    anti-joins against the peeled-vertex set (only vertices BELOW the
+    threshold ship, typically a shrinking fringe), per-round
+    ``localCheckpoint`` keeps lineage flat — the Pregel peeling loop as
+    DataFrame ops.  The fixpoint test is one metadata ``isEmpty`` per
+    round.  Raises after ``max_rounds`` non-converged rounds (fail-loud:
+    the correctness oracle unrolls the same bounded recursion, and extra
+    rounds past the fixpoint are no-ops, so a converged run is restatable
+    at any unroll depth >= the actual one).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = _canonical_undirected(edges, src, dst)
+    e = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .union(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_rounds):
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("core_deg"))
+        peel = deg.where(F.col("core_deg") < k).select("a")
+        if peel.isEmpty():
+            return deg.select(F.col("a").alias("node"), "core_deg")
+        e = (
+            e.join(peel, "a", "left_anti")
+            .join(peel.withColumnRenamed("a", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    raise RuntimeError(
+        f"k_core did not converge within max_rounds={max_rounds}; "
+        "raise max_rounds (each extra round is one aggregate + two anti-joins)"
+    )

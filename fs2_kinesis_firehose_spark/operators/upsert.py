@@ -127,15 +127,16 @@ def scd2_apply(
     timestamps on one key have no defined order (the same contract MERGE
     has for duplicate match rows).
 
-    Scale shape: one keyed window pass over the BATCH (batch-sized, not
-    history-sized) for the chain compression + interval assembly, one
-    key join batch←current slice for the in-force comparison base, and one
-    join + one anti-join current→batch for close/keep — history only ever
-    streams through the closed-slice union.  Deterministic under retries
-    like ``upsert_snapshot``.
+    Scale shape — the SAME shuffle budget as a single-tick MERGE: each
+    key's ticks collapse to ONE sorted array (one batch-sized aggregate),
+    then ONE full-outer join current-slice ⋈ chains, and everything else —
+    run compression, the leading-no-op rule, interval assembly — is
+    row-local array logic (filter/transform/slice, codegen) emitted through
+    a single explode.  The batch shuffles once, the current slice shuffles
+    once, nothing is evaluated twice, and history only ever streams through
+    the closed-slice union.  Deterministic under retries like
+    ``upsert_snapshot``.
     """
-    from pyspark.sql.window import Window
-
     data_cols = [
         c for c in history.columns if c not in (key_col, from_col, to_col)
     ]
@@ -154,57 +155,67 @@ def scd2_apply(
     null_key_current = cur_all.where(F.col(key_col).isNull())
     cur = cur_all.where(F.col(key_col).isNotNull())
 
+    # one aggregate: each key's ticks as a ts-sorted array of structs
+    # (struct ordering sorts by _ts first; (key, ts) uniqueness is the
+    # caller contract)
     dstruct = F.struct(*[F.col(d).alias(d) for d in data_cols])
-    ch = (
+    chains = (
         changes.where(F.col(key_col).isNotNull())
-        .select(key_col, change_ts_col, *[c for c in data_cols])
-    )
-    cur_data = cur.select(
-        F.col(key_col), dstruct.alias("_cur_data")
-    )
-
-    # Chain compression: order each key's changes by ts; a change is
-    # EFFECTIVE iff its data differs from the version in force just before
-    # it — the previous change row when one exists (equality is transitive,
-    # so comparing against the raw predecessor equals comparing against the
-    # previously *kept* one), else the pre-batch current version (NULL
-    # struct when the key is new → first change always effective).
-    wk = Window.partitionBy(key_col).orderBy(change_ts_col)
-    base = F.coalesce(F.lag("_data").over(wk), F.col("_cur_data"))
-    kept = (
-        ch.withColumn("_data", dstruct)
-        .join(cur_data, key_col, "left")
-        .withColumn("_base", base)
-        .where(F.col("_base").isNull() | ~F.col("_data").eqNullSafe(F.col("_base")))
-    )
-    # interval assembly over the kept chain: each version closes at the
-    # next kept change's ts (NULL on the last = new current version)
-    new_versions = kept.withColumn(
-        "_next_ts", F.lead(change_ts_col).over(wk)
-    ).select(
-        F.col(key_col),
-        *[F.col(d) for d in data_cols],
-        F.col(change_ts_col).cast(from_type).alias(from_col),
-        F.col("_next_ts").cast(to_type).alias(to_col),
+        .select(
+            key_col,
+            F.struct(
+                F.col(change_ts_col).alias("_ts"), dstruct.alias("_d")
+            ).alias("_tick"),
+        )
+        .groupBy(key_col)
+        .agg(F.sort_array(F.collect_list("_tick")).alias("_chain"))
     )
 
-    # pre-batch current rows: closed at the key's FIRST effective change,
-    # kept as-is when the key had none (untouched or all-no-op)
-    first_kept = kept.groupBy(key_col).agg(
-        F.min(change_ts_col).alias("_close_ts")
-    )
-    s = cur.alias("s")
-    closed_now = s.join(first_kept, key_col).select(
-        F.col(key_col),
-        *[F.col(f"s.{d}").alias(d) for d in data_cols],
-        F.col(f"s.{from_col}").alias(from_col),
-        F.col("_close_ts").cast(to_type).alias(to_col),
-    )
-    keep_old_current = cur.join(first_kept, key_col, "left_anti")
+    s = cur.withColumn("_s", F.lit(True)).alias("s")
+    c = chains.alias("c")
+    j = s.join(c, F.col(f"s.{key_col}") == F.col(f"c.{key_col}"), "full_outer")
+    in_cur = F.coalesce(F.col("_s"), F.lit(False))
+    sd = F.struct(*[F.col(f"s.{d}").alias(d) for d in data_cols])
+    raw = F.coalesce(F.col("_chain"), F.array().cast(chains.schema["_chain"].dataType))
 
-    return (
-        closed.unionByName(null_key_current)
-        .unionByName(keep_old_current)
-        .unionByName(closed_now)
-        .unionByName(new_versions)
+    # run compression, row-local: keep tick i iff it differs from the RAW
+    # predecessor (equality is transitive within runs, so raw-predecessor
+    # comparison equals kept-predecessor comparison); then the leading-
+    # no-op rule drops the first survivor when it resends the current data
+    comp = F.filter(
+        raw,
+        lambda x, i: (i == F.lit(0)) | ~x["_d"].eqNullSafe(F.get(raw, i - 1)["_d"]),
     )
+    lead_noop = in_cur & (F.size(comp) > 0) & F.get(comp, 0)["_d"].eqNullSafe(sd)
+    eff = F.when(
+        lead_noop, F.slice(comp, 2, F.greatest(F.size(comp) - 1, F.lit(0)))
+    ).otherwise(comp)
+
+    # assemble EVERY output row for the key as one concatenated array —
+    # the (kept or closed) pre-batch current row, then one row per
+    # effective tick closing at the next tick — and explode ONCE
+    close_ts = F.when(F.size(eff) > 0, F.get(eff, 0)["_ts"])
+    cur_row = F.when(
+        in_cur,
+        F.array(
+            F.struct(
+                *[F.col(f"s.{d}").alias(d) for d in data_cols],
+                F.col(f"s.{from_col}").alias(from_col),
+                close_ts.cast(to_type).alias(to_col),
+            )
+        ),
+    ).otherwise(F.array())
+    vers = F.transform(
+        eff,
+        lambda x, i: F.struct(
+            *[x["_d"][d].alias(d) for d in data_cols],
+            x["_ts"].cast(from_type).alias(from_col),
+            F.get(eff, i + 1)["_ts"].cast(to_type).alias(to_col),
+        ),
+    )
+    key_out = F.coalesce(F.col(f"s.{key_col}"), F.col(f"c.{key_col}"))
+    applied = j.select(
+        key_out.alias(key_col), F.explode(F.concat(cur_row, vers)).alias("_r")
+    ).select(key_col, *[F.col(f"_r.{c}") for c in [*data_cols, from_col, to_col]])
+
+    return closed.unionByName(null_key_current).unionByName(applied)

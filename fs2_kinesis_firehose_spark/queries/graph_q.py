@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from fs2_kinesis_firehose_spark.operators import dedup as D
 from fs2_kinesis_firehose_spark.operators.graph import (
+    k_core,
     label_propagation,
     pagerank,
     triangle_count_estimate,
@@ -279,3 +280,67 @@ def approx_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     pairs = a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
     return triangle_count_estimate(pairs, _DOULION_P)
+
+
+_KCORE_K = 80
+_KCORE_ROUNDS = 24
+
+
+def _unrolled_kcore_sql(k: int, rounds: int) -> str:
+    """Bounded-unroll peeling: sym{i} drops vertices whose degree in
+    sym{i-1} fell below k.  Past the fixpoint every extra round is the
+    identity, so any unroll depth >= the engine's actual round count
+    restates the converged result exactly (the engine FAILS LOUDLY if it
+    needs more than the same bound — see k_core(max_rounds))."""
+    # AS MATERIALIZED is load-bearing: each sym{{i}} is referenced three
+    # times (degree count + two NOT INs); DuckDB would otherwise inline the
+    # chain into a 3^rounds-scan plan and exhaust file descriptors
+    ctes = []
+    for i in range(1, rounds + 1):
+        prev = f"sym{i - 1}"
+        ctes.append(f"""
+    bad{i} AS MATERIALIZED (
+        SELECT a FROM {prev} GROUP BY a HAVING COUNT(*) < {k}
+    ),
+    sym{i} AS MATERIALIZED (
+        SELECT s.a, s.b FROM {prev} s
+        WHERE s.a NOT IN (SELECT a FROM bad{i})
+          AND s.b NOT IN (SELECT a FROM bad{i})
+    )""")
+    return ",\n".join(ctes)
+
+
+@query(
+    "part_copurchase_kcore",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym0 AS MATERIALIZED (
+        SELECT u AS a, v AS b FROM e
+        UNION ALL
+        SELECT v AS a, u AS b FROM e
+    ),
+    {_unrolled_kcore_sql(_KCORE_K, _KCORE_ROUNDS)}
+    SELECT a AS part, COUNT(*) AS core_deg
+    FROM sym{_KCORE_ROUNDS}
+    GROUP BY a
+    """,
+)
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core of the part co-purchase graph (operators/graph.py:
+    k_core — iterative peeling to the unique fixpoint): the dense bundle
+    backbone after the long co-purchase tail peels away; the fifth graph
+    primitive next to CC / PageRank / triangles / LPA.  The oracle unrolls
+    the same peeling {_KCORE_ROUNDS} rounds (idempotent past the fixpoint);
+    the engine raises if it would need more."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
+    return k_core(pairs, _KCORE_K, max_rounds=_KCORE_ROUNDS).withColumnRenamed(
+        "node", "part"
+    )

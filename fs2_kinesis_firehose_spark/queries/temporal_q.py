@@ -243,3 +243,44 @@ def hourly_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("longest"), F.lit(0)).alias("longest_gap"),
         )
     )
+
+
+@query(
+    "cohort_retention_matrix",
+    # Weeks are Monday-truncated in BOTH engines (Spark date_trunc('week')
+    # and DuckDB date_trunc('week')), session timezone UTC, so the
+    # day-difference is always an exact multiple of 7 and the integer cast
+    # is lossless cross-engine.
+    oracle="""
+    WITH f AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cw
+        FROM events GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cw, a.w) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users bucketed by first-seen week, counted
+    in every later week they return — the (cohort, offset) activity matrix
+    every product/engagement dashboard is built on.  Two aggregates + one
+    key join, all on user_id (AQE broadcasts the cohort table when small);
+    no window, no self-join of the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cw"))
+    act = ev.select("user_id", wk.alias("w")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("cw")) / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -140,7 +140,10 @@ def scd2_version_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from fs2_kinesis_firehose_spark.operators.upsert import scd2_apply
 
-    h1 = scd2_apply(base, b1, "o_orderkey", "change_ts")
+    # checkpoint BETWEEN chained applies: apply #2 reads its history three
+    # ways (closed slice, NULL-key slice, current slice) and would otherwise
+    # re-evaluate apply #1's join+explode per consumer
+    h1 = scd2_apply(base, b1, "o_orderkey", "change_ts").localCheckpoint(eager=False)
     h2 = scd2_apply(h1, b2, "o_orderkey", "change_ts").localCheckpoint(eager=False)
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     per_key = h2.groupBy("o_orderkey").agg(

@@ -263,3 +263,79 @@ def test_lpa_validation(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with _pytest.raises(ValueError):
         label_propagation(df, iterations=0)
+
+
+# --- k_core -----------------------------------------------------------------
+
+
+def _kcore_ref(edges, k):
+    """Python reference: iterative peeling to fixpoint."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, nb in adj.items() if len(nb) < k]:
+            for u in adj[v]:
+                adj[u].discard(v)
+            del adj[v]
+            changed = True
+    return {v: len(nb) for v, nb in adj.items()}
+
+
+def _kcore(spark, edges, k, **kw):
+    from fs2_kinesis_firehose_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["core_deg"] for r in k_core(df, k, **kw).collect()}
+
+
+def test_kcore_clique_with_pendant_tail(spark):
+    # K5 (degrees 4) + a pendant path hanging off node 0: 3-core = the K5
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    tail = [(0, 10), (10, 11), (11, 12)]
+    got = _kcore(spark, k5 + tail, 3)
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+
+
+def test_kcore_cascading_peel(spark):
+    # peeling must CASCADE: removing degree-1 ends re-exposes new ones
+    path = [(i, i + 1) for i in range(8)]
+    assert _kcore(spark, path, 2) == {}  # a path has no 2-core
+    cycle = path + [(8, 0)]
+    assert _kcore(spark, cycle, 2) == {i: 2 for i in range(9)}
+
+
+def test_kcore_matches_reference_random(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    n = 40
+    edges = [
+        (int(a), int(b))
+        for a in range(n)
+        for b in range(n)
+        if a < b and rng.random() < 0.15
+    ]
+    for k in (2, 3, 4):
+        assert _kcore(spark, edges, k) == _kcore_ref(edges, k)
+    # direction/duplicate invariance
+    doubled = edges + [(b, a) for a, b in edges]
+    assert _kcore(spark, doubled, 3) == _kcore_ref(edges, 3)
+
+
+def test_kcore_validation_and_nonconvergence(spark):
+    from fs2_kinesis_firehose_spark.operators.graph import k_core
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        k_core(df, 0)
+    # a long path peels two ends per round: max_rounds=1 cannot converge
+    path = [(i, i + 1) for i in range(12)]
+    pdf = spark.createDataFrame(path, "src long, dst long")
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        k_core(pdf, 2, max_rounds=1)
