@@ -341,7 +341,14 @@ def k_core(
     )
     for _ in range(max_rounds):
         deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("core_deg"))
-        peel = deg.where(F.col("core_deg") < k).select("a")
+        # checkpoint the fringe: it is consumed by the isEmpty fixpoint test
+        # AND both anti-joins of the next round — without the pin each round
+        # would run its degree aggregate twice
+        peel = (
+            deg.where(F.col("core_deg") < k)
+            .select("a")
+            .localCheckpoint(eager=False)
+        )
         if peel.isEmpty():
             return deg.select(F.col("a").alias("node"), "core_deg")
         e = (
