@@ -155,6 +155,9 @@ HEADLINE = [
     "part_copurchase_kcore",
     # round-6 addition: cohort retention (two aggs + one key join)
     "cohort_retention_matrix",
+    # round-6 addition: personalized PageRank (seeded teleport; same
+    # superstep plan as pagerank_top_sources, which shares the edge build)
+    "ppr_seed_sources",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -43,6 +43,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 1,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -50,6 +51,17 @@ def pagerank(
     (vertices = union of both edge endpoints).  Fixed iteration count (not a
     convergence test) keeps the result deterministic and restates cleanly as
     unrolled SQL CTEs for the correctness oracle.
+
+    ``seeds``: optional 1-column DataFrame of node ids → PERSONALIZED
+    PageRank (Page et al. 1999 §6; the random-walk-with-restart form):
+    teleport mass — the (1−d) restart AND the dangling redistribution —
+    lands uniformly on the seed nodes instead of all nodes, and the walk
+    starts from the seed distribution.  Ranks then measure proximity to
+    the seed set: "sources related to THESE sources" for seed-based
+    curation expansion, spam-neighborhood scoring, and topic-conditioned
+    authority.  Seeds are intersected with the graph's vertex set
+    (broadcast semi-join — seed sets are small by definition); raises if
+    no seed is present in the graph.  Still sums to 1.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -79,13 +91,45 @@ def pagerank(
     verts = nodes.join(out_deg, nodes["node"] == out_deg["src"], "left").select(
         "node", "out_deg"
     )
+    if seeds is not None:
+        sdf = (
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("_seed", F.lit(True))
+        )
+        verts = verts.join(F.broadcast(sdf), "node", "left")
     verts = verts.localCheckpoint(eager=False)
-    n = nodes.count()
+    n = verts.count()
     if n == 0:
         # empty edge set → empty rank vector (avoid 1/0 in the init below)
         return verts.select("node", F.lit(0.0).alias("rank"))
 
-    ranks = verts.select("node", "out_deg", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+    # teleport distribution: uniform over all nodes (classic) or over the
+    # seed set (personalized): rank = (1−d)·tele + d·(inflow + dmass·tele).
+    # The classic branch keeps the ORIGINAL division-shaped literals
+    # ((1−d)/n, dmass/n) bit-for-bit — the DuckDB oracle computes the same
+    # divisions, and tele-as-reciprocal-product could drift an ulp.
+    if seeds is None:
+        tele0 = F.lit(1.0) / F.lit(float(n))
+        restart = F.lit((1.0 - d) / n)
+        dang = lambda dmass: dmass / F.lit(float(n))  # noqa: E731
+    else:
+        ns = verts.where(F.col("_seed")).count()
+        if ns == 0:
+            raise ValueError("personalized pagerank: no seed is present in the graph")
+        tele0 = F.when(F.col("_seed"), F.lit(1.0) / F.lit(float(ns))).otherwise(
+            F.lit(0.0)
+        )
+        restart = F.when(
+            F.col("_seed"), F.lit((1.0 - d) / ns)
+        ).otherwise(F.lit(0.0))
+        # division-shaped like the classic branch, so the SQL oracle's
+        # CASE WHEN seed THEN dmass/ns ELSE 0 END matches bit-for-bit
+        dang = lambda dmass: F.when(  # noqa: E731
+            F.col("_seed"), dmass / F.lit(float(ns))
+        ).otherwise(F.lit(0.0))
+
+    ranks = verts.select("node", "out_deg", tele0.alias("rank"))
     for i in range(iterations):
         dangling = ranks.where(F.col("out_deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
@@ -103,8 +147,12 @@ def pagerank(
                 "node",
                 "out_deg",
                 (
-                    F.lit((1.0 - d) / n)
-                    + F.lit(d) * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dmass") / F.lit(float(n)))
+                    restart
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + dang(F.col("dmass"))
+                    )
                 ).alias("rank"),
             )
         )

@@ -344,3 +344,113 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(pairs, _KCORE_K, max_rounds=_KCORE_ROUNDS).withColumnRenamed(
         "node", "part"
     )
+
+
+_PPR_ITER = 3
+
+
+def _unrolled_ppr_sql(iterations: int, damping: float) -> str:
+    """CTE chain p0..p{iterations} mirroring graph.py:pagerank(seeds=...)
+    term-for-term: restart and dangling mass land only on seeds, uniformly:
+    pr = [seed]*(1-d)/ns + d*(inflow + [seed]*dmass/ns)."""
+    ctes = [
+        """p0 AS (
+        SELECT sv.node,
+               CASE WHEN sv.is_seed THEN 1.0 / nsd.ns ELSE 0.0 END AS pr
+        FROM sv CROSS JOIN nsd
+    )"""
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"p{i - 1}"
+        ctes.append(f"""
+    p{i} AS (
+        SELECT v.node,
+               CASE WHEN v.is_seed THEN (1.0 - {damping!r}) / nsd.ns
+                    ELSE 0.0 END
+               + {damping!r} * (
+                   COALESCE(i.inflow, 0.0)
+                   + CASE WHEN v.is_seed THEN dm.dmass / nsd.ns ELSE 0.0 END
+               ) AS pr
+        FROM sv v
+        CROSS JOIN nsd
+        CROSS JOIN (
+            SELECT COALESCE(SUM(r.pr), 0.0) AS dmass
+            FROM {prev} r LEFT JOIN deg d ON r.node = d.src
+            WHERE d.src IS NULL
+        ) dm
+        LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.pr / d.out_deg) AS inflow
+            FROM edges e
+            JOIN {prev} r ON e.src = r.node
+            JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        ) i ON v.node = i.node
+    )""")
+    return ",\n".join(ctes)
+
+
+@query(
+    "ppr_seed_sources",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    toks AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    common AS (
+        SELECT a.doc_id AS key1, b.doc_id AS key2, COUNT(*) AS common
+        FROM toks a JOIN toks b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT key1, key2
+        FROM common c
+        JOIN sizes s1 ON c.key1 = s1.doc_id
+        JOIN sizes s2 ON c.key2 = s2.doc_id
+        WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.7
+    ),
+    sp AS (
+        SELECT d1.source AS s1, d2.source AS s2
+        FROM pairs p
+        JOIN documents d1 ON p.key1 = d1.doc_id
+        JOIN documents d2 ON p.key2 = d2.doc_id
+    ),
+    edges AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT s1 AS src, s2 AS dst FROM sp
+            UNION ALL
+            SELECT s2 AS src, s1 AS dst FROM sp
+        )
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    sv AS (SELECT node, node LIKE '%1%' AS is_seed FROM nodes),
+    nsd AS (SELECT COUNT(*) AS ns FROM sv WHERE is_seed),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    {_unrolled_ppr_sql(_PPR_ITER, _DAMPING)}
+    SELECT node AS source, ROUND(pr, 6) AS rank FROM p{_PPR_ITER}
+    """,
+)
+def ppr_seed_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (random walk with restart) over the same
+    source near-dup graph as ``pagerank_top_sources``, seeded on the
+    sources whose name contains '1' (a deterministic, SQL-restatable seed
+    rule standing in for "these known-bad/known-good sources"): teleport
+    AND dangling mass land only on the seeds, so rank measures proximity
+    to the seed set — the seed-expansion / spam-neighborhood primitive.
+    Oracle replays every iteration as unrolled CTEs, exactly like the
+    classic-PageRank query."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.7)
+    d1 = docs.select(F.col("doc_id").alias("key1"), F.col("source").alias("s1"))
+    d2 = docs.select(F.col("doc_id").alias("key2"), F.col("source").alias("s2"))
+    sp = pairs.join(d1, "key1").join(d2, "key2").select("s1", "s2")
+    edges = sp.select(F.col("s1").alias("src"), F.col("s2").alias("dst")).union(
+        sp.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    seeds = (
+        docs.select(F.col("source").alias("node"))
+        .where(F.col("node").like("%1%"))
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=_PPR_ITER, damping=_DAMPING, seeds=seeds)
+    return ranks.select(
+        F.col("node").alias("source"), F.round("rank", 6).alias("rank")
+    )

@@ -339,3 +339,66 @@ def test_kcore_validation_and_nonconvergence(spark):
     pdf = spark.createDataFrame(path, "src long, dst long")
     with pytest.raises(RuntimeError, match="max_rounds"):
         k_core(pdf, 2, max_rounds=1)
+
+
+# --- personalized pagerank --------------------------------------------------
+
+
+def _reference_ppr(edges, seeds, iterations, damping=0.85):
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    S = [v for v in nodes if v in set(seeds)]
+    ns = len(S)
+    out: dict[int, int] = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: (1.0 / ns if v in set(S) else 0.0) for v in nodes}
+    for _ in range(iterations):
+        dmass = sum(r for v, r in rank.items() if v not in out)
+        inflow = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] / out[s]
+        rank = {
+            v: ((1.0 - damping) / ns if v in set(S) else 0.0)
+            + damping * (inflow[v] + (dmass / ns if v in set(S) else 0.0))
+            for v in nodes
+        }
+    return rank
+
+
+def test_ppr_matches_reference_and_sums_to_one(spark):
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (3, 5)]
+    seeds = spark.createDataFrame([(1,), (4,)], "node long")
+    got = _ranks(pagerank(
+        spark.createDataFrame(pairs, "src long, dst long"),
+        iterations=4, seeds=seeds,
+    ))
+    want = _reference_ppr(pairs, [1, 4], iterations=4)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # proximity property: the seed neighborhood outranks the far tail
+    assert got[1] > got[5]
+
+
+def test_ppr_seeds_outside_graph_ignored_and_all_outside_raises(spark):
+    pairs = [(1, 2), (2, 1)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    with_extra = spark.createDataFrame([(1,), (99,)], "node long")
+    only_in = spark.createDataFrame([(1,)], "node long")
+    a = _ranks(pagerank(df, iterations=3, seeds=with_extra))
+    b = _ranks(pagerank(df, iterations=3, seeds=only_in))
+    assert a == b  # off-graph seeds contribute nothing
+    with pytest.raises(ValueError, match="no seed"):
+        pagerank(df, iterations=3,
+                 seeds=spark.createDataFrame([(99,)], "node long"))
+
+
+def test_ppr_none_seeds_is_classic_pagerank(spark):
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    classic = _ranks(pagerank(df, iterations=3))
+    want = _reference_pagerank(pairs, iterations=3)
+    for v in want:
+        assert classic[v] == pytest.approx(want[v], abs=1e-12)
