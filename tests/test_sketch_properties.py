@@ -63,3 +63,59 @@ def test_batched_pipeline_error_bound(items, k, cut):
     for item, c in truth.items():
         assert counters.get(item, 0) <= c
         assert c - counters.get(item, 0) <= bound
+
+
+# --- KLL quantile-sketch invariants (pure Python — no Spark) ----------------
+
+import numpy as np
+
+from fs2_kinesis_firehose_spark.operators.kll import KLLSketch
+
+floats = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    min_size=1,
+    max_size=3000,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(values=floats, k=st.integers(8, 64))
+def test_kll_weight_conserved_and_ranks_monotone(values, k):
+    sk = KLLSketch(k=k)
+    sk.update_many(np.asarray(values))
+    # total weight is conserved EXACTLY (odd levels retain their max)
+    assert sk.rank(np.inf) == len(values)
+    assert sk.rank(-np.inf) == 0
+    # rank is monotone in the query point
+    qs = sorted({min(values), max(values), 0.0})
+    ranks = [sk.rank(q) for q in qs]
+    assert ranks == sorted(ranks)
+    # quantiles are monotone in phi and drawn from the inserted values
+    prev = -np.inf
+    for phi in (0.0, 0.25, 0.5, 0.75, 1.0):
+        v = sk.quantile(phi)
+        assert v >= prev
+        assert v in set(values)
+        prev = v
+
+
+@settings(max_examples=40, deadline=None)
+@given(values=floats, k=st.integers(16, 64), cut=st.integers(0, 3000))
+def test_kll_merge_conserves_weight_and_bounds(values, k, cut):
+    cut = min(cut, len(values))
+    a, b = KLLSketch(k=k), KLLSketch(k=k)
+    a.update_many(np.asarray(values[:cut]))
+    b.update_many(np.asarray(values[cut:]))
+    a.merge(b)
+    assert a.n == len(values)
+    assert a.rank(np.inf) == len(values)
+    # the deterministic-compactor rank error stays inside a generous
+    # envelope: the summary's median must split the data within 25% of n
+    # for the small-k cases hypothesis generates (the tight ~1/k bound is
+    # covered deterministically in tests/test_kll.py at k=200)
+    data = np.sort(np.asarray(values))
+    est = a.quantile(0.5)
+    lo = np.searchsorted(data, est, side="left")
+    hi = np.searchsorted(data, est, side="right")
+    err = max(0.0, lo - 0.5 * len(data), 0.5 * len(data) - hi) / len(data)
+    assert err <= 0.25
