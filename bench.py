@@ -158,6 +158,9 @@ HEADLINE = [
     # round-6 addition: personalized PageRank (seeded teleport; same
     # superstep plan as pagerank_top_sources, which shares the edge build)
     "ppr_seed_sources",
+    # round-6 addition: product-quantized ANN (m distributed subspace fits
+    # + GEMM encode + literal-LUT ADC top-k)
+    "pq_adc_topk",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

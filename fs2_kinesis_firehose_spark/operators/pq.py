@@ -1,0 +1,168 @@
+"""Product quantization for embedding search (Jégou, Douze & Schmid,
+TPAMI 2011): the memory half of the standard IVF+PQ recipe every
+billion-vector ANN deployment runs.
+
+Split each d-dim vector into ``m`` contiguous subvectors; train a small
+k-means codebook per subspace (``kmeans_lloyd`` — the distributed trainer,
+corpus never leaves the cluster); encode every vector as ``m`` small codes
+(m bytes at k ≤ 256 vs 4·d bytes of floats — 32× for d=64, m=8).  Query
+time is **asymmetric distance computation (ADC)**: one m×k lookup table of
+exact query-to-centroid subdistances, then every vector's approximate L2²
+is ``Σ_j LUT[j][code_j]`` — no float vectors touched.
+
+Engine shape:
+
+- ``pq_fit`` — m sequential ``kmeans_lloyd`` runs over JVM-side
+  ``F.slice`` projections (each: GEMM assignment passes + one (cluster,
+  dim) aggregate per iteration; only m·k·(d/m) = k·d centroid floats ever
+  reach the driver).  Fit on a sample at 100 TB (standard practice) — the
+  operator takes whatever DataFrame you hand it.
+- ``pq_encode`` — m narrow GEMM argmin passes (``ivf_assign_blas`` on each
+  slice), zero shuffles; appends an ``array<int>`` code column.
+- ``pq_adc_scores`` — the LUT is built DRIVER-side with sequential-fold
+  dot products (the ``list_inner_product`` parity rule the IVF/kmeans
+  oracles rely on) and baked in as literals; the score is a CHAINED
+  ``element_at`` sum in subspace order, entirely codegen — bit-identical
+  to a SQL restatement that adds the same m terms left-to-right, which is
+  what makes PQ the rare ANN operator with a full-replay oracle.
+- ``pq_topk`` — ADC ranking via TakeOrderedAndProject (rounded-score,
+  then id, tie-break).
+
+The comparable score omits the constant ``‖q_j‖²`` terms (rank-invariant),
+exactly like the IVF assignment's comparable distance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fs2_kinesis_firehose_spark.operators.kmeans import kmeans_lloyd
+from fs2_kinesis_firehose_spark.operators.similarity import ivf_assign_blas
+
+__all__ = ["pq_fit", "pq_encode", "pq_adc_scores", "pq_topk"]
+
+
+def _seq_ip(a, b) -> float:
+    """Sequential-fold inner product — the summation order DuckDB's
+    ``list_inner_product`` uses, so driver-computed LUT literals are
+    bit-identical to the oracle's."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def pq_fit(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 2,
+    round_to: int = 9,
+) -> dict:
+    """Train the m per-subspace codebooks.  Returns
+    ``{"m", "k", "sub", "dim", "codebooks": m × k × (dim/m) floats}``.
+    Deterministic: each subspace inherits ``kmeans_lloyd``'s first-k-keys
+    init and rounded means."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = df.select(
+            key_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias("_subv")
+        )
+        books.append(
+            kmeans_lloyd(
+                sliced, "_subv", key_col, k=k, iterations=iterations, round_to=round_to
+            )
+        )
+    return {"m": m, "k": k, "sub": sub, "dim": dim, "codebooks": books}
+
+
+def pq_encode(
+    df: DataFrame,
+    model: dict,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``out_col`` = array<int> of length m (the per-subspace
+    argmin-centroid codes; GEMM per Arrow batch, no shuffle)."""
+    m, sub = model["m"], model["sub"]
+    out = df
+    code_cols = []
+    for j in range(m):
+        out = out.withColumn("_subv", F.slice(F.col(vec_col), j * sub + 1, sub))
+        out = ivf_assign_blas(out, np.asarray(model["codebooks"][j]), "_subv")
+        out = out.withColumnRenamed("ivf_cell", f"_code{j}")
+        code_cols.append(f"_code{j}")
+    return out.withColumn(out_col, F.array(*code_cols)).drop("_subv", *code_cols)
+
+
+def _adc_lut(model: dict, query: list[float]) -> list[list[float]]:
+    """m × k comparable subdistances ``‖c‖² − 2·⟨q_j, c⟩`` (sequential
+    folds — oracle-parity literals)."""
+    m, sub = model["m"], model["sub"]
+    lut = []
+    for j in range(m):
+        qj = query[j * sub : (j + 1) * sub]
+        lut.append(
+            [
+                _seq_ip(c, c) - 2.0 * _seq_ip(qj, c)
+                for c in model["codebooks"][j]
+            ]
+        )
+    return lut
+
+
+def pq_adc_scores(
+    df: DataFrame,
+    model: dict,
+    query: list[float],
+    *,
+    code_col: str = "pq_code",
+    out_col: str = "adc_dist",
+) -> DataFrame:
+    """Append the ADC comparable distance: a chained ``element_at`` sum over
+    the literal LUT, in subspace order — pure codegen, no Python, and
+    bit-restatable as ``lut0[code0+1] + lut1[code1+1] + …`` in SQL."""
+    lut = _adc_lut(model, query)
+    term: Column | None = None
+    for j, row in enumerate(lut):
+        t = F.element_at(
+            F.array(*[F.lit(float(v)) for v in row]),
+            F.element_at(F.col(code_col), j + 1) + 1,
+        )
+        term = t if term is None else term + t
+    return df.withColumn(out_col, term)
+
+
+def pq_topk(
+    df: DataFrame,
+    model: dict,
+    query: list[float],
+    k: int = 10,
+    *,
+    key_col: str = "vec_id",
+    code_col: str = "pq_code",
+    round_to: int = 6,
+) -> DataFrame:
+    """ADC top-k: ``(key_col, adc_dist)`` ascending, deterministic
+    (rounded-distance, then key) — TakeOrderedAndProject, never a global
+    sort.  For higher recall, rescore the top-C (C ≫ k) candidates with
+    exact distances on the float vectors — candidates are k-scale rows, so
+    the rescore is a broadcast-join away."""
+    scored = pq_adc_scores(df, model, query, code_col=code_col)
+    return (
+        scored.select(
+            key_col, F.round(F.col("adc_dist"), round_to).alias("adc_dist")
+        )
+        .orderBy(F.asc("adc_dist"), F.asc(key_col))
+        .limit(k)
+    )

@@ -98,3 +98,112 @@ def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at(energy, F.col("cluster") + 1), 6),
         )
     )
+
+
+_PQ_M = 4
+_PQ_K = 16
+_PQ_ITERS = 2
+_PQ_SUB = _DIM // _PQ_M
+
+
+def _pq_subspace_kmeans_ctes(j: int, k: int, iters: int, sub: int) -> list[str]:
+    """Per-subspace replay of kmeans_lloyd (same template as
+    _kmeans_oracle, suffixed _{j}, over the sliced subvectors)."""
+    lo, hi = j * sub + 1, (j + 1) * sub
+    ctes = [
+        f"pts_{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM pts)",
+        f"""c0_{j} AS (
+        SELECT CAST(rn - 1 AS INT) AS cluster, v AS c
+        FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM pts_{j})
+        WHERE rn <= {k}
+    )""",
+    ]
+    for t in range(1, iters + 2):  # iters updates + one final assignment
+        prev = f"c{t - 1}_{j}"
+        ctes.append(f"""d{t}_{j} AS (
+        SELECT p.vec_id, c.cluster,
+               list_inner_product(c.c, c.c)
+               - 2.0 * list_inner_product(p.v, c.c) AS dist
+        FROM pts_{j} p CROSS JOIN {prev} c
+    )""")
+        ctes.append(f"""a{t}_{j} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM d{t}_{j}
+        ) WHERE rn = 1
+    )""")
+        if t <= iters:
+            ctes.append(f"""m{t}_{j} AS (
+        SELECT cluster, list(m ORDER BY dim) AS c FROM (
+            SELECT a.cluster, d.i AS dim, ROUND(AVG(p.v[d.i]), 9) AS m
+            FROM a{t}_{j} a JOIN pts_{j} p USING (vec_id),
+                 UNNEST(range(1, {sub + 1})) AS d(i)
+            GROUP BY a.cluster, d.i
+        ) GROUP BY cluster
+    )""")
+            ctes.append(f"""c{t}_{j} AS (
+        SELECT pc.cluster, COALESCE(m.c, pc.c) AS c
+        FROM {prev} pc LEFT JOIN m{t}_{j} m ON pc.cluster = m.cluster
+    )""")
+    return ctes
+
+
+def _pq_oracle() -> str:
+    """Full replay: m per-subspace kmeans fits, the per-vector codes (final
+    assignments), the query's LUT (exact subdistances to every subspace
+    centroid), and the left-to-right ADC sum — the identical chained
+    addition the Spark side compiles, so even the float estimates hash."""
+    fin = _PQ_ITERS + 1
+    ctes = ["pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    for j in range(_PQ_M):
+        ctes.extend(_pq_subspace_kmeans_ctes(j, _PQ_K, _PQ_ITERS, _PQ_SUB))
+    ctes.append("q AS (SELECT v FROM pts ORDER BY vec_id LIMIT 1)")
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
+        ctes.append(f"""lut_{j} AS (
+        SELECT c.cluster,
+               list_inner_product(c.c, c.c)
+               - 2.0 * list_inner_product(q.v[{lo}:{hi}], c.c) AS dist
+        FROM c{_PQ_ITERS}_{j} c CROSS JOIN q
+    )""")
+    joins = "\n        ".join(
+        f"JOIN a{fin}_{j} a{j} ON a{j}.vec_id = a0.vec_id\n        "
+        f"JOIN lut_{j} l{j} ON l{j}.cluster = a{j}.cluster"
+        if j else f"JOIN lut_0 l0 ON l0.cluster = a0.cluster"
+        for j in range(_PQ_M)
+    )
+    est_sum = " + ".join(f"l{j}.dist" for j in range(_PQ_M))
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT a0.vec_id, ROUND({est_sum}, 6) AS adc_dist
+    FROM a{fin}_0 a0
+        {joins}
+    ORDER BY ROUND({est_sum}, 6), a0.vec_id
+    LIMIT 10
+    """
+
+
+@query("pq_adc_topk", oracle=_pq_oracle())
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/pq.py — the memory half of IVF+PQ):
+    m={_PQ_M} subspace codebooks (k={_PQ_K}, {_PQ_ITERS} Lloyd iterations
+    each, distributed trainer), GEMM encode, then asymmetric-distance
+    top-10 for the smallest-id query vector via a literal LUT and a chained
+    codegen sum.  The oracle replays the ENTIRE pipeline — every subspace
+    fit, the codes, the LUT, the left-to-right ADC addition — so even the
+    float distance estimates are driver-hashed (the strongest oracle any
+    ANN path here has; recall-vs-exact is pytest-bounded in
+    tests/test_pq.py)."""
+    from fs2_kinesis_firehose_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = PQ.pq_fit(
+        emb, vec_col="embedding", key_col="vec_id",
+        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS,
+    )
+    q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    enc = PQ.pq_encode(emb, model)
+    return PQ.pq_topk(enc, model, q, 10, key_col="vec_id")

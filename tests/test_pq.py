@@ -1,0 +1,81 @@
+"""Product quantization (operators/pq.py): encode/ADC semantics vs a numpy
+mirror, recall against exact search, determinism, validation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fs2_kinesis_firehose_spark.operators import pq as PQ
+
+
+def _emb_df(spark, X):
+    return spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _numpy_adc_topk(X, model, q, k):
+    m, sub = model["m"], model["sub"]
+    codes = []
+    for j in range(m):
+        C = np.asarray(model["codebooks"][j])
+        Xj = X[:, j * sub : (j + 1) * sub]
+        d = (C * C).sum(1)[None, :] - 2.0 * Xj @ C.T
+        codes.append(np.argmin(d, axis=1))
+    lut = PQ._adc_lut(model, list(q))
+    est = np.zeros(len(X))
+    for j in range(m):
+        est += np.asarray(lut[j])[codes[j]]
+    order = sorted(range(len(X)), key=lambda i: (round(est[i], 6), i))
+    return order[:k], est
+
+
+def test_encode_and_adc_match_numpy_mirror(spark):
+    rng = np.random.default_rng(5)
+    X = rng.normal(0, 1, (120, 16))
+    df = _emb_df(spark, X)
+    model = PQ.pq_fit(df, vec_col="embedding", dim=16, m=4, k=8, iterations=2)
+    q = X[0]
+    want_ids, want_est = _numpy_adc_topk(X, model, q, 10)
+    got = PQ.pq_topk(
+        PQ.pq_encode(df, model), model, list(q), 10
+    ).collect()
+    assert [r["vec_id"] for r in got] == want_ids
+    for r in got:
+        assert r["adc_dist"] == pytest.approx(round(want_est[r["vec_id"]], 6), abs=1e-9)
+
+
+def test_adc_recall_against_exact(spark):
+    # PQ with a decent budget must put most of the true top-10 in its
+    # ADC top-10 on smooth data (clustered gaussians: quantization-friendly)
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 5, (6, 32))
+    X = np.vstack([c + rng.normal(0, 0.5, (50, 32)) for c in centers])
+    df = _emb_df(spark, X)
+    model = PQ.pq_fit(df, vec_col="embedding", dim=32, m=4, k=16, iterations=3)
+    enc = PQ.pq_encode(df, model)
+    q = X[7]
+    exact = set(np.argsort(((X - q) ** 2).sum(1), kind="stable")[:10].tolist())
+    got = {r["vec_id"] for r in PQ.pq_topk(enc, model, list(q), 10).collect()}
+    recall = len(exact & got) / 10
+    assert recall >= 0.6, f"ADC recall@10 = {recall}"
+
+
+def test_deterministic_and_partition_invariant(spark):
+    rng = np.random.default_rng(3)
+    X = rng.normal(0, 1, (60, 8))
+    df = _emb_df(spark, X)
+    m1 = PQ.pq_fit(df, vec_col="embedding", dim=8, m=2, k=4, iterations=2)
+    m2 = PQ.pq_fit(df.repartition(7), vec_col="embedding", dim=8, m=2, k=4, iterations=2)
+    assert m1["codebooks"] == m2["codebooks"]
+    a = PQ.pq_topk(PQ.pq_encode(df, m1), m1, list(X[3]), 5).collect()
+    b = PQ.pq_topk(PQ.pq_encode(df.repartition(5), m2), m2, list(X[3]), 5).collect()
+    assert a == b
+
+
+def test_validation(spark):
+    df = _emb_df(spark, np.zeros((5, 10)))
+    with pytest.raises(ValueError, match="divisible"):
+        PQ.pq_fit(df, vec_col="embedding", dim=10, m=4, k=2)
