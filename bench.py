@@ -161,6 +161,9 @@ HEADLINE = [
     # round-6 addition: product-quantized ANN (m distributed subspace fits
     # + GEMM encode + literal-LUT ADC top-k)
     "pq_adc_topk",
+    # round-6 addition: the rescored PQ path (ADC candidates + exact
+    # re-rank — two TakeOrderedAndProject passes)
+    "pq_rescored_topk",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from fs2_kinesis_firehose_spark.operators.kmeans import kmeans_lloyd
 from fs2_kinesis_firehose_spark.operators.similarity import ivf_assign_blas
 
-__all__ = ["pq_fit", "pq_encode", "pq_adc_scores", "pq_topk"]
+__all__ = ["pq_fit", "pq_encode", "pq_adc_scores", "pq_topk", "pq_rescored_topk"]
 
 
 def _seq_ip(a, b) -> float:
@@ -164,5 +164,55 @@ def pq_topk(
             key_col, F.round(F.col("adc_dist"), round_to).alias("adc_dist")
         )
         .orderBy(F.asc("adc_dist"), F.asc(key_col))
+        .limit(k)
+    )
+
+
+def pq_rescored_topk(
+    df: DataFrame,
+    model: dict,
+    query: list[float],
+    k: int = 10,
+    *,
+    candidates: int = 50,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    code_col: str = "pq_code",
+    round_to: int = 6,
+) -> DataFrame:
+    """The production PQ recipe: ADC selects ``candidates`` (≫ k) cheap
+    approximate nearest rows, then the float vectors of ONLY those rows are
+    re-ranked with the exact L2² — quantization error affects which
+    candidates are seen, never their final ordering.  ``df`` must carry
+    both ``vec_col`` and ``code_col`` (run ``pq_encode`` first).
+
+    Plan: ADC scan + TakeOrderedAndProject to ``candidates`` rows, then
+    candidate-local exact distances (a dot product per row over k-scale
+    rows — no shuffle, no Python) and a second TakeOrderedAndProject to
+    ``k``.  Exact terms are sequential-fold-shaped (``V.dot`` ≡ SQL
+    ``list_inner_product``), so the rescore restates bit-for-bit.
+    Returns ``(key_col, l2_dist)``."""
+    from fs2_kinesis_firehose_spark.functions import vectors as V
+
+    dim = model["dim"]
+    cand = (
+        pq_adc_scores(df, model, query, code_col=code_col)
+        .select(
+            key_col, vec_col, F.round(F.col("adc_dist"), round_to).alias("_adc")
+        )
+        .orderBy(F.asc("_adc"), F.asc(key_col))
+        .limit(candidates)
+    )
+    qlit = V.literal_vector(query)
+    q_sq = 0.0
+    for x in query:
+        q_sq += float(x) * float(x)
+    v = F.col(vec_col)
+    l2 = (
+        V.dot(v, v, dim) - F.lit(2.0) * V.dot(v, qlit, dim)
+    ) + F.lit(q_sq)
+    return (
+        cand.select(key_col, F.round(l2, round_to).alias("l2_dist"))
+        .orderBy(F.asc("l2_dist"), F.asc(key_col))
         .limit(k)
     )

@@ -74,16 +74,16 @@ _WINDOW_PRIORITY: list[str] = [
     # string_functions/events_json_extract were RETIRED in the round-3
     # scalar-surface consolidation — they survive only in
     # verified_green.json history, so the r3 set IS the oldest live
-    # evidence).  This window: (1) heads with the TEN queries that have
+    # evidence).  This window: (1) heads with the ELEVEN queries that have
     # never earned a driver row (this round's new operators — multi-tick
     # SCD2, DOULION triangle estimate, KLL quantiles, Q18+Bloom, Count-Min
     # point frequencies, prefix-filter exact similarity join, k-core
-    # peeling, cohort retention, personalized PageRank, product-quantized ANN); (2)
+    # peeling, cohort retention, personalized PageRank, product-quantized ANN + its exact-rescore path); (2)
     # re-verifies the FIVE whose implementation changed this round
     # (rrf_fuse lazy guard, bloom word-fold, scd2_apply rewrite, pca
     # centered stats, heavy_hitters checkpoint); (3) rotates in ALL 26
     # r3-evidence queries — after this round every registered query's
-    # newest green row is r4+; (4) fills the last 9 slots with
+    # newest green row is r4+; (4) fills the remaining slots with
     # r4-evidence flagships (heavy Tier-C scale paths).
     # ---------------------------------------------------------------
     # (1) never driver-verified: this round's new queries
@@ -97,6 +97,7 @@ _WINDOW_PRIORITY: list[str] = [
     "cohort_retention_matrix",
     "ppr_seed_sources",
     "pq_adc_topk",
+    "pq_rescored_topk",
     # (2) implementation changed this round -> re-verify
     "hybrid_rrf_topk",
     "bloom_semijoin_revenue",

@@ -207,3 +207,74 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
     enc = PQ.pq_encode(emb, model)
     return PQ.pq_topk(enc, model, q, 10, key_col="vec_id")
+
+
+_PQ_CAND = 50
+
+
+def _pq_rescored_oracle() -> str:
+    """ADC candidate CTE (the pq_adc_topk replay with LIMIT C) + exact-L2²
+    re-rank over the candidates: list_inner_product terms in the identical
+    a − 2·b + c order the Spark side compiles."""
+    fin = _PQ_ITERS + 1
+    ctes = ["pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    for j in range(_PQ_M):
+        ctes.extend(_pq_subspace_kmeans_ctes(j, _PQ_K, _PQ_ITERS, _PQ_SUB))
+    ctes.append("q AS (SELECT v FROM pts ORDER BY vec_id LIMIT 1)")
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
+        ctes.append(f"""lut_{j} AS (
+        SELECT c.cluster,
+               list_inner_product(c.c, c.c)
+               - 2.0 * list_inner_product(q.v[{lo}:{hi}], c.c) AS dist
+        FROM c{_PQ_ITERS}_{j} c CROSS JOIN q
+    )""")
+    joins = "\n        ".join(
+        f"JOIN a{fin}_{j} a{j} ON a{j}.vec_id = a0.vec_id\n        "
+        f"JOIN lut_{j} l{j} ON l{j}.cluster = a{j}.cluster"
+        if j else f"JOIN lut_0 l0 ON l0.cluster = a0.cluster"
+        for j in range(_PQ_M)
+    )
+    est_sum = " + ".join(f"l{j}.dist" for j in range(_PQ_M))
+    ctes.append(f"""cand AS (
+        SELECT a0.vec_id
+        FROM a{fin}_0 a0
+        {joins}
+        ORDER BY ROUND({est_sum}, 6), a0.vec_id
+        LIMIT {_PQ_CAND}
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT c.vec_id,
+           ROUND(list_inner_product(p.v, p.v)
+                 - 2.0 * list_inner_product(p.v, q.v)
+                 + list_inner_product(q.v, q.v), 6) AS l2_dist
+    FROM cand c JOIN pts p ON p.vec_id = c.vec_id CROSS JOIN q
+    ORDER BY ROUND(list_inner_product(p.v, p.v)
+                   - 2.0 * list_inner_product(p.v, q.v)
+                   + list_inner_product(q.v, q.v), 6), c.vec_id
+    LIMIT 10
+    """
+
+
+@query("pq_rescored_topk", oracle=_pq_rescored_oracle())
+def pq_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ recipe end-to-end: ADC selects {_PQ_CAND}
+    candidates from the codes alone, then ONLY those rows' float vectors
+    are re-ranked with the exact L2² — two TakeOrderedAndProject passes,
+    the rescore dot products confined to candidate-scale rows.  Oracle
+    replays the full fit+encode+ADC candidate set and the identical
+    a − 2·b + c exact-distance expression, so the final float distances
+    hash.  Together with pq_adc_topk this driver-proves both halves of the
+    IVF+PQ recipe's query path."""
+    from fs2_kinesis_firehose_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = PQ.pq_fit(
+        emb, vec_col="embedding", key_col="vec_id",
+        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS,
+    )
+    q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    enc = PQ.pq_encode(emb, model)
+    return PQ.pq_rescored_topk(enc, model, q, 10, candidates=_PQ_CAND)

@@ -79,3 +79,28 @@ def test_validation(spark):
     df = _emb_df(spark, np.zeros((5, 10)))
     with pytest.raises(ValueError, match="divisible"):
         PQ.pq_fit(df, vec_col="embedding", dim=10, m=4, k=2)
+
+
+def test_rescored_topk_exact_on_candidates(spark):
+    # with candidates == n, the rescored top-k IS the exact L2 top-k
+    rng = np.random.default_rng(19)
+    X = rng.normal(0, 2, (80, 16))
+    df = _emb_df(spark, X)
+    model = PQ.pq_fit(df, vec_col="embedding", dim=16, m=4, k=8, iterations=2)
+    enc = PQ.pq_encode(df, model)
+    q = X[5]
+    got = [
+        r["vec_id"]
+        for r in PQ.pq_rescored_topk(enc, model, list(q), 10, candidates=80).collect()
+    ]
+    d = ((X - q) ** 2).sum(1)
+    want = sorted(range(len(X)), key=lambda i: (round(d[i], 6), i))[:10]
+    assert got == want
+    # and the production setting (candidates=30) beats raw ADC recall
+    exact10 = set(want)
+    resc = {
+        r["vec_id"]
+        for r in PQ.pq_rescored_topk(enc, model, list(q), 10, candidates=30).collect()
+    }
+    adc = {r["vec_id"] for r in PQ.pq_topk(enc, model, list(q), 10).collect()}
+    assert len(exact10 & resc) >= len(exact10 & adc)
