@@ -671,19 +671,17 @@ def ngram_jaccard_pairs(
     )
     s1 = sizes.select(F.col(key_col).alias("key1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col(key_col).alias("key2"), F.col("sz").alias("sz2"))
+    # filter on the UNROUNDED ratio (what the SQL oracles state), round only
+    # for output — filtering the rounded value would admit pairs with true
+    # J in [threshold − 5e-7, threshold)
+    j_raw = F.col("common").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("common")
+    ).cast("double")
     return (
         common.join(s1, "key1")
         .join(s2, "key2")
-        .select(
-            "key1",
-            "key2",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("sz1") + F.col("sz2") - F.col("common")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(j_raw >= threshold)
+        .select("key1", "key2", F.round(j_raw, 6).alias("jaccard"))
     )
 
 
@@ -1014,17 +1012,14 @@ def prefix_filter_jaccard_pairs(
         F.col(key_col).alias("key2"), F.col("_toks").alias("t2"), F.col("_sz").alias("sz2")
     )
     common = F.size(F.array_intersect(F.col("t1"), F.col("t2")))
+    # unrounded-ratio filter, rounded output — same contract as
+    # ngram_jaccard_pairs (and both oracles, which filter the raw ratio)
+    j_raw = common.cast("double") / (
+        F.col("sz1") + F.col("sz2") - common
+    ).cast("double")
     return (
         cand.join(s1, "key1")
         .join(s2, "key2")
-        .select(
-            "key1",
-            "key2",
-            F.round(
-                common.cast("double")
-                / (F.col("sz1") + F.col("sz2") - common).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(j_raw >= threshold)
+        .select("key1", "key2", F.round(j_raw, 6).alias("jaccard"))
     )

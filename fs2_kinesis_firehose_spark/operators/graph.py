@@ -99,7 +99,15 @@ def pagerank(
         )
         verts = verts.join(F.broadcast(sdf), "node", "left")
     verts = verts.localCheckpoint(eager=False)
-    n = verts.count()
+    if seeds is None:
+        n = verts.count()
+        ns = None
+    else:
+        # ONE job for both counts (count(_seed) skips NULLs = non-seeds)
+        row = verts.agg(
+            F.count(F.lit(1)).alias("n"), F.count("_seed").alias("ns")
+        ).first()
+        n, ns = row["n"], row["ns"]
     if n == 0:
         # empty edge set → empty rank vector (avoid 1/0 in the init below)
         return verts.select("node", F.lit(0.0).alias("rank"))
@@ -114,7 +122,6 @@ def pagerank(
         restart = F.lit((1.0 - d) / n)
         dang = lambda dmass: dmass / F.lit(float(n))  # noqa: E731
     else:
-        ns = verts.where(F.col("_seed")).count()
         if ns == 0:
             raise ValueError("personalized pagerank: no seed is present in the graph")
         tele0 = F.when(F.col("_seed"), F.lit(1.0) / F.lit(float(ns))).otherwise(
@@ -387,7 +394,11 @@ def k_core(
         .union(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_rounds):
+    # max_rounds + 1 fixpoint checks bracket exactly max_rounds PEELS, so a
+    # graph converging on the very last allowed peel still returns (the
+    # query oracle unrolls the same number of peel rounds — the budgets
+    # must agree, not be off by one)
+    for i in range(max_rounds + 1):
         deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("core_deg"))
         # checkpoint the fringe: it is consumed by the isEmpty fixpoint test
         # AND both anti-joins of the next round — without the pin each round
@@ -399,6 +410,8 @@ def k_core(
         )
         if peel.isEmpty():
             return deg.select(F.col("a").alias("node"), "core_deg")
+        if i == max_rounds:
+            break
         e = (
             e.join(peel, "a", "left_anti")
             .join(peel.withColumnRenamed("a", "b"), "b", "left_anti")

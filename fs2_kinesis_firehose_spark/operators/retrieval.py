@@ -231,6 +231,7 @@ def rrf_fuse(
         F.round(F.sum("c"), round_to).alias("rrf_score"),
         F.count(F.lit(1)).alias("_n"),
         F.count_distinct("_ridx").alias("_nd"),
+        F.array_sort(F.collect_list("_ridx")).alias("_rids"),
     )
     out = agg.select(
         F.col(key_col),
@@ -240,9 +241,11 @@ def rrf_fuse(
                 F.concat(
                     F.lit("rrf_fuse: duplicate key "),
                     F.col(key_col).cast("string"),
+                    F.lit(" within a ranking (contributing ranking ids: "),
+                    F.col("_rids").cast("string"),
                     F.lit(
-                        " within a ranking: aggregate to one row per "
-                        "candidate before fusing"
+                        " — a repeated id is the offender): aggregate to "
+                        "one row per candidate before fusing"
                     ),
                 )
             ).cast("double"),

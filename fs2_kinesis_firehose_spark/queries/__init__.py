@@ -140,8 +140,6 @@ _WINDOW_PRIORITY: list[str] = [
     "exactly_once_replay_counts",
     "pricing_summary",
     "cosine_topk_bruteforce",
-    "dedup_exact",
-    "benchmark_contamination",
 ]
 
 

@@ -58,7 +58,7 @@ def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KLL_PHIS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
-_KLL_EPS = 0.01  # ~5x the observed k=200 rank error — deterministic margin
+_KLL_EPS = 0.03  # == the pytest-asserted bound (observed ~0.002 at k=200: 15x margin)
 
 
 @query(

@@ -373,11 +373,15 @@ def tpch_q18_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
+    # the qualifying-key aggregate feeds BOTH the bitmap build (an eager
+    # job) and the exact semi join — pin it so the lineitem scan+groupBy
+    # runs once, not twice
     big = (
         l.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 250)
         .select("l_orderkey")
+        .localCheckpoint(eager=False)
     )
     bm = B.bloom_build(big, "l_orderkey", n_bits=1 << 18, n_hashes=5)
     pre = B.bloom_prefilter(l, "l_orderkey", bm, n_bits=1 << 18, n_hashes=5)
