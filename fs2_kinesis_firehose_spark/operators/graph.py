@@ -376,9 +376,13 @@ def k_core(
     self-loops dropped).  Deterministic: the k-core is unique, so the
     result is independent of peel order/partitioning.
 
-    Scale shape: per round ONE degree aggregate + two broadcast-sized
-    anti-joins against the peeled-vertex set (only vertices BELOW the
-    threshold ship, typically a shrinking fringe), per-round
+    Scale shape: per round ONE degree aggregate + two anti-joins against
+    the peeled-vertex set.  From round 2 on the peel set is the shrinking
+    fringe (vertices whose degree just dropped below k) and the anti-joins
+    broadcast; round 1's peel set can be MOST of the graph (every vertex
+    with initial degree < k), where AQE plans the anti-join as a regular
+    shuffle join — still one shuffle of the edge list, no scale hazard,
+    just not broadcast-sized.  Per-round
     ``localCheckpoint`` keeps lineage flat — the Pregel peeling loop as
     DataFrame ops.  The fixpoint test is one metadata ``isEmpty`` per
     round.  Raises after ``max_rounds`` non-converged rounds (fail-loud:
