@@ -41,7 +41,14 @@ from pyspark.sql import functions as F
 from fs2_kinesis_firehose_spark.operators.kmeans import kmeans_lloyd
 from fs2_kinesis_firehose_spark.operators.similarity import ivf_assign_blas
 
-__all__ = ["pq_fit", "pq_encode", "pq_adc_scores", "pq_topk", "pq_rescored_topk"]
+__all__ = [
+    "pq_fit",
+    "pq_encode",
+    "pq_adc_scores",
+    "pq_topk",
+    "pq_rescored_topk",
+    "ivf_pq_rescored_topk",
+]
 
 
 def _seq_ip(a, b) -> float:
@@ -94,6 +101,14 @@ def pq_encode(
 ) -> DataFrame:
     """Append ``out_col`` = array<int> of length m (the per-subspace
     argmin-centroid codes; GEMM per Arrow batch, no shuffle)."""
+    if "ivf_cell" in df.columns:
+        # the per-subspace argmin reuses ivf_assign_blas, whose output column
+        # is ivf_cell — a pre-existing one would make the rename ambiguous.
+        # Encode BEFORE the coarse ivf_assign (the codes don't depend on it).
+        raise ValueError(
+            "pq_encode uses the 'ivf_cell' column internally; run pq_encode "
+            "before ivf_assign (or rename the existing ivf_cell column)"
+        )
     m, sub = model["m"], model["sub"]
     out = df
     code_cols = []
@@ -215,4 +230,60 @@ def pq_rescored_topk(
         cand.select(key_col, F.round(l2, round_to).alias("l2_dist"))
         .orderBy(F.asc("l2_dist"), F.asc(key_col))
         .limit(k)
+    )
+
+
+def ivf_pq_rescored_topk(
+    df: DataFrame,
+    centroids,
+    model: dict,
+    query: list[float],
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    candidates: int = 50,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    code_col: str = "pq_code",
+    cell_col: str = "ivf_cell",
+    round_to: int = 6,
+) -> DataFrame:
+    """The full billion-vector ANN recipe (Jégou et al. 2011, the IVFADC
+    query path): IVF coarse cells prune the corpus to the ``nprobe`` cells
+    nearest the query, PQ codes ADC-rank ONLY the in-cell rows down to
+    ``candidates``, and the float vectors of only those candidates are
+    exact-rescored to the final ``k``.  Composes the two halves this repo
+    driver-proves separately (``ivf_topk`` — coarse probe; ``pq_rescored_
+    topk`` — ADC + rescore) into the one pipeline a 100-TB embedding corpus
+    actually serves.
+
+    ``df`` must carry ``cell_col`` (run ``ivf_assign``/``ivf_assign_blas``
+    against the SAME ``centroids``) and ``code_col`` (run ``pq_encode``
+    against the SAME ``model``); ``vec_col`` is needed only for the
+    candidate-scale rescore.  Probe ranking uses ``ivf_probe_cells`` —
+    the identical |c|² − 2·(q·c) sequential-fold arithmetic the row
+    assignment uses, so a SQL oracle lands on the same probe set.
+
+    Plan shape: cell filter (partition-pruned when the table is written
+    partitioned/bucketed by ``cell_col`` — the inverted-list layout),
+    codegen ADC sum + TakeOrderedAndProject to ``candidates``, candidate-
+    local exact dot products, TakeOrderedAndProject to ``k``.  No shuffle,
+    no Python, and the scan touches ~nprobe/n_cells of the corpus instead
+    of all of it — the only structural difference from ``pq_rescored_topk``
+    is that pruning, which is what makes the recipe serve at scale.
+    Returns ``(key_col, l2_dist)``."""
+    from fs2_kinesis_firehose_spark.operators.similarity import ivf_probe_cells
+
+    cells = ivf_probe_cells(centroids, query, nprobe)
+    pool = df.filter(F.col(cell_col).isin(cells))
+    return pq_rescored_topk(
+        pool,
+        model,
+        query,
+        k,
+        candidates=candidates,
+        vec_col=vec_col,
+        key_col=key_col,
+        code_col=code_col,
+        round_to=round_to,
     )

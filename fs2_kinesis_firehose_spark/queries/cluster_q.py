@@ -258,6 +258,118 @@ def _pq_rescored_oracle() -> str:
     """
 
 
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+def _ivf_cell_sql() -> tuple[str, str]:
+    """(probe-cells expr over ``q.v``, per-row cellpos expr over ``p.v``) for
+    the seeded Voronoi centroids — identical literal centroids and
+    sequential-fold arithmetic as ``ivf_assign``/``ivf_probe_cells`` (the
+    ``_ivf_oracle`` pattern in queries/llm.py, 1-based on the SQL side)."""
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    cents = S.seeded_centroids(_DIM, _IVF_CELLS, seed=7, scale=0.125)
+    cent_sql = ["[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents]
+    c2 = [repr(_seq_sq_norm(c)) for c in cents]
+
+    def dist_list(vec: str) -> str:
+        return (
+            "["
+            + ", ".join(
+                f"{c2[i]} - 2.0 * list_inner_product({vec}, {cent_sql[i]})"
+                for i in range(len(cents))
+            )
+            + "]"
+        )
+
+    probe = f"list_grade_up({dist_list('q.v')})[1:{_IVF_NPROBE}]"
+    cellpos = f"list_position({dist_list('p.v')}, list_min({dist_list('p.v')}))"
+    return probe, cellpos
+
+
+def _ivf_pq_oracle() -> str:
+    """The composed IVFADC replay: m per-subspace kmeans fits + codes + LUT
+    (the _pq_rescored_oracle machinery), PLUS the seeded-centroid cell
+    assignment and probe ranking (the _ivf_oracle machinery) filtering the
+    ADC candidate pool to the nprobe probed cells, then the exact-L2²
+    rescore in the identical a − 2·b + c order."""
+    fin = _PQ_ITERS + 1
+    probe_expr, cellpos_expr = _ivf_cell_sql()
+    ctes = ["pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    for j in range(_PQ_M):
+        ctes.extend(_pq_subspace_kmeans_ctes(j, _PQ_K, _PQ_ITERS, _PQ_SUB))
+    ctes.append("q AS (SELECT v FROM pts ORDER BY vec_id LIMIT 1)")
+    ctes.append(f"probe AS (SELECT {probe_expr} AS cells FROM q)")
+    ctes.append(f"cellv AS (SELECT p.vec_id, {cellpos_expr} AS cellpos FROM pts p)")
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
+        ctes.append(f"""lut_{j} AS (
+        SELECT c.cluster,
+               list_inner_product(c.c, c.c)
+               - 2.0 * list_inner_product(q.v[{lo}:{hi}], c.c) AS dist
+        FROM c{_PQ_ITERS}_{j} c CROSS JOIN q
+    )""")
+    joins = "\n        ".join(
+        f"JOIN a{fin}_{j} a{j} ON a{j}.vec_id = a0.vec_id\n        "
+        f"JOIN lut_{j} l{j} ON l{j}.cluster = a{j}.cluster"
+        if j else f"JOIN lut_0 l0 ON l0.cluster = a0.cluster"
+        for j in range(_PQ_M)
+    )
+    est_sum = " + ".join(f"l{j}.dist" for j in range(_PQ_M))
+    ctes.append(f"""cand AS (
+        SELECT a0.vec_id
+        FROM a{fin}_0 a0
+        {joins}
+        JOIN cellv cv ON cv.vec_id = a0.vec_id
+        CROSS JOIN probe
+        WHERE list_contains(probe.cells, cv.cellpos)
+        ORDER BY ROUND({est_sum}, 6), a0.vec_id
+        LIMIT {_PQ_CAND}
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT c.vec_id,
+           ROUND(list_inner_product(p.v, p.v)
+                 - 2.0 * list_inner_product(p.v, q.v)
+                 + list_inner_product(q.v, q.v), 6) AS l2_dist
+    FROM cand c JOIN pts p ON p.vec_id = c.vec_id CROSS JOIN q
+    ORDER BY ROUND(list_inner_product(p.v, p.v)
+                   - 2.0 * list_inner_product(p.v, q.v)
+                   + list_inner_product(q.v, q.v), 6), c.vec_id
+    LIMIT 10
+    """
+
+
+@query("ivf_pq_rescored_topk", oracle=_ivf_pq_oracle())
+def ivf_pq_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF+PQ pipeline (operators/pq.py:ivf_pq_rescored_topk —
+    the IVFADC query path a billion-vector corpus actually serves): seeded
+    Voronoi cells prune the corpus to nprobe={_IVF_NPROBE} of {_IVF_CELLS}
+    inverted lists, PQ codes ADC-rank only the in-cell rows to {_PQ_CAND}
+    candidates, and only those candidates' float vectors are exact-L2²
+    re-ranked to the top 10.  The oracle replays EVERYTHING — every
+    subspace fit, the codes, the cell assignment, the probe ranking, the
+    in-cell ADC candidate set, and the exact rescore — so the final float
+    distances driver-hash.  Recall vs the unpruned PQ path at equal
+    candidate budget is pytest-pinned (tests/test_pq.py)."""
+    from fs2_kinesis_firehose_spark.operators import pq as PQ
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.seeded_centroids(_DIM, _IVF_CELLS, seed=7, scale=0.125)
+    model = PQ.pq_fit(
+        emb, vec_col="embedding", key_col="vec_id",
+        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS,
+    )
+    q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    enc = S.ivf_assign(PQ.pq_encode(emb, model), cents)
+    return PQ.ivf_pq_rescored_topk(
+        enc, cents, model, q, 10, nprobe=_IVF_NPROBE, candidates=_PQ_CAND
+    )
+
+
 @query("pq_rescored_topk", oracle=_pq_rescored_oracle())
 def pq_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production PQ recipe end-to-end: ADC selects {_PQ_CAND}

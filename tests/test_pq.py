@@ -104,3 +104,71 @@ def test_rescored_topk_exact_on_candidates(spark):
     }
     adc = {r["vec_id"] for r in PQ.pq_topk(enc, model, list(q), 10).collect()}
     assert len(exact10 & resc) >= len(exact10 & adc)
+
+
+def test_ivf_pq_rescored_recall_vs_plain_pq(spark):
+    """The composed IVF+PQ path at equal candidate budget must not lose
+    recall vs the unpruned PQ path: the coarse probe concentrates the
+    candidate budget on cells near the query, so on clustered data the
+    in-cell ADC shortlist is at least as good as the global one."""
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(0, 5, (6, 32))
+    X = np.vstack([c + rng.normal(0, 0.5, (40, 32)) for c in centers])
+    df = _emb_df(spark, X)
+    model = PQ.pq_fit(df, vec_col="embedding", dim=32, m=4, k=16, iterations=3)
+    cents = S.ivf_train_centroids(df, n_centroids=6, sample_fraction=1.0, seed=1)
+    enc = S.ivf_assign(PQ.pq_encode(df, model), cents)
+    q = X[11]
+    d = ((X - q) ** 2).sum(1)
+    exact10 = set(np.argsort(d, kind="stable")[:10].tolist())
+    plain = {
+        r["vec_id"]
+        for r in PQ.pq_rescored_topk(enc, model, list(q), 10, candidates=25).collect()
+    }
+    composed = {
+        r["vec_id"]
+        for r in PQ.ivf_pq_rescored_topk(
+            enc, cents, model, list(q), 10, nprobe=2, candidates=25
+        ).collect()
+    }
+    assert len(exact10 & composed) >= len(exact10 & plain)
+    assert len(exact10 & composed) >= 8
+
+
+def test_ivf_pq_probes_only_in_cell_rows(spark):
+    """Rows outside the probed cells can never appear, even if they are the
+    true nearest — pins that the pruning actually prunes."""
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    rng = np.random.default_rng(29)
+    X = rng.normal(0, 1, (60, 8))
+    df = _emb_df(spark, X)
+    model = PQ.pq_fit(df, vec_col="embedding", dim=8, m=2, k=4, iterations=2)
+    cents = S.seeded_centroids(8, 4, seed=7, scale=1.0)
+    enc = S.ivf_assign(PQ.pq_encode(df, model), cents)
+    q = X[0]
+    cells = S.ivf_probe_cells(cents, list(q), 1)
+    in_cell = {
+        r["vec_id"] for r in enc.filter(enc.ivf_cell.isin(cells)).collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in PQ.ivf_pq_rescored_topk(
+            enc, cents, model, list(q), 10, nprobe=1, candidates=60
+        ).collect()
+    }
+    assert got <= in_cell
+
+
+def test_pq_encode_rejects_preexisting_ivf_cell(spark):
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    rng = np.random.default_rng(31)
+    X = rng.normal(0, 1, (10, 8))
+    df = _emb_df(spark, X)
+    model = PQ.pq_fit(df, vec_col="embedding", dim=8, m=2, k=4, iterations=1)
+    assigned = S.ivf_assign(df, S.seeded_centroids(8, 4, seed=7, scale=1.0))
+    with pytest.raises(ValueError, match="ivf_cell"):
+        PQ.pq_encode(assigned, model)
