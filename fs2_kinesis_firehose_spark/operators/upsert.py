@@ -101,6 +101,7 @@ def scd2_apply(
     *,
     from_col: str = "valid_from",
     to_col: str = "valid_to",
+    single_tick: bool = False,
 ) -> DataFrame:
     """Slowly-changing-dimension type 2: apply one change batch to a history
     table, preserving full lineage as validity intervals.
@@ -136,7 +137,26 @@ def scd2_apply(
     once, nothing is evaluated twice, and history only ever streams through
     the closed-slice union.  Deterministic under retries like
     ``upsert_snapshot``.
+
+    ``single_tick=True`` is the fast path for batches the CALLER knows hold
+    at most ONE tick per key (the common compacted-CDC / daily-snapshot
+    shape): the chain aggregate and the array/HOF assembly are skipped for
+    a direct current ⋈ batch full-outer join whose three output branches
+    (kept current, closed, opened) are plain codegen projections — the
+    chain logic degenerates to exactly this when every chain has length 1,
+    so the results are identical (pytest-pinned), but the hot path stays
+    inside whole-stage codegen instead of interpreted higher-order-function
+    evaluation (~2× on the version-accounting bench).  Like the
+    ``(key, ts)``-uniqueness contract, single-tick-ness is a caller
+    contract: a multi-tick batch under ``single_tick=True`` duplicates the
+    joined current row per tick (MERGE's duplicate-match behavior) instead
+    of chaining.
     """
+    if single_tick:
+        return _scd2_apply_single_tick(
+            history, changes, key_col, change_ts_col,
+            from_col=from_col, to_col=to_col,
+        )
     data_cols = [
         c for c in history.columns if c not in (key_col, from_col, to_col)
     ]
@@ -218,4 +238,85 @@ def scd2_apply(
         key_out.alias(key_col), F.explode(F.concat(cur_row, vers)).alias("_r")
     ).select(key_col, *[F.col(f"_r.{c}") for c in [*data_cols, from_col, to_col]])
 
+    return closed.unionByName(null_key_current).unionByName(applied)
+
+
+def _scd2_apply_single_tick(
+    history: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    change_ts_col: str,
+    *,
+    from_col: str,
+    to_col: str,
+) -> DataFrame:
+    """The length-1-chain specialization of ``scd2_apply`` (see its
+    docstring): one full-outer join of the current slice against the batch,
+    then a SINGLE pass that emits 0-2 rows per joined key by exploding an
+    inline 2-slot array (old-row slot, new-row slot) — not a union of
+    filtered branches, which would merge-execute the joined stream once per
+    branch (ReusedExchange dedupes only the shuffles, not the join).
+    Semantics per key are the chain rules at chain length 1 — a differing
+    change closes the current row at its ts and opens a new one; an
+    identical resend is a no-op (the leading-no-op rule); an unmatched
+    change opens a first version.  NULL-key current rows are routed through
+    UNCHANGED before the join (the in_cur flag is key-derived, so they
+    cannot ride the join-miss branch — the exact row-loss the chain path's
+    null_key_current slice guards against); NULL-key changes are
+    dropped."""
+    data_cols = [
+        c for c in history.columns if c not in (key_col, from_col, to_col)
+    ]
+    missing = [
+        c for c in [key_col, *data_cols, change_ts_col] if c not in changes.columns
+    ]
+    if missing:
+        raise ValueError(f"changes is missing columns: {missing}")
+
+    to_type = history.schema[to_col].dataType
+    from_type = history.schema[from_col].dataType
+    closed = history.where(F.col(to_col).isNotNull())
+    cur_all = history.where(F.col(to_col).isNull())
+    null_key_current = cur_all.where(F.col(key_col).isNull())
+    cur = cur_all.where(F.col(key_col).isNotNull()).alias("s")
+    c = changes.where(F.col(key_col).isNotNull()).alias("c")
+    j = cur.join(c, F.col(f"s.{key_col}") == F.col(f"c.{key_col}"), "full_outer")
+    in_change = F.col(f"c.{key_col}").isNotNull()
+    in_cur = F.col(f"s.{key_col}").isNotNull()
+    differs = in_change & in_cur & ~F.struct(
+        *[F.col(f"s.{d}") for d in data_cols]
+    ).eqNullSafe(F.struct(*[F.col(f"c.{d}") for d in data_cols]))
+
+    # an unmatched F.when yields a NULL of the struct type (not an
+    # all-null-fields struct), which array_compact then drops
+    old_row = F.when(
+        in_cur,
+        F.struct(
+            F.col(f"s.{key_col}").alias(key_col),
+            *[F.col(f"s.{d}").alias(d) for d in data_cols],
+            F.col(f"s.{from_col}").alias(from_col),
+            # close at the change ts iff the change actually differs
+            F.when(differs, F.col(f"c.{change_ts_col}").cast(to_type)).alias(to_col),
+        ),
+    )
+    new_row = F.when(
+        differs | (in_change & ~in_cur),
+        F.struct(
+            F.col(f"c.{key_col}").alias(key_col),
+            *[F.col(f"c.{d}").alias(d) for d in data_cols],
+            F.col(f"c.{change_ts_col}").cast(from_type).alias(from_col),
+            F.lit(None).cast(to_type).alias(to_col),
+        ),
+    )
+    applied = (
+        j.select(
+            F.explode(F.array_compact(F.array(old_row, new_row))).alias("_r")
+        )
+        .select(
+            F.col(f"_r.{key_col}").alias(key_col),
+            *[F.col(f"_r.{d}").alias(d) for d in data_cols],
+            F.col(f"_r.{from_col}").alias(from_col),
+            F.col(f"_r.{to_col}").alias(to_col),
+        )
+    )
     return closed.unionByName(null_key_current).unionByName(applied)

@@ -142,9 +142,16 @@ def scd2_version_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # checkpoint BETWEEN chained applies: apply #2 reads its history three
     # ways (closed slice, NULL-key slice, current slice) and would otherwise
-    # re-evaluate apply #1's join+explode per consumer
-    h1 = scd2_apply(base, b1, "o_orderkey", "change_ts").localCheckpoint(eager=False)
-    h2 = scd2_apply(h1, b2, "o_orderkey", "change_ts").localCheckpoint(eager=False)
+    # re-evaluate apply #1's join per consumer.  Both batches are one tick
+    # per key, so the single-tick codegen fast path applies (r6 verdict #3:
+    # the generalized chain logic made single-tick batches pay the
+    # multi-tick HOF price — ~2x on this bench).
+    h1 = scd2_apply(
+        base, b1, "o_orderkey", "change_ts", single_tick=True
+    ).localCheckpoint(eager=False)
+    h2 = scd2_apply(
+        h1, b2, "o_orderkey", "change_ts", single_tick=True
+    ).localCheckpoint(eager=False)
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     per_key = h2.groupBy("o_orderkey").agg(
         F.count(F.lit(1)).alias("n_versions"),

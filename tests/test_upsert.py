@@ -200,3 +200,43 @@ def test_null_key_changes_dropped(spark, snap):
     out = upsert_snapshot(snap, changes, "id", delete_col="is_delete")
     assert out.where("id IS NULL").count() == 0
     assert out.count() == 3  # 1 unchanged ×2 + 1 updated
+
+
+def test_scd2_single_tick_fast_path_matches_chain_path(spark, hist0):
+    """single_tick=True (codegen fast path) must produce the identical
+    history as the chain path on any 1-tick-per-key batch — change, no-op
+    resend, new key, NULL-key change, NULL-key current row, all at once."""
+    from fs2_kinesis_firehose_spark.operators.upsert import scd2_apply
+
+    hist = hist0.unionByName(
+        spark.createDataFrame(
+            [(None, "nk", 0, None)],
+            "id long, val string, valid_from long, valid_to long",
+        )
+    )
+    changes = spark.createDataFrame(
+        [(1, "A", 10), (2, "b", 10), (9, "z", 10), (None, "drop", 10)],
+        "id long, val string, change_ts long",
+    )
+    slow = scd2_apply(hist, changes, "id", "change_ts")
+    fast = scd2_apply(hist, changes, "id", "change_ts", single_tick=True)
+    key = lambda r: (
+        repr(r["id"]), r["val"], r["valid_from"], repr(r["valid_to"])
+    )
+    assert sorted(map(key, slow.collect())) == sorted(map(key, fast.collect()))
+
+
+def test_scd2_single_tick_chained_batches(spark, hist0):
+    from fs2_kinesis_firehose_spark.operators.upsert import scd2_apply
+
+    b1 = spark.createDataFrame([(1, "A", 10)], "id long, val string, change_ts long")
+    b2 = spark.createDataFrame([(1, "AA", 20)], "id long, val string, change_ts long")
+    out = scd2_apply(
+        scd2_apply(hist0, b1, "id", "change_ts", single_tick=True),
+        b2, "id", "change_ts", single_tick=True,
+    )
+    one = sorted(
+        (r["val"], r["valid_from"], r["valid_to"])
+        for r in out.where("id = 1").collect()
+    )
+    assert one == [("A", 10, 20), ("AA", 20, None), ("a", 0, 10)]
