@@ -100,6 +100,8 @@ def produce_acks(
     framed: DataFrame,
     settings: ProducerSettings,
     client_factory: ClientFactory,
+    *,
+    ordered: bool = False,
 ) -> DataFrame:
     """Batch-mode produce over a ``value: binary`` DataFrame → ack DataFrame.
 
@@ -117,10 +119,23 @@ def produce_acks(
     single record over ``max_record_bytes`` raises (the real service would
     reject it on every retry, so failing fast on the executor is strictly
     better).
+
+    ``ordered=True`` closes the A5 semantic delta against the reference's
+    order-preserving ``mapAsync`` (firehose.scala:41): the round-robin
+    ``repartition(parallelism)`` is skipped (it would scramble arrival
+    order; in-flight parallelism then equals the INPUT's partition count),
+    and the ack DataFrame is globally sorted by ``(partition_id,
+    request_index)`` — Spark partition indexes follow source order, so the
+    ack sequence equals the order requests were cut from the input stream.
+    Cost: one sort over the (request-count-sized, tiny) ack rows plus giving
+    up the parallelism re-balance; the default stays unordered.
     """
     if "value" not in framed.columns:
         raise ValueError("produce expects a framed DataFrame with a 'value' column")
-    partitioned = framed.select("value").repartition(settings.parallelism)
+    if ordered:
+        partitioned = framed.select("value")
+    else:
+        partitioned = framed.select("value").repartition(settings.parallelism)
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import pandas as pd
@@ -158,7 +173,16 @@ def produce_acks(
             columns=[f.name for f in ACK_SCHEMA.fields],
         )
 
-    return partitioned.mapInPandas(run, ACK_SCHEMA)
+    acks_df = partitioned.mapInPandas(run, ACK_SCHEMA)
+    if ordered:
+        # NOT orderBy: a global sort range-samples its input, which would
+        # execute the put pipeline a second time (duplicate delivery!).
+        # Ack rows are request-count-sized, so one round-robin shuffle to a
+        # single partition + an in-partition sort is both safe and cheap.
+        acks_df = acks_df.repartition(1).sortWithinPartitions(
+            "partition_id", "request_index"
+        )
+    return acks_df
 
 
 def write_batch(

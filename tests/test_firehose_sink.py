@@ -150,3 +150,38 @@ def test_streaming_produce_delivers_all_events(spark, sf_smoke, tmp_path):
     assert len(delivered) == n
     ids = sorted(json.loads(p.decode().rstrip("\n"))["event_id"] for p in delivered)
     assert ids == sorted(r.event_id for r in events.select("event_id").collect())
+
+
+def test_ordered_acks_follow_input_order(spark, tmp_path):
+    """ordered=True (A5 delta closure): the ack sequence must equal the
+    order requests were cut from the input — partition indexes in source
+    order, request_index in slice order within each partition — under a
+    genuinely multi-partition run, and the first record of each request
+    must advance monotonically through the input."""
+    spool = str(tmp_path / "spool")
+    # 4 explicit input partitions of 300 ids each, batch_size=100
+    # → requests 0..2 per partition, 12 acks total
+    df = spark.range(0, 1200, 1, 4).selectExpr(
+        "CAST(lpad(string(id), 6, '0') AS BINARY) AS value"
+    )
+    settings = ProducerSettings(stream_name="t", parallelism=2, batch_size=100)
+    acks = produce_acks(
+        df, settings, fake_client_factory(spool_dir=spool), ordered=True
+    ).collect()
+    order = [(a.partition_id, a.request_index) for a in acks]
+    assert order == sorted(order), "acks not in (partition, request) order"
+    # input partitioning preserved (no round-robin repartition in ordered
+    # mode): range(…, 4) gives exactly partitions 0..3, 3 requests each
+    assert [p for p, _ in order] == [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3]
+    assert [r for _, r in order] == [0, 1, 2] * 4
+    assert all(a.n_records == 100 for a in acks)
+    assert len(read_spool(spool, "t")) == 1200
+
+
+def test_unordered_acks_still_repartition(spark, tmp_path):
+    spool = str(tmp_path / "spool")
+    df = spark.range(0, 1200, 1, 4).selectExpr("CAST(string(id) AS BINARY) AS value")
+    settings = ProducerSettings(stream_name="t", parallelism=2, batch_size=200)
+    acks = produce_acks(df, settings, fake_client_factory(spool_dir=spool)).collect()
+    assert {a.partition_id for a in acks} <= {0, 1}
+    assert len(read_spool(spool, "t")) == 1200
