@@ -199,3 +199,108 @@ def count_min_bigram_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_est",
         (F.col("cm_est") >= F.col("exact_cnt")).alias("overestimates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (operators/hll.py)
+# ---------------------------------------------------------------------------
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+_HLL_RMAX = 60 - _HLL_P + 1  # 49
+# alpha * m^2 precomputed as ONE double so both engines evaluate the
+# identical literal-x-literal product (decimal literals overflow DuckDB)
+_HLL_ALPHA_MM = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
+
+
+def _hll_arm(table: str, col: str) -> str:
+    """One DuckDB restatement of the ENTIRE HLL build for (table, col):
+    same md5-derived 60-bit hash, same bucket/rho split, same exact
+    scaled-integer harmonic sum, same small-range-corrected estimate —
+    compared to Spark only through integers and a tolerance boolean."""
+    wbits = 60 - _HLL_P
+    return f"""
+    SELECT '{table}.{col}' AS col_name, n_nonzero, scaled_sum,
+           (SELECT COUNT(DISTINCT {col}) FROM {table}) AS exact_distinct,
+           ABS(
+             CASE WHEN raw <= 2.5 * {_HLL_M} AND n_nonzero < {_HLL_M}
+                  THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE) / ({_HLL_M} - n_nonzero))
+                  ELSE raw END
+             / (SELECT COUNT(DISTINCT {col}) FROM {table}) - 1.0
+           ) < 0.05 AS within_tol
+    FROM (
+        SELECT n_nonzero, scaled_sum,
+               CAST({_HLL_ALPHA_MM!r} AS DOUBLE)
+                 * CAST({float(1 << _HLL_RMAX)!r} AS DOUBLE) / scaled_sum AS raw
+        FROM (
+            SELECT COUNT(*) AS n_nonzero,
+                   CAST(SUM(1::BIGINT << ({_HLL_RMAX} - rho)) AS BIGINT)
+                     + ({_HLL_M} - COUNT(*)) * ({1 << _HLL_RMAX}::BIGINT)
+                     AS scaled_sum
+            FROM (
+                SELECT bucket, MAX(rho) AS rho
+                FROM (
+                    SELECT CAST(hv % {_HLL_M} AS INT) AS bucket,
+                           CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_RMAX}
+                                ELSE {wbits} - LENGTH(bin(hv // {_HLL_M})) + 1
+                           END AS rho
+                    FROM (
+                        SELECT CAST(CONCAT('0x',
+                                 SUBSTRING(md5(CAST({col} AS VARCHAR) || '|hll'),
+                                           1, 15)) AS BIGINT) AS hv
+                        FROM {table} WHERE {col} IS NOT NULL
+                    )
+                )
+                GROUP BY bucket
+            )
+        )
+    )
+    """
+
+
+@query(
+    "hll_distinct_estimates",
+    oracle=" UNION ALL ".join(
+        _hll_arm(t, c)
+        for t, c in [
+            ("orders", "o_custkey"),
+            ("lineitem", "l_partkey"),
+            ("events", "user_id"),
+            ("events", "event_type"),
+        ]
+    ),
+)
+def hll_distinct_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register tables (operators/hll.py) over four key sets — three in
+    the bias-corrected regime and one tiny (event_type) that exercises the
+    linear-counting branch.  Output is integer-exact sketch state
+    (n_nonzero, scaled_sum) plus a 5% tolerance boolean (3σ at p=12, where
+    σ = 1.04/√4096 ≈ 1.6%) — never a raw float, so the driver hash is
+    stable while the oracle independently rebuilds every register."""
+    from fs2_kinesis_firehose_spark.operators.hll import hll_estimate, hll_table
+
+    arms = []
+    for table, col in [
+        ("orders", "o_custkey"),
+        ("lineitem", "l_partkey"),
+        ("events", "user_id"),
+        ("events", "event_type"),
+    ]:
+        df = load_table(spark, sf_dir, table)
+        est = hll_estimate(hll_table(df, col, p=_HLL_P), p=_HLL_P)
+        exact = df.agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
+        arms.append(
+            est.crossJoin(exact)  # 1-row × 1-row
+            .select(
+                F.lit(f"{table}.{col}").alias("col_name"),
+                "n_nonzero",
+                "scaled_sum",
+                "exact_distinct",
+                (
+                    F.abs(F.col("estimate") / F.col("exact_distinct") - 1.0) < 0.05
+                ).alias("within_tol"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
