@@ -94,3 +94,93 @@ def kinesis_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(F.col("value").cast("string"), "$.event_type").alias("event_type")
     )
     return parsed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "pipeline_dedup_delivery_accounting",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_id, event_type FROM events)
+    SELECT CAST(CEIL(COUNT(*) / 500.0) AS BIGINT) AS n_requests,
+           COUNT(*) AS n_records,
+           CAST(SUM(LENGTH('{"event_id":' || event_id
+                           || ',"event_type":"' || event_type || '"}') + 1)
+                AS BIGINT) AS delivered_bytes,
+           CAST(0 AS BIGINT) AS failed_records
+    FROM d
+    """,
+)
+def pipeline_dedup_delivery_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole raison d'être as ONE verified path
+    (firehose.scala:67-80): Kinesis-like source → Tier-C transform →
+    Firehose sink, with byte-exact delivery accounting.
+
+    Stage 1 (ingest): events → JSON+newline framing → produce pipe into a
+    spool (8 shards).  Stage 2 (at-least-once read): the spool is read
+    TWICE through ``format("kinesis_spool")`` and unioned — the duplicate
+    delivery a real at-least-once consumer sees after a checkpoint replay.
+    Stage 3 (transform): ``exact_dedup`` (operators/dedup.py) over payload
+    bytes with a unique (attempt, shard, seq) row key collapses the
+    duplicates.  Stage 4 (deliver): the surviving payloads (already framed)
+    go through the produce pipe at parallelism=1 → request count is exactly
+    ceil(n/500) and delivered bytes are the summed JSON+newline frame
+    lengths, both restated independently by the oracle from the raw events
+    table.  A hash match therefore proves the source, the dedup, and the
+    sink agree byte-for-byte end to end.
+
+    Eager like ``kinesis_roundtrip_counts`` (the read needs the spool
+    populated) and uses the same deterministic per-sf_dir tmp root."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from fs2_kinesis_firehose_spark.operators.dedup import exact_dedup
+    from fs2_kinesis_firehose_spark.sources import register_kinesis_spool_source
+
+    root = (
+        Path(tempfile.gettempdir())
+        / "fs2spark-spools"
+        / f"pipeline-{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    if root.exists():
+        shutil.rmtree(root)
+    ingest_spool, deliver_spool = str(root / "ingest"), str(root / "deliver")
+
+    events = load_table(spark, sf_dir, "events")
+    framed = serialize_and_frame(events.select("event_id", "event_type"), "json", b"\n")
+    produce_acks(
+        framed,
+        ProducerSettings(stream_name="ingest", parallelism=8),
+        fake_client_factory(spool_dir=ingest_spool),
+    ).count()
+
+    register_kinesis_spool_source(spark)
+
+    def attempt(n: int) -> DataFrame:
+        return (
+            spark.read.format("kinesis_spool")
+            .option("spoolDir", ingest_spool)
+            .load()
+            .select(
+                F.concat_ws(":", F.lit(n), F.col("shard"), F.col("seq")).alias("row_key"),
+                F.col("value"),
+            )
+        )
+
+    replayed = attempt(1).unionByName(attempt(2))
+    deduped = exact_dedup(
+        replayed.withColumn("payload_str", F.col("value").cast("string")),
+        text_col="payload_str",
+        key_col="row_key",
+    )
+    acks = produce_acks(
+        deduped.select("value"),
+        ProducerSettings(stream_name="delivered", parallelism=1),
+        fake_client_factory(spool_dir=deliver_spool),
+    )
+    return acks.agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum("n_records").alias("n_records"),
+        F.sum("request_bytes").alias("delivered_bytes"),
+        F.sum("failed_records").alias("failed_records"),
+    )
