@@ -164,6 +164,19 @@ HEADLINE = [
     # round-6 addition: the rescored PQ path (ADC candidates + exact
     # re-rank — two TakeOrderedAndProject passes)
     "pq_rescored_topk",
+    # round-7 addition: the full IVFADC recipe (nprobe cell probe → in-cell
+    # ADC → exact rescore) — the billion-vector ANN query shape
+    "ivf_pq_rescored_topk",
+    # round-7 addition: end-to-end reference pipeline (spool source →
+    # exact dedup of an at-least-once replay → Firehose sink accounting)
+    "pipeline_dedup_delivery_accounting",
+    # round-7 addition: HLL register tables over four key sets (one
+    # codegen hash + one ≤4096-row aggregate per set)
+    "hll_distinct_estimates",
+    # round-7 additions: the TPC-H gap-fill (conditional-agg Q12; Q21's
+    # double correlated EXISTS as two co-partitioned keyed aggregates)
+    "tpch_q12_shipmode_priority",
+    "tpch_q21_suppliers_kept_waiting",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

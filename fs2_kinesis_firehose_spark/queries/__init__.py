@@ -66,80 +66,72 @@ WINDOW_EXEMPT: dict[str, str] = {
 }
 
 _WINDOW_PRIORITY: list[str] = [
-    # --- r6 window.  Rotation state: r5 swept 50/50 green; after it the
-    # registry's OLDEST driver evidence is r1/r2 for five scalar-function
-    # queries (map/date/math/string/json — missed by earlier rotations) and
-    # r3 for the 26 queries named in the README r5 rotation note (the
-    # r1/r2-green names map_functions/date_functions/math_functions/
-    # string_functions/events_json_extract were RETIRED in the round-3
-    # scalar-surface consolidation — they survive only in
-    # verified_green.json history, so the r3 set IS the oldest live
-    # evidence).  This window: (1) heads with the ELEVEN queries that have
-    # never earned a driver row (this round's new operators — multi-tick
-    # SCD2, DOULION triangle estimate, KLL quantiles, Q18+Bloom, Count-Min
-    # point frequencies, prefix-filter exact similarity join, k-core
-    # peeling, cohort retention, personalized PageRank, product-quantized ANN + its exact-rescore path); (2)
-    # re-verifies the FIVE whose implementation changed this round
-    # (rrf_fuse lazy guard, bloom word-fold, scd2_apply rewrite, pca
-    # centered stats, heavy_hitters checkpoint); (3) rotates in ALL 26
-    # r3-evidence queries — after this round every registered query's
-    # newest green row is r4+; (4) fills the remaining slots with
-    # r4-evidence flagships (heavy Tier-C scale paths).
+    # --- r7 window.  Rotation state: r6 swept 50/50 green; after it the
+    # registry's OLDEST live evidence is r4 (39 queries — the r6 verdict's
+    # top ask is rotating them through so everything lands r5+).  This
+    # window: (1) heads with the FIVE queries that have never earned a
+    # driver row (r6's late IVF+PQ composition plus this round's new
+    # operators — end-to-end spool→dedup→Firehose pipeline, HLL distinct
+    # sketch, TPC-H Q12/Q21); (2) re-verifies scd2_version_accounting,
+    # whose apply path changed this round (single-tick codegen fast path);
+    # (3) rotates in ALL 39 r4-evidence queries; (4) fills the remaining
+    # five slots with the oldest-r5 flagships.  45 r5-evidence queries
+    # remain for the r8 rotation (40 after this round's tail fill).
     # ---------------------------------------------------------------
-    # (1) never driver-verified: this round's new queries
-    "scd2_multi_tick_accounting",
-    "approx_triangle_estimate",
-    "kll_doclen_quantiles",
-    "tpch_q18_bloom_prefilter",
-    "count_min_bigram_estimates",
-    "prefix_jaccard_pairs",
-    "part_copurchase_kcore",
-    "cohort_retention_matrix",
-    "ppr_seed_sources",
-    "pq_adc_topk",
-    "pq_rescored_topk",
+    # (1) never driver-verified
+    "ivf_pq_rescored_topk",
+    "pipeline_dedup_delivery_accounting",
+    "hll_distinct_estimates",
+    "tpch_q12_shipmode_priority",
+    "tpch_q21_suppliers_kept_waiting",
     # (2) implementation changed this round -> re-verify
-    "hybrid_rrf_topk",
-    "bloom_semijoin_revenue",
     "scd2_version_accounting",
-    "pca_embedding_variance",
-    "heavy_hitter_bigrams",
-    # (3) r3-evidence queries (the README r5 rotation-note list, complete)
-    "ann_recall_at_k",
-    "customer_order_left_join",
-    "doc_chunk_stats",
-    "dsir_importance_weights",
-    "event_type_pivot",
-    "events_props_functions",
-    "firehose_delivery_accounting",
-    "hourly_daily_event_rollup",
-    "interval_join_incident_counts",
-    "lm_perplexity_scores",
-    "multimodal_png_roundtrip_stats",
-    "nation_balance_unpivot",
-    "normalized_dedup_stats",
-    "repeated_chunk_stats",
-    "salted_join_priority_revenue",
-    "scalar_string_date_math",
-    "semantic_dedup_survivors",
-    "simhash_neardup_pairs",
-    "span_dedup_stats",
-    "streaming_dedup_counts",
-    "streaming_session_counts",
-    "streaming_sliding_stats",
-    "streaming_stateful_user_stats",
-    "streaming_static_join_revenue",
-    "streaming_stream_stream_join",
-    "user_session_stats",
-    # (4) r4-evidence flagships: heavy Tier-C scale paths
-    "near_dedup_clusters_distributed",
-    "minhash_lsh_pairs",
-    "curation_funnel_counts",
-    "streaming_incremental_neardup",
-    "kinesis_roundtrip_counts",
-    "exactly_once_replay_counts",
-    "pricing_summary",
-    "cosine_topk_bruteforce",
+    # (3) r4-evidence queries (complete set; newest green row is r4)
+    "ann_lsh_topk",
+    "applyinpandas_zscore",
+    "approx_distinct_users",
+    "asof_join_latest_order",
+    "benchmark_contamination",
+    "bpe_learned_token_counts",
+    "customer_order_window_stats",
+    "dedup_exact",
+    "distinct_segments",
+    "doc_fingerprints",
+    "doc_length_histogram",
+    "embedding_neardup_blocked",
+    "embedding_neardup_pairs",
+    "global_top10_orders",
+    "gopher_quality_flags",
+    "gopher_repetition_flags",
+    "grouping_sets_order_stats",
+    "ivf_topk",
+    "lang_id_counts",
+    "multimodal_frame_sample_stats",
+    "multimodal_image_features",
+    "near_dedup_cluster_sizes",
+    "near_dedup_survivors",
+    "ngram_jaccard_filtered",
+    "ngram_jaccard_pairs",
+    "order_price_percentiles",
+    "packed_sequence_stats",
+    "pandas_udaf_geomean",
+    "pii_redaction_stats",
+    "quality_scores",
+    "returnflag_cube",
+    "revenue_by_nation",
+    "source_mixture_counts",
+    "stratified_sample_docs",
+    "temperature_mixing_counts",
+    "token_stats",
+    "train_val_test_counts",
+    "udtf_bigram_counts",
+    "zorder_pruning_stats",
+    # (4) oldest-r5 flagships (tail fill; the remaining r5 set rotates in r8)
+    "tpch_q3_shipping_priority",
+    "bm25_topk",
+    "pagerank_top_sources",
+    "part_copurchase_triangles",
+    "snapshot_upsert_accounting",
 ]
 
 
