@@ -253,3 +253,35 @@ def test_q18_bloom_prefilter_drops_fact_rows_scan_side(spark, sf_smoke):
                 hit = True
     assert hit, plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q12_pushes_shipdate_single_fact_shuffle(spark, sf_smoke):
+    df = q.QUERIES["tpch_q12_shipmode_priority"](spark, sf_smoke)
+    plan = assert_plan_contains(df, "PushedFilters")
+    # the 1996 shipdate bracket must reach the lineitem scan
+    lineitem_scan = plan[plan.find("lineitem.parquet") :][:900]
+    assert "l_shipdate" in lineitem_scan, plan
+    assert_plan_lacks(df, "CartesianProduct")
+
+
+def test_tpch_q21_takeordered_no_cartesian(spark, sf_smoke):
+    df = q.QUERIES["tpch_q21_suppliers_kept_waiting"](spark, sf_smoke)
+    # top-100 via TakeOrdered, never a global Sort+Limit
+    plan = assert_plan_contains(df, "TakeOrderedAndProject", "BroadcastHashJoin")
+    assert_plan_lacks(df, "CartesianProduct")
+    # the o_orderstatus='F' filter must reach the orders scan
+    orders_scan = plan[plan.find("orders.parquet") :][:900]
+    assert "o_orderstatus" in orders_scan, plan
+
+
+def test_hll_partial_aggregation_and_pruned_scan(spark, sf_smoke):
+    from fs2_kinesis_firehose_spark.operators.hll import hll_table
+    from fs2_kinesis_firehose_spark.tables import load_table
+
+    df = hll_table(load_table(spark, sf_smoke, "orders"), "o_custkey")
+    plan = explain_str(df)
+    # map-side partial max + final max: register partials shuffle, not rows
+    assert plan.count("HashAggregate") >= 2, plan
+    # column pruning: the register build must only read o_custkey
+    scan_section = plan[plan.find("orders.parquet") :][:800]
+    assert "o_totalprice" not in scan_section, plan
