@@ -685,6 +685,67 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    max_df_fraction: float | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set MAX-CONTAINMENT ≥ threshold, exactly:
+    ``C(A,B) = |A∩B| / min(|A|, |B|)`` — the Broder containment measure.
+
+    Containment is the dedup predicate Jaccard systematically misses: a
+    short document fully quoted inside a long one has C = 1.0 but Jaccard
+    ≈ |short|/|long| → 0, so threshold-Jaccard dedup keeps both copies
+    (the CCNet / BigCode pipelines run a containment pass for exactly this
+    quote-inclusion case).  Same inverted-index plan as
+    ``ngram_jaccard_pairs`` — explode distinct shingles, shingle-keyed
+    self-join so only co-occurring pairs materialize, one pair-keyed count
+    — only the final ratio differs, and the same ``max_df_fraction``
+    stop-shingle mitigation bounds the k² skew of ultra-common shingles.
+    At 100 TB this runs AFTER MinHash-LSH banding (exact verify of banded
+    candidates), not as the global all-pairs discovery pass.
+    """
+    shingled = T.word_ngram_rows(df, text_col, key_col, shingle_n, distinct=True)
+    if max_df_fraction is not None:
+        limit = max_df_fraction * df.count()
+        stop = (
+            shingled.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > limit)
+            .select("shingle")
+        )
+        shingled = shingled.join(F.broadcast(stop), "shingle", "left_anti")
+    sizes = shingled.groupBy(key_col).agg(F.count(F.lit(1)).alias("sz"))
+    l, r = shingled.alias("l"), shingled.alias("r")
+    common = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{key_col}").alias("key1"), F.col(f"r.{key_col}").alias("key2")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col(key_col).alias("key1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col(key_col).alias("key2"), F.col("sz").alias("sz2"))
+    # unrounded filter, rounded output — same rationale as the Jaccard join
+    c_raw = F.col("common").cast("double") / F.least(
+        F.col("sz1"), F.col("sz2")
+    ).cast("double")
+    return (
+        common.join(s1, "key1")
+        .join(s2, "key2")
+        .filter(c_raw >= threshold)
+        .select("key1", "key2", F.round(c_raw, 6).alias("containment"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------

@@ -84,6 +84,7 @@ _WINDOW_PRIORITY: list[str] = [
     "hll_distinct_estimates",
     "tpch_q12_shipmode_priority",
     "tpch_q21_suppliers_kept_waiting",
+    "ngram_containment_pairs",
     # (2) implementation changed this round -> re-verify
     "scd2_version_accounting",
     # (3) r4-evidence queries (complete set; newest green row is r4)
@@ -131,7 +132,6 @@ _WINDOW_PRIORITY: list[str] = [
     "bm25_topk",
     "pagerank_top_sources",
     "part_copurchase_triangles",
-    "snapshot_upsert_accounting",
 ]
 
 

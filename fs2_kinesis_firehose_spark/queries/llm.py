@@ -74,6 +74,35 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    toks AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    common AS (
+        SELECT a.doc_id AS key1, b.doc_id AS key2, COUNT(*) AS common
+        FROM toks a JOIN toks b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT key1, key2,
+           ROUND(common * 1.0 / LEAST(s1.sz, s2.sz), 6) AS containment
+    FROM common c
+    JOIN sizes s1 ON c.key1 = s1.doc_id
+    JOIN sizes s2 ON c.key2 = s2.doc_id
+    WHERE common * 1.0 / LEAST(s1.sz, s2.sz) >= 0.9
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram max-containment pairs (operators/dedup.py:
+    ngram_containment_pairs) — the quote-inclusion dedup predicate Jaccard
+    misses; same inverted-index plan, different ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.9
+    )
+
+
+@query(
     "prefix_jaccard_pairs",
     # IDENTICAL oracle to ngram_jaccard_pairs: prefix filtering is a
     # candidate-generation change with an exactness proof (the smallest

@@ -303,3 +303,59 @@ def test_prefix_filter_validation(spark):
     df = _docs_with_dupes(spark)
     with pytest.raises(ValueError):
         D.prefix_filter_jaccard_pairs(df, threshold=0.0)
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment 1.0, Jaccard
+    far below any dedup threshold — the differentiating case."""
+    from fs2_kinesis_firehose_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"word{i} next{i} more{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " " + filler)],
+        "doc_id long, text string",
+    )
+    cont = ngram_containment_pairs(docs, "text", "doc_id", threshold=0.9).collect()
+    assert [(r.key1, r.key2) for r in cont] == [(1, 2)]
+    assert cont[0].containment == 1.0
+    jac = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    assert jac == []
+
+
+def test_containment_equals_jaccard_on_identical_docs(spark):
+    from fs2_kinesis_firehose_spark.operators.dedup import ngram_containment_pairs
+
+    t = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t), (3, "unrelated text entirely different")],
+        "doc_id long, text string",
+    )
+    out = ngram_containment_pairs(docs, "text", "doc_id", threshold=0.99).collect()
+    assert [(r.key1, r.key2, r.containment) for r in out] == [(1, 2, 1.0)]
+
+
+def test_containment_stop_shingle_filter(spark):
+    from fs2_kinesis_firehose_spark.operators.dedup import ngram_containment_pairs
+
+    # a shingle present in EVERY doc is dropped under max_df_fraction=0.5,
+    # removing the only overlap between docs 1 and 2
+    common = "the quick brown"
+    docs = spark.createDataFrame(
+        [
+            (1, common + " fox jumps high"),
+            (2, common + " cat sleeps late"),
+            (3, common + " dog runs far"),
+        ],
+        "doc_id long, text string",
+    )
+    with_stop = ngram_containment_pairs(
+        docs, "text", "doc_id", threshold=0.2
+    ).count()
+    without = ngram_containment_pairs(
+        docs, "text", "doc_id", threshold=0.2, max_df_fraction=0.5
+    ).count()
+    assert with_stop > 0 and without == 0
