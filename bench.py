@@ -177,6 +177,12 @@ HEADLINE = [
     # double correlated EXISTS as two co-partitioned keyed aggregates)
     "tpch_q12_shipmode_priority",
     "tpch_q21_suppliers_kept_waiting",
+    # round-7 addition: exact containment join (quote-inclusion dedup;
+    # same inverted-index plan family as ngram_jaccard_pairs)
+    "ngram_containment_pairs",
+    # round-7 addition: 1-bit sign-code ANN (Hamming pre-rank via packed
+    # xor+bit_count, candidate-confined exact rescore)
+    "binary_quant_rescored_topk",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

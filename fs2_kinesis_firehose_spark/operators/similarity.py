@@ -334,3 +334,105 @@ def ivf_assign_blas(
             yield pdf[fields + ["ivf_cell"]]
 
     return df.mapInPandas(assign, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign) quantization: 1 bit/dim Hamming pre-rank + exact rescore
+# ---------------------------------------------------------------------------
+def sign_quantize(
+    df: DataFrame,
+    dim: int,
+    *,
+    vec_col: str = "embedding",
+    bits_col: str = "bits",
+) -> DataFrame:
+    """Append ``bits_col``: the sign pattern of ``vec_col`` packed into
+    ``ceil(dim/64)`` longs (bit ``i`` of word ``j`` set iff
+    ``vec[64j+i] > 0``) — 1 bit per dimension, a 32× compression of float32.
+
+    The packing is a FLAT shiftleft/IF chain per word (not an ``aggregate``
+    HOF — Spark never codegens higher-order functions, see
+    ``functions/vectors.py:dot``), so quantization stays inside whole-stage
+    codegen.  Deterministic, data-independent (no training pass — the
+    difference from PQ), and the packed words support Hamming distance via
+    ``bit_count(xor)``."""
+    words = []
+    for j in range((dim + 63) // 64):
+        word = F.lit(0).cast("long")
+        for i in range(min(64, dim - 64 * j)):
+            bit = (F.element_at(F.col(vec_col), 64 * j + i + 1) > 0).cast("long")
+            word = word + F.shiftleft(bit, i)
+        words.append(word)
+    return df.withColumn(bits_col, F.array(*words))
+
+
+def query_sign_bits(query_vec: list[float]) -> list[int]:
+    """Driver-side packing of a query vector — same bit layout as
+    ``sign_quantize``, baked into the plan as literals."""
+    out = []
+    for j in range((len(query_vec) + 63) // 64):
+        word = 0
+        for i in range(min(64, len(query_vec) - 64 * j)):
+            if float(query_vec[64 * j + i]) > 0:
+                word |= 1 << i
+        # two's complement: bit 63 makes the JVM long negative (the plan-side
+        # sum of shiftleft terms wraps identically), and F.lit rejects 2^63
+        out.append(word - (1 << 64) if word >= 1 << 63 else word)
+    return out
+
+
+def hamming_to_query(bits_col: str, query_bits: list[int]) -> Column:
+    """Hamming distance between the packed sign pattern and a query's —
+    ``Σ_j bit_count(bits[j] XOR q[j])``, a flat codegen chain (the number
+    of sign-differing dimensions; monotone in angular distance)."""
+    acc = None
+    for j, qw in enumerate(query_bits):
+        term = F.bit_count(
+            F.element_at(F.col(bits_col), j + 1).bitwiseXOR(F.lit(qw).cast("long"))
+        )
+        acc = term if acc is None else acc + term
+    return acc.cast("int")
+
+
+def binary_quant_rescored_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    candidates: int = 50,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """The binary-quantization ANN recipe: Hamming pre-rank on 1-bit sign
+    codes selects ``candidates`` rows, then ONLY those rows' float vectors
+    are re-ranked by exact cosine — two TakeOrderedAndProject passes, the
+    same candidate-confined-rescore shape as ``pq.pq_rescored_topk`` but
+    with a training-free, data-independent code (the trade: PQ's learned
+    codebooks adapt to the distribution; sign codes cost nothing to build
+    and re-quantize nothing on data drift).
+
+    Both rank stages break ties on ``key_col`` and the rescore orders by
+    the ROUNDED score, so the result is deterministic and cross-engine
+    hashable.  At scale the Hamming stage reads only the packed codes
+    (dim/8 bytes/row); candidate vectors come back via a semi-join."""
+    dim = len(query_vec)
+    qbits = query_sign_bits(query_vec)
+    cand = (
+        sign_quantize(df, dim, vec_col=vec_col)
+        .select(key_col, hamming_to_query("bits", qbits).alias("hamming"))
+        .orderBy("hamming", key_col)
+        .limit(candidates)
+        .select(key_col)
+    )
+    q = V.literal_vector(query_vec)
+    acc = 0.0
+    for x in query_vec:
+        acc += float(x) * float(x)
+    q_norm = F.lit(acc**0.5)
+    cos = V.dot(F.col(vec_col), q, dim) / (V.norm(F.col(vec_col), dim) * q_norm)
+    return (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .select(F.col(key_col), F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(key_col).asc())
+        .limit(k)
+    )

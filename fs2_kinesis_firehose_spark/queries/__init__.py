@@ -85,6 +85,7 @@ _WINDOW_PRIORITY: list[str] = [
     "tpch_q12_shipmode_priority",
     "tpch_q21_suppliers_kept_waiting",
     "ngram_containment_pairs",
+    "binary_quant_rescored_topk",
     # (2) implementation changed this round -> re-verify
     "scd2_version_accounting",
     # (3) r4-evidence queries (complete set; newest green row is r4)
@@ -131,7 +132,6 @@ _WINDOW_PRIORITY: list[str] = [
     "tpch_q3_shipping_priority",
     "bm25_topk",
     "pagerank_top_sources",
-    "part_copurchase_triangles",
 ]
 
 

@@ -468,6 +468,46 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "binary_quant_rescored_topk",
+    oracle="""
+    WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM pts WHERE vec_id = 0),
+    ham AS (
+        SELECT p.vec_id,
+               list_sum(list_transform(range(1, 65),
+                   i -> CASE WHEN (p.v[i] > 0) <> (q.qv[i] > 0)
+                        THEN 1 ELSE 0 END)) AS hamming
+        FROM pts p, q
+    ),
+    cand AS (SELECT vec_id FROM ham ORDER BY hamming, vec_id LIMIT 50)
+    SELECT vec_id, cos_sim
+    FROM (
+        SELECT p.vec_id,
+               ROUND(list_inner_product(p.v, q.qv)
+                     / (SQRT(list_inner_product(p.v, p.v))
+                        * SQRT(list_inner_product(q.qv, q.qv))), 6) AS cos_sim
+        FROM cand c JOIN pts p USING (vec_id), q
+    )
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def binary_quant_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (operators/similarity.py:
+    binary_quant_rescored_topk): 1-bit sign codes → Hamming pre-rank of 50
+    candidates → exact cosine rescore.  The oracle restates Hamming as the
+    count of sign-differing dimensions (≡ bit_count of the packed XOR) and
+    replays the identical rescore, so the whole two-stage path value-hashes.
+    The training-free companion to the PQ/IVFADC query family."""
+    return S.binary_quant_rescored_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _query_vector(spark, sf_dir),
+        k=10,
+        candidates=50,
+    )
+
+
 # The LSH hyperplanes are seeded driver-side constants, so the oracle can
 # embed the IDENTICAL literals and recompute buckets in SQL; the multi-probe
 # set is "xor(bucket, query_bucket) has ≤2 bits", i.e. membership of the xor

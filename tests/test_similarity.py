@@ -89,3 +89,63 @@ def test_approx_count_distinct_within_tolerance(spark, sf_smoke):
     for et, n in exact.items():
         assert got[et].n_users_exact == n
         assert got[et].hll_within_5pct
+
+
+def test_sign_quantize_packs_expected_bits(spark):
+    from fs2_kinesis_firehose_spark.operators.similarity import (
+        query_sign_bits,
+        sign_quantize,
+    )
+
+    vec = [1.0, -1.0, 0.0, 2.5] + [-0.1] * 60  # only dims 0 and 3 positive
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    bits = sign_quantize(df, 64).collect()[0]["bits"]
+    assert bits == [0b1001]
+    # driver-side packing must agree with the plan-side packing
+    assert query_sign_bits(vec) == [0b1001]
+
+
+def test_sign_quantize_multiword(spark):
+    from fs2_kinesis_firehose_spark.operators.similarity import (
+        query_sign_bits,
+        sign_quantize,
+    )
+
+    vec = [0.0] * 130
+    vec[0] = vec[64] = vec[129] = 1.0
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    bits = sign_quantize(df, 130).collect()[0]["bits"]
+    assert bits == query_sign_bits(vec) == [1, 1, 2]
+
+
+def test_hamming_counts_sign_disagreements(spark):
+    from fs2_kinesis_firehose_spark.operators.similarity import (
+        hamming_to_query,
+        query_sign_bits,
+        sign_quantize,
+    )
+
+    a = [1.0] * 8 + [-1.0] * 56
+    b = [1.0] * 5 + [-1.0] * 59  # dims 5,6,7 differ
+    df = sign_quantize(
+        spark.createDataFrame([(1, a)], "vec_id long, embedding array<float>"), 64
+    )
+    out = df.select(hamming_to_query("bits", query_sign_bits(b)).alias("h")).collect()
+    assert out[0].h == 3
+
+
+def test_binary_rescore_recall_vs_bruteforce(spark, sf_smoke):
+    from fs2_kinesis_firehose_spark.operators.similarity import (
+        binary_quant_rescored_topk,
+        brute_force_topk,
+    )
+    from fs2_kinesis_firehose_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qv = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    exact = {r.vec_id for r in brute_force_topk(emb, qv, k=10).collect()}
+    got = {r.vec_id for r in binary_quant_rescored_topk(emb, qv, k=10, candidates=50).collect()}
+    # sign codes at 64 dims: expect most of the true top-10 in a 50-candidate pool
+    assert len(exact & got) >= 6
+    # the query vector itself (hamming 0, cosine 1.0) must always survive
+    assert 0 in got
