@@ -86,6 +86,7 @@ _WINDOW_PRIORITY: list[str] = [
     "tpch_q21_suppliers_kept_waiting",
     "ngram_containment_pairs",
     "binary_quant_rescored_topk",
+    "hll_overlap_estimates",
     # (2) implementation changed this round -> re-verify
     "scd2_version_accounting",
     # (3) r4-evidence queries (complete set; newest green row is r4)
@@ -131,7 +132,6 @@ _WINDOW_PRIORITY: list[str] = [
     # (4) oldest-r5 flagships (tail fill; the remaining r5 set rotates in r8)
     "tpch_q3_shipping_priority",
     "bm25_topk",
-    "pagerank_top_sources",
 ]
 
 
