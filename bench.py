@@ -183,6 +183,9 @@ HEADLINE = [
     # round-7 addition: 1-bit sign-code ANN (Hamming pre-rank via packed
     # xor+bit_count, candidate-confined exact rescore)
     "binary_quant_rescored_topk",
+    # round-7 addition: sketch-only corpus overlap (two register builds +
+    # merge + inclusion-exclusion; the corpora scan once each)
+    "hll_overlap_estimates",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -144,6 +144,11 @@ def pipeline_dedup_delivery_accounting(spark: SparkSession, sf_dir: str) -> Data
     )
     if root.exists():
         shutil.rmtree(root)
+    # mkdir explicitly: the fake client creates its spool dir only in
+    # __init__, and executors CACHE the client across query invocations —
+    # after a wipe, a cached client would append into a missing directory
+    (root / "ingest").mkdir(parents=True)
+    (root / "deliver").mkdir(parents=True)
     ingest_spool, deliver_spool = str(root / "ingest"), str(root / "deliver")
 
     events = load_table(spark, sf_dir, "events")
