@@ -186,6 +186,10 @@ HEADLINE = [
     # round-7 addition: sketch-only corpus overlap (two register builds +
     # merge + inclusion-exclusion; the corpora scan once each)
     "hll_overlap_estimates",
+    # round-7 addition: quality-classifier training (hashed-feature build +
+    # 12 full-batch quantized-gradient GD iterations + scoring; the entire
+    # deterministic training loop is the measured cost)
+    "quality_classifier_accounting",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

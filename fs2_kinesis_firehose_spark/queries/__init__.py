@@ -69,10 +69,11 @@ _WINDOW_PRIORITY: list[str] = [
     # --- r7 window.  Rotation state: r6 swept 50/50 green; after it the
     # registry's OLDEST live evidence is r4 (39 queries — the r6 verdict's
     # top ask is rotating them through so everything lands r5+).  This
-    # window: (1) heads with the FIVE queries that have never earned a
+    # window: (1) heads with the NINE queries that have never earned a
     # driver row (r6's late IVF+PQ composition plus this round's new
-    # operators — end-to-end spool→dedup→Firehose pipeline, HLL distinct
-    # sketch, TPC-H Q12/Q21); (2) re-verifies scd2_version_accounting,
+    # operators — end-to-end spool→dedup→Firehose pipeline, HLL sketches,
+    # TPC-H Q12/Q21, containment join, sign-quant ANN, and the quantized-
+    # gradient quality-classifier trainer); (2) re-verifies scd2_version_accounting,
     # whose apply path changed this round (single-tick codegen fast path);
     # (3) rotates in ALL 39 r4-evidence queries; (4) fills the remaining
     # five slots with the oldest-r5 flagships.  45 r5-evidence queries
@@ -87,6 +88,7 @@ _WINDOW_PRIORITY: list[str] = [
     "ngram_containment_pairs",
     "binary_quant_rescored_topk",
     "hll_overlap_estimates",
+    "quality_classifier_accounting",
     # (2) implementation changed this round -> re-verify
     "scd2_version_accounting",
     # (3) r4-evidence queries (complete set; newest green row is r4)

@@ -1756,3 +1756,132 @@ def pca_embedding_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pythagoras_ok"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier training (operators/classifier.py)
+# ---------------------------------------------------------------------------
+_QC_DIM = 32
+_QC_ITERS = 12
+_QC_LR = 4.0
+_QC_SCALE = 4096.0  # 2^12 gradient quantization
+_QC_MIN_TOKENS = 40
+
+
+def _qc_oracle() -> str:
+    """DuckDB replay of the ENTIRE deterministic training loop: same hashed
+    features, same integer-quantized gradient per iteration (rounding step
+    2^-12 >> float ulp, so cross-engine exp/division noise cannot move the
+    integers), same fixed-order weight updates — then the same scoring
+    threshold.  Feasible ONLY because the trainer quantizes: a float-sum
+    gradient would differ in addition order and diverge by iteration 2.
+
+    Every CTE is MATERIALIZED: the w/g chain references each predecessor
+    twice, and DuckDB's default CTE inlining re-expands the whole ancestry
+    at each reference — runtime doubles per iteration (measured 2x/iter;
+    ~2 min at 12 iterations, 0.15 s materialized)."""
+    d1 = _QC_DIM + 1
+    xlist = ", ".join(
+        f"(COUNT(*) FILTER (bk = {j})) / 10.0" for j in range(_QC_DIM)
+    )
+    ctes = [
+        "tok AS MATERIALIZED (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents)",
+        f"""b AS MATERIALIZED (SELECT doc_id,
+             CAST(CONCAT('0x', SUBSTRING(md5(t || '|qc'), 1, 8)) AS BIGINT) % {_QC_DIM} AS bk
+           FROM tok)""",
+        f"""f AS MATERIALIZED (SELECT doc_id, [1.0, {xlist}] AS x,
+             CASE WHEN COUNT(*) >= {_QC_MIN_TOKENS} THEN 1 ELSE 0 END AS y
+           FROM b GROUP BY doc_id)""",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM f)",
+        f"w0 AS MATERIALIZED (SELECT [{', '.join(['0.0'] * d1)}] AS w)",
+    ]
+    for i in range(_QC_ITERS):
+        p = f"1.0 / (1.0 + EXP(-list_inner_product(w{i}.w, f.x)))"
+        sums = ", ".join(
+            f"CAST(SUM(ROUND(({p} - f.y) * f.x[{j + 1}] * {_QC_SCALE})) AS BIGINT)"
+            for j in range(d1)
+        )
+        ctes.append(f"g{i + 1} AS MATERIALIZED (SELECT [{sums}] AS g FROM f, w{i})")
+        ctes.append(
+            f"""w{i + 1} AS MATERIALIZED (SELECT list_transform(range(1, {d1 + 1}),
+                 j -> w{i}.w[j] - {_QC_LR} * g{i + 1}.g[j] / ({_QC_SCALE} * nn.n)) AS w
+               FROM w{i}, g{i + 1}, nn)"""
+        )
+    ctes.append(
+        f"""scored AS MATERIALIZED (SELECT f.y,
+             CASE WHEN 1.0 / (1.0 + EXP(-list_inner_product(w{_QC_ITERS}.w, f.x))) >= 0.5
+                  THEN 1 ELSE 0 END AS yh
+           FROM f, w{_QC_ITERS})"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT (SELECT n FROM nn) AS n_docs,
+           (SELECT CAST(SUM(y) AS BIGINT) FROM f) AS n_pos,
+           CAST(COUNT(*) FILTER (y = 1 AND yh = 1) AS BIGINT) AS tp,
+           CAST(COUNT(*) FILTER (y = 0 AND yh = 1) AS BIGINT) AS fp,
+           CAST(COUNT(*) FILTER (y = 0 AND yh = 0) AS BIGINT) AS tn,
+           CAST(COUNT(*) FILTER (y = 1 AND yh = 0) AS BIGINT) AS fn,
+           (COUNT(*) FILTER (y = yh)) * 1.0 / COUNT(*) >= 0.9 AS acc_ok,
+           (SELECT CAST(list_sum(list_transform(range(1, {d1 + 1}),
+                    j -> j * g[j])) AS BIGINT) FROM g1) AS g1_checksum
+    FROM scored
+    """
+
+
+@query("quality_classifier_accounting", oracle=_qc_oracle())
+def quality_classifier_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the quality classifier (operators/classifier.py) end-to-end —
+    hashed features, 12 deterministic quantized-gradient GD iterations,
+    σ≥0.5 scoring — and return the confusion matrix, an accuracy≥0.9
+    boolean, and the exact first-iteration gradient checksum.  The oracle
+    replays the identical training loop in SQL; a hash match certifies the
+    features, all 12 gradient integers vectors, the weight trajectory, and
+    the final decisions agree across engines.  EAGER by necessity: the
+    training loop runs at construction (the kmeans/PQ precedent)."""
+    from fs2_kinesis_firehose_spark.operators.classifier import (
+        hashed_features,
+        logreg_score,
+        logreg_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = hashed_features(
+        docs, "text", "doc_id", dim=_QC_DIM, label_min_tokens=_QC_MIN_TOKENS
+    ).localCheckpoint(eager=True)
+    n = feat.count()
+    s = _QC_SCALE
+    # first-iteration gradient checksum: recompute the w=0 gradient exactly
+    # (p = 0.5 exactly at w=0 — exp-free, so this integer is airtight)
+    g1 = feat.agg(
+        *[
+            F.sum(
+                F.round(
+                    (F.lit(0.5) - F.col("label").cast("double"))
+                    * F.element_at(F.col("x"), j + 1)
+                    * s
+                ).cast("long")
+            ).alias(f"g{j}")
+            for j in range(_QC_DIM + 1)
+        ]
+    ).collect()[0]
+    g1_checksum = sum((j + 1) * g1[f"g{j}"] for j in range(_QC_DIM + 1))
+
+    w = logreg_train(
+        feat, dim=_QC_DIM, iterations=_QC_ITERS, lr=_QC_LR, scale_bits=12
+    )
+    scored = logreg_score(feat, w)
+    yh = (F.col("prob") >= 0.5).cast("int")
+    y = F.col("label")
+    return scored.agg(
+        F.lit(n).cast("long").alias("n_docs"),
+        F.sum(y).cast("long").alias("n_pos"),
+        F.count_if((y == 1) & (yh == 1)).alias("tp"),
+        F.count_if((y == 0) & (yh == 1)).alias("fp"),
+        F.count_if((y == 0) & (yh == 0)).alias("tn"),
+        F.count_if((y == 1) & (yh == 0)).alias("fn"),
+        (
+            (F.count_if(y == yh).cast("double") / F.count(F.lit(1))) >= 0.9
+        ).alias("acc_ok"),
+        F.lit(g1_checksum).cast("long").alias("g1_checksum"),
+    )
