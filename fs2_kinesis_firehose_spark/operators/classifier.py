@@ -27,7 +27,7 @@ corpus pass, nothing driver-side but the weights.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fs2_kinesis_firehose_spark.functions import text as T
@@ -36,6 +36,7 @@ __all__ = [
     "hashed_features",
     "logreg_train",
     "logreg_score",
+    "classifier_eval",
     "feature_hash_bucket",
 ]
 
@@ -163,3 +164,103 @@ def logreg_score(
     baked in as literals (broadcast-free; the model IS the plan)."""
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot_w(F.col(x_col), weights)))
     return features.withColumn(prob_col, p)
+
+
+def classifier_eval(
+    features: DataFrame,
+    weights: list[float],
+    *,
+    label_col: str = "label",
+    x_col: str = "x",
+    score_scale_bits: int = 12,
+    prob_scale_bits: int = 24,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Threshold-free evaluation of a trained linear model: rank-sum
+    ROC-AUC (Mann–Whitney U with exact average-rank tie handling), a
+    quantized Brier score, and a quantized expected-calibration-error —
+    one row: ``(n_pos, n_neg, rank_sum_x2, auc, auc_ok, brier_scaled,
+    ece_scaled)``.
+
+    Determinism recipe (same as the trainer): every float that enters an
+    unordered SUM is first rounded to a scaled integer.  Ranking happens on
+    ``qs = round(margin · 2^score_scale_bits)`` — the rounding grid is
+    orders of magnitude above cross-engine exp/fma ulps, so ties and ranks
+    are identical everywhere; ``rank_sum_x2 = Σ_pos 2·avgrank`` is then an
+    exact integer, and AUC = (rank_sum_x2 − n_pos(n_pos+1)) / (2·n_pos·
+    n_neg) is ONE division of exactly-represented integers → bit-identical
+    across engines.  Brier sums ``round((p−y)²·2^prob_scale_bits)``; ECE
+    sums per-bin ``|Σ round(p·2^s) − pos_b·2^s|`` over ``n_bins`` equal
+    probability bins.
+
+    Scale shape: scoring + both quantized sums are distributed aggregates
+    over the corpus; the ONLY single-partition step is the rank cumsum,
+    which runs over the SCORE HISTOGRAM (one row per distinct quantized
+    score — bounded by the margin range × 2^score_scale_bits, independent
+    of corpus size), never over rows.
+    """
+    m = _dot_w(F.col(x_col), weights)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    s_q = float(1 << score_scale_bits)
+    s_p = 1 << prob_scale_bits
+    scored = features.select(
+        F.round(m * s_q).cast("long").alias("_qs"),
+        p.alias("_p"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    hist = scored.groupBy("_qs").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_npos")
+    )
+    cum_w = Window.orderBy("_qs").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = hist.withColumn("_cum", F.sum("_n").over(cum_w))
+    # avg rank of a tie group = c + (n+1)/2 where c = rows strictly below;
+    # 2·avgrank = 2(cum−n) + n + 1 keeps everything integer
+    rank_stats = ranked.agg(
+        F.sum(
+            F.col("_npos")
+            * (F.lit(2) * (F.col("_cum") - F.col("_n")) + F.col("_n") + F.lit(1))
+        )
+        .cast("long")
+        .alias("rank_sum_x2"),
+        F.sum("_npos").cast("long").alias("n_pos"),
+        F.sum(F.col("_n") - F.col("_npos")).cast("long").alias("n_neg"),
+    )
+    point = scored.agg(
+        F.sum(
+            F.round(
+                (F.col("_p") - F.col("_y")) * (F.col("_p") - F.col("_y")) * s_p
+            ).cast("long")
+        ).alias("brier_scaled")
+    )
+    bins = scored.groupBy(
+        F.least(F.floor(F.col("_p") * n_bins).cast("int"), F.lit(n_bins - 1)).alias(
+            "_b"
+        )
+    ).agg(
+        F.sum(F.round(F.col("_p") * s_p).cast("long")).alias("_sp"),
+        F.sum("_y").alias("_pos"),
+    )
+    ece = bins.agg(
+        F.sum(F.abs(F.col("_sp") - F.col("_pos") * F.lit(s_p)))
+        .cast("long")
+        .alias("ece_scaled")
+    )
+    auc = (
+        F.col("rank_sum_x2").cast("double")
+        - F.col("n_pos") * (F.col("n_pos") + F.lit(1.0))
+    ) / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+    return (
+        rank_stats.crossJoin(point)
+        .crossJoin(ece)
+        .select(
+            "n_pos",
+            "n_neg",
+            "rank_sum_x2",
+            auc.alias("auc"),
+            (auc >= F.lit(0.9)).alias("auc_ok"),
+            "brier_scaled",
+            "ece_scaled",
+        )
+    )

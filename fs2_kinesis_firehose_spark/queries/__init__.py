@@ -69,15 +69,15 @@ _WINDOW_PRIORITY: list[str] = [
     # --- r7 window.  Rotation state: r6 swept 50/50 green; after it the
     # registry's OLDEST live evidence is r4 (39 queries — the r6 verdict's
     # top ask is rotating them through so everything lands r5+).  This
-    # window: (1) heads with the NINE queries that have never earned a
+    # window: (1) heads with the TEN queries that have never earned a
     # driver row (r6's late IVF+PQ composition plus this round's new
     # operators — end-to-end spool→dedup→Firehose pipeline, HLL sketches,
     # TPC-H Q12/Q21, containment join, sign-quant ANN, and the quantized-
-    # gradient quality-classifier trainer); (2) re-verifies scd2_version_accounting,
-    # whose apply path changed this round (single-tick codegen fast path);
-    # (3) rotates in ALL 39 r4-evidence queries; (4) fills the remaining
-    # five slots with the oldest-r5 flagships.  45 r5-evidence queries
-    # remain for the r8 rotation (40 after this round's tail fill).
+    # gradient quality-classifier trainer + its rank-sum AUC/calibration
+    # eval); (2) re-verifies scd2_version_accounting, whose apply path
+    # changed this round (single-tick codegen fast path); (3) rotates in
+    # ALL 39 r4-evidence queries — 10 + 1 + 39 fills the window exactly.
+    # The full r5-evidence set rotates in r8.
     # ---------------------------------------------------------------
     # (1) never driver-verified
     "ivf_pq_rescored_topk",
@@ -89,6 +89,7 @@ _WINDOW_PRIORITY: list[str] = [
     "binary_quant_rescored_topk",
     "hll_overlap_estimates",
     "quality_classifier_accounting",
+    "classifier_auc_calibration",
     # (2) implementation changed this round -> re-verify
     "scd2_version_accounting",
     # (3) r4-evidence queries (complete set; newest green row is r4)
@@ -131,9 +132,8 @@ _WINDOW_PRIORITY: list[str] = [
     "train_val_test_counts",
     "udtf_bigram_counts",
     "zorder_pruning_stats",
-    # (4) oldest-r5 flagships (tail fill; the remaining r5 set rotates in r8)
-    "tpch_q3_shipping_priority",
-    "bm25_topk",
+    # (4) no tail fill this round: ten never-verified + scd2 + 39 r4
+    # rotations fill the window exactly; the full r5 set rotates in r8
 ]
 
 

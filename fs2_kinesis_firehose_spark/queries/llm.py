@@ -1768,18 +1768,11 @@ _QC_SCALE = 4096.0  # 2^12 gradient quantization
 _QC_MIN_TOKENS = 40
 
 
-def _qc_oracle() -> str:
-    """DuckDB replay of the ENTIRE deterministic training loop: same hashed
-    features, same integer-quantized gradient per iteration (rounding step
-    2^-12 >> float ulp, so cross-engine exp/division noise cannot move the
-    integers), same fixed-order weight updates — then the same scoring
-    threshold.  Feasible ONLY because the trainer quantizes: a float-sum
-    gradient would differ in addition order and diverge by iteration 2.
-
-    Every CTE is MATERIALIZED: the w/g chain references each predecessor
-    twice, and DuckDB's default CTE inlining re-expands the whole ancestry
-    at each reference — runtime doubles per iteration (measured 2x/iter;
-    ~2 min at 12 iterations, 0.15 s materialized)."""
+def _qc_train_ctes(iterations: int) -> list[str]:
+    """The shared DuckDB training-replay CTE chain: hashed features ``f``
+    (with teacher label ``y``), corpus count ``nn``, and the weight
+    trajectory ``w0..w{iterations}`` via integer-quantized gradients
+    ``g1..g{iterations}`` — each MATERIALIZED (see _qc_oracle docstring)."""
     d1 = _QC_DIM + 1
     xlist = ", ".join(
         f"(COUNT(*) FILTER (bk = {j})) / 10.0" for j in range(_QC_DIM)
@@ -1795,7 +1788,7 @@ def _qc_oracle() -> str:
         "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM f)",
         f"w0 AS MATERIALIZED (SELECT [{', '.join(['0.0'] * d1)}] AS w)",
     ]
-    for i in range(_QC_ITERS):
+    for i in range(iterations):
         p = f"1.0 / (1.0 + EXP(-list_inner_product(w{i}.w, f.x)))"
         sums = ", ".join(
             f"CAST(SUM(ROUND(({p} - f.y) * f.x[{j + 1}] * {_QC_SCALE})) AS BIGINT)"
@@ -1807,6 +1800,23 @@ def _qc_oracle() -> str:
                  j -> w{i}.w[j] - {_QC_LR} * g{i + 1}.g[j] / ({_QC_SCALE} * nn.n)) AS w
                FROM w{i}, g{i + 1}, nn)"""
         )
+    return ctes
+
+
+def _qc_oracle() -> str:
+    """DuckDB replay of the ENTIRE deterministic training loop: same hashed
+    features, same integer-quantized gradient per iteration (rounding step
+    2^-12 >> float ulp, so cross-engine exp/division noise cannot move the
+    integers), same fixed-order weight updates — then the same scoring
+    threshold.  Feasible ONLY because the trainer quantizes: a float-sum
+    gradient would differ in addition order and diverge by iteration 2.
+
+    Every CTE is MATERIALIZED: the w/g chain references each predecessor
+    twice, and DuckDB's default CTE inlining re-expands the whole ancestry
+    at each reference — runtime doubles per iteration (measured 2x/iter;
+    ~2 min at 12 iterations, 0.15 s materialized)."""
+    d1 = _QC_DIM + 1
+    ctes = _qc_train_ctes(_QC_ITERS)
     ctes.append(
         f"""scored AS MATERIALIZED (SELECT f.y,
              CASE WHEN 1.0 / (1.0 + EXP(-list_inner_product(w{_QC_ITERS}.w, f.x))) >= 0.5
@@ -1885,3 +1895,78 @@ def quality_classifier_accounting(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("acc_ok"),
         F.lit(g1_checksum).cast("long").alias("g1_checksum"),
     )
+
+
+_QC_EVAL_ITERS = 4  # eval exercises the METRICS; a lightly-trained model
+# (acc ~0.89, AUC well above 0.9) is plenty, at a third of the bench cost
+
+
+def _qc_eval_oracle() -> str:
+    """Threshold-free model evaluation replayed in SQL: re-trains the same
+    4-iteration weight trajectory (shared CTE chain), then restates the
+    rank-sum AUC over the quantized-score histogram, the quantized Brier
+    sum, and the per-bin quantized ECE — every value the driver hashes is
+    either an exact integer or ONE division of exactly-represented
+    integers (see operators/classifier.py:classifier_eval)."""
+    k = _QC_EVAL_ITERS
+    sp = 1 << 24
+    ctes = _qc_train_ctes(k)
+    ctes += [
+        f"""qsc AS MATERIALIZED (SELECT
+             CAST(ROUND(list_inner_product(w{k}.w, f.x) * {_QC_SCALE}) AS BIGINT) AS qs,
+             1.0 / (1.0 + EXP(-list_inner_product(w{k}.w, f.x))) AS p,
+             f.y AS y
+           FROM f, w{k})""",
+        "hist AS MATERIALIZED (SELECT qs, COUNT(*) AS n_i, SUM(y) AS p_i FROM qsc GROUP BY qs)",
+        """ranked AS MATERIALIZED (SELECT p_i, n_i,
+             SUM(n_i) OVER (ORDER BY qs ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM hist)""",
+        """rs AS MATERIALIZED (SELECT
+             CAST(SUM(p_i * (2 * (cum - n_i) + n_i + 1)) AS BIGINT) AS r2,
+             CAST(SUM(p_i) AS BIGINT) AS np,
+             CAST(SUM(n_i - p_i) AS BIGINT) AS nneg
+           FROM ranked)""",
+        f"""pt AS MATERIALIZED (SELECT
+             CAST(SUM(ROUND((p - y) * (p - y) * {sp})) AS BIGINT) AS brier
+           FROM qsc)""",
+        f"""bb AS MATERIALIZED (SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS b,
+             CAST(SUM(ROUND(p * {sp})) AS BIGINT) AS sp_b,
+             CAST(SUM(y) AS BIGINT) AS pos_b
+           FROM qsc GROUP BY 1)""",
+        f"ec AS MATERIALIZED (SELECT CAST(SUM(ABS(sp_b - pos_b * {sp})) AS BIGINT) AS ece FROM bb)",
+    ]
+    joined = ",\n    ".join(ctes)
+    auc = "(CAST(r2 AS DOUBLE) - np * (np + 1.0)) / (2.0 * np * nneg)"
+    return f"""
+    WITH {joined}
+    SELECT np AS n_pos, nneg AS n_neg, r2 AS rank_sum_x2,
+           {auc} AS auc,
+           {auc} >= 0.9 AS auc_ok,
+           brier AS brier_scaled, ece AS ece_scaled
+    FROM rs, pt, ec
+    """
+
+
+@query("classifier_auc_calibration", oracle=_qc_eval_oracle())
+def classifier_auc_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the quality classifier for 4 iterations, then evaluate it
+    threshold-free: rank-sum ROC-AUC with exact average-rank ties,
+    quantized Brier score, and 10-bin quantized expected calibration
+    error (operators/classifier.py:classifier_eval).  The oracle re-trains
+    the identical weight trajectory and restates all three metrics; the
+    hash certifies rank order, tie groups, and every calibration bin
+    agree across engines.  EAGER: training runs at construction."""
+    from fs2_kinesis_firehose_spark.operators.classifier import (
+        classifier_eval,
+        hashed_features,
+        logreg_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = hashed_features(
+        docs, "text", "doc_id", dim=_QC_DIM, label_min_tokens=_QC_MIN_TOKENS
+    ).localCheckpoint(eager=True)
+    w = logreg_train(
+        feat, dim=_QC_DIM, iterations=_QC_EVAL_ITERS, lr=_QC_LR, scale_bits=12
+    )
+    return classifier_eval(feat, w)

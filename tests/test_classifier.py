@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from fs2_kinesis_firehose_spark.operators.classifier import (
+    classifier_eval,
     hashed_features,
     logreg_score,
     logreg_train,
@@ -117,3 +118,48 @@ def test_score_is_sigmoid_of_dot(feats):
 def test_empty_features_raises(feats):
     with pytest.raises(ValueError):
         logreg_train(feats.limit(0), dim=DIM, iterations=1)
+
+
+def _pairwise_auc(scores, labels):
+    """Brute-force AUC: P(score_pos > score_neg) + 0.5·P(tie) over all
+    pos×neg pairs — the definition the rank-sum formula must equal."""
+    pos = [s for s, y in zip(scores, labels) if y == 1]
+    neg = [s for s, y in zip(scores, labels) if y == 0]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    return wins / (len(pos) * len(neg))
+
+
+def test_auc_equals_pairwise_definition(feats):
+    """Rank-sum AUC over the quantized-score histogram must equal the
+    O(n²) pairwise definition computed on the SAME quantized scores
+    (including the 0.5-per-tie convention)."""
+    w = logreg_train(feats, dim=DIM, iterations=3, lr=4.0)
+    row = classifier_eval(feats, w).collect()[0]
+    rows = feats.collect()
+    qs = [
+        round(sum(wj * xj for wj, xj in zip(w, r["x"])) * 4096) for r in rows
+    ]
+    labels = [r["label"] for r in rows]
+    expected = _pairwise_auc(qs, labels)
+    assert abs(row["auc"] - expected) < 1e-12
+    assert row["n_pos"] == sum(labels)
+    assert row["n_neg"] == len(labels) - sum(labels)
+
+
+def test_auc_extremes(spark):
+    """A perfect ranker scores 1.0; an inverted one 0.0; ties-only 0.5."""
+    rows = [([1.0, float(y)], y) for y in [0, 0, 0, 1, 1]]
+    df = spark.createDataFrame(rows, "x array<double>, label int")
+    perfect = classifier_eval(df, [0.0, 5.0]).collect()[0]
+    assert perfect["auc"] == 1.0 and perfect["auc_ok"]
+    inverted = classifier_eval(df, [0.0, -5.0]).collect()[0]
+    assert inverted["auc"] == 0.0 and not inverted["auc_ok"]
+    ties = classifier_eval(df, [1.0, 0.0]).collect()[0]
+    assert ties["auc"] == 0.5
+
+
+def test_eval_is_partitioning_invariant(feats):
+    w = logreg_train(feats, dim=DIM, iterations=3, lr=4.0)
+    r1 = classifier_eval(feats, w).collect()[0]
+    r2 = classifier_eval(feats.repartition(7), w).collect()[0]
+    assert r1 == r2  # every column, including the float AUC, bit-identical
