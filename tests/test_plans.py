@@ -285,3 +285,44 @@ def test_hll_partial_aggregation_and_pruned_scan(spark, sf_smoke):
     # column pruning: the register build must only read o_custkey
     scan_section = plan[plan.find("orders.parquet") :][:800]
     assert "o_totalprice" not in scan_section, plan
+
+
+def test_classifier_features_and_gradient_stay_codegen(spark, sf_smoke):
+    """The training hot path must be pure JVM: features are one explode +
+    one dim-way count_if aggregate (partial+final), gradients one aggregate
+    over the checkpoint — no Python evaluation anywhere, and the documents
+    scan reads only (doc_id, text)."""
+    from fs2_kinesis_firehose_spark.operators.classifier import hashed_features
+    from fs2_kinesis_firehose_spark.tables import load_table
+
+    feat = hashed_features(
+        load_table(spark, sf_smoke, "documents"), "text", "doc_id",
+        dim=8, label_min_tokens=40,
+    )
+    plan = explain_str(feat)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert_plan_lacks(feat, "BatchEvalPython", "ArrowEvalPython", "CartesianProduct")
+    scan_section = plan[plan.find("documents.parquet") :][:800]
+    assert "lang" not in scan_section, plan
+
+
+def test_classifier_eval_ranks_on_histogram_not_rows(spark, sf_smoke):
+    """The AUC rank cumsum (single-partition Window) must consume the
+    score HISTOGRAM (post-aggregate), never raw rows: a HashAggregate on
+    the quantized score sits below the Window in the plan."""
+    from fs2_kinesis_firehose_spark.operators.classifier import (
+        classifier_eval,
+        hashed_features,
+    )
+    from fs2_kinesis_firehose_spark.tables import load_table
+
+    feat = hashed_features(
+        load_table(spark, sf_smoke, "documents"), "text", "doc_id",
+        dim=8, label_min_tokens=40,
+    )
+    df = classifier_eval(feat, [0.1 * (j + 1) for j in range(9)])
+    plan = explain_str(df)
+    w_pos = plan.find("Window")
+    assert w_pos != -1, plan
+    assert "HashAggregate" in plan[w_pos:], plan
+    assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython")
