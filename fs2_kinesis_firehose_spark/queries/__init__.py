@@ -63,6 +63,15 @@ WINDOW_EXEMPT: dict[str, str] = {
     # oracle).  A window slot here can only ever record no_oracle (r3
     # verdict, "What's wrong" #3).
     "simhash_candidates": "subsumed by oracle-checked simhash_neardup_pairs",
+    # Registered after the r7 window was frozen (10 never-verified + scd2 +
+    # all 39 r4-evidence rotations fill the 50 slots exactly; evicting a
+    # rotation would leave the r6 verdict's top ask incomplete).  Oracle-
+    # checked green at sf0.01 this round (compare_query) and covered on
+    # every test run by tests/test_oracle_parity.py; MUST head the r8 window.
+    "streaming_hll_cardinality": "late-r7 registration; heads the r8 window",
+    "streaming_quality_gate_accounting": (
+        "late-r7 registration; heads the r8 window"
+    ),
 }
 
 _WINDOW_PRIORITY: list[str] = [

@@ -1970,3 +1970,108 @@ def classifier_auc_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         feat, dim=_QC_DIM, iterations=_QC_EVAL_ITERS, lr=_QC_LR, scale_bits=12
     )
     return classifier_eval(feat, w)
+
+
+def _qgate_oracle() -> str:
+    """Single-copy restatement of the streamed gate: re-train the
+    4-iteration weights (shared CTE chain), score every document ONCE,
+    and aggregate the probability-decile histogram with kept counts.  The
+    engine side scores through TWO full job replays into the idempotent
+    sink — a non-idempotent write doubles every n_docs and fails the
+    hash."""
+    k = _QC_EVAL_ITERS
+    ctes = _qc_train_ctes(k)
+    p = f"1.0 / (1.0 + EXP(-list_inner_product(w{k}.w, f.x)))"
+    ctes.append(
+        f"sc AS MATERIALIZED (SELECT {p} AS p, f.y AS y FROM f, w{k})"
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS prob_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (p >= 0.5) AS BIGINT) AS n_kept,
+           CAST(SUM(y) AS BIGINT) AS n_teacher_pos
+    FROM sc
+    GROUP BY prob_bin
+    ORDER BY prob_bin
+    """
+
+
+@query("streaming_quality_gate_accounting", oracle=_qgate_oracle())
+def streaming_quality_gate_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deploy the trained quality gate on the document stream with
+    exactly-once accounting: weights are trained batch-side (4 quantized
+    GD iterations), then EVERY micro-batch is featurized + scored inside
+    ``foreachBatch`` (feature aggregation is per-batch, so no streaming-agg
+    watermark is needed) and written through the idempotent parquet sink.
+    The WHOLE job then runs a SECOND time — fresh checkpoint, same batch
+    ids via the fixed staging dir — i.e. a full failure-replay; dynamic
+    partition overwrite makes the replay land on the same partitions, so
+    the final histogram equals the oracle's single-pass scoring.  This is
+    the trained-filter deployment shape a crawl pipeline runs: model as
+    plan literals, corpus never leaves the cluster, at-least-once engine,
+    exactly-once accounting."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from fs2_kinesis_firehose_spark.operators.classifier import (
+        hashed_features,
+        logreg_score,
+        logreg_train,
+    )
+    from fs2_kinesis_firehose_spark.streaming.replay import replay_parquet
+    from fs2_kinesis_firehose_spark.streaming.sinks import idempotent_parquet_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = hashed_features(
+        docs, "text", "doc_id", dim=_QC_DIM, label_min_tokens=_QC_MIN_TOKENS
+    ).localCheckpoint(eager=True)
+    w = logreg_train(
+        feat, dim=_QC_DIM, iterations=_QC_EVAL_ITERS, lr=_QC_LR, scale_bits=12
+    )
+
+    root = (
+        Path(tempfile.gettempdir())
+        / "fs2spark-quality-gate"
+        / hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    )
+    if root.exists():
+        shutil.rmtree(root)
+    staging, out = str(root / "staging"), str(root / "out")
+    sink = idempotent_parquet_sink(out)
+
+    def score_batch(batch: DataFrame, batch_id: int) -> None:
+        bf = hashed_features(
+            batch, "text", "doc_id", dim=_QC_DIM, label_min_tokens=_QC_MIN_TOKENS
+        )
+        scored = logreg_score(bf, w).select("doc_id", "label", "prob")
+        sink(scored, batch_id)
+
+    for _run in range(2):  # second run = full failure-replay of every batch
+        stream = replay_parquet(
+            spark, sf_dir, "documents", staging_dir=staging, max_files_per_trigger=1
+        ).select("doc_id", "text")
+        qh = (
+            stream.writeStream.foreachBatch(score_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination()
+
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(
+            F.least(F.floor(F.col("prob") * 10).cast("int"), F.lit(9)).alias(
+                "prob_bin"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("prob") >= 0.5).alias("n_kept"),
+            F.sum("label").cast("long").alias("n_teacher_pos"),
+        )
+        .orderBy("prob_bin")
+    )

@@ -451,3 +451,110 @@ def hll_overlap_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("inter_within_tol"),
         )
     )
+
+
+def _hll_stream_oracle() -> str:
+    """Rebuild the user_id registers from the SINGLE-copy events table and
+    restate checksum + scaled sum + estimate.  The streaming side folds a
+    copies=2 replay (every row delivered twice) — register max-merge is
+    idempotent, so the fold MUST equal the one-shot build; duplicated or
+    dropped deliveries would move the checksum and fail the hash."""
+    wbits = 60 - _HLL_P
+    return f"""
+    SELECT CAST(2 AS BIGINT) AS n_batches, n_nonzero, scaled_sum,
+           register_checksum,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct,
+           ABS(
+             CASE WHEN raw <= 2.5 * {_HLL_M} AND n_nonzero < {_HLL_M}
+                  THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE) / ({_HLL_M} - n_nonzero))
+                  ELSE raw END
+             / (SELECT COUNT(DISTINCT user_id) FROM events) - 1.0
+           ) < 0.05 AS within_tol
+    FROM (
+        SELECT n_nonzero, scaled_sum, register_checksum,
+               CAST({_HLL_ALPHA_MM!r} AS DOUBLE)
+                 * CAST({float(1 << _HLL_RMAX)!r} AS DOUBLE) / scaled_sum AS raw
+        FROM (
+            SELECT COUNT(*) AS n_nonzero,
+                   CAST(SUM(1::BIGINT << ({_HLL_RMAX} - rho)) AS BIGINT)
+                     + ({_HLL_M} - COUNT(*)) * ({1 << _HLL_RMAX}::BIGINT)
+                     AS scaled_sum,
+                   CAST(SUM((bucket + 1) * rho) AS BIGINT) AS register_checksum
+            FROM (
+                SELECT bucket, MAX(rho) AS rho
+                FROM (
+                    SELECT CAST(hv % {_HLL_M} AS INT) AS bucket,
+                           CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_RMAX}
+                                ELSE {wbits} - LENGTH(bin(hv // {_HLL_M})) + 1
+                           END AS rho
+                    FROM (
+                        SELECT CAST(CONCAT('0x',
+                                 SUBSTRING(md5(CAST(user_id AS VARCHAR) || '|hll'),
+                                           1, 15)) AS BIGINT) AS hv
+                        FROM events WHERE user_id IS NOT NULL
+                    )
+                )
+                GROUP BY bucket
+            )
+        )
+    )
+    """
+
+
+@query("streaming_hll_cardinality", oracle=_hll_stream_oracle())
+def streaming_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality monitoring: fold per-micro-batch HLL register
+    tables into a running sketch via ``hll_merge`` — exactly-once BY
+    ALGEBRA, no idempotent sink needed: register max-merge is idempotent,
+    so an at-least-once replay (copies=2: EVERY event delivered twice
+    across two micro-batches) lands on the identical register table a
+    single-pass build produces.  The oracle rebuilds the registers from
+    the single-copy table; checksum + scaled-sum hashes would catch any
+    duplication-sensitive fold (a SUM-based sketch, e.g. linear counters
+    folded by +, fails this contract).  State per batch is the ≤2^p-row
+    register table, localCheckpointed to truncate lineage — driver-side
+    cost is independent of stream volume."""
+    from fs2_kinesis_firehose_spark.operators.hll import (
+        hll_estimate,
+        hll_merge,
+        hll_table,
+    )
+    from fs2_kinesis_firehose_spark.streaming.replay import replay_parquet
+
+    acc: dict = {"reg": None, "batches": 0}
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        reg = hll_table(batch, "user_id", p=_HLL_P)
+        merged = reg if acc["reg"] is None else hll_merge(acc["reg"], reg)
+        acc["reg"] = merged.localCheckpoint(eager=True)
+        acc["batches"] += 1
+
+    stream = replay_parquet(
+        spark, sf_dir, "events", copies=2, max_files_per_trigger=1
+    ).select("user_id")
+    qh = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    qh.awaitTermination()
+
+    est = hll_estimate(acc["reg"], p=_HLL_P)
+    exact = load_table(spark, sf_dir, "events").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    chk = acc["reg"].agg(
+        F.sum((F.col("bucket") + 1) * F.col("rho")).cast("long").alias(
+            "register_checksum"
+        )
+    )
+    return (
+        est.crossJoin(exact)  # 1-row x 1-row
+        .crossJoin(chk)
+        .select(
+            F.lit(acc["batches"]).cast("long").alias("n_batches"),
+            "n_nonzero",
+            "scaled_sum",
+            "register_checksum",
+            "exact_distinct",
+            (F.abs(F.col("estimate") / F.col("exact_distinct") - 1.0) < 0.05).alias(
+                "within_tol"
+            ),
+        )
+    )
