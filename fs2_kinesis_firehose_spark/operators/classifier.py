@@ -128,28 +128,32 @@ def logreg_train(
     if n == 0:
         raise ValueError("cannot train on an empty features DataFrame")
     s = float(1 << scale_bits)
-    w = [0.0] * (dim + 1)
+    d1 = dim + 1
+    w = [0.0] * d1
     for _ in range(iterations):
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot_w(F.col(x_col), w)))
-        # project the residual ONCE per row before aggregating: inlining the
-        # (dim+1)-term dot product into every gradient column makes the plan
-        # O(dim²) expressions and Catalyst analysis+codegen dominates the
-        # iteration (measured 1.6 s/iter inlined vs 0.6 s factored; the
-        # per-row work is identical after codegen CSE would have run anyway)
-        resid_df = features.select(
-            F.col(x_col), (p - F.col(label_col).cast("double")).alias("_r")
+        # each iteration is TWO selectExpr string calls, not ~250 Column
+        # constructions: profiling showed ~0.5 s/iteration was py4j
+        # expression building on the driver (exec itself is ~0.2 s warm) —
+        # the string path cut 12-iteration training 9.7 s → 2.6 s at sf0.1.
+        # `a + b + c` parses left-associative, exactly _dot_w's fold order,
+        # and float repr() round-trips through SQL decimal/scientific
+        # literals to the identical double, so the weights stay
+        # bit-identical to the Column path (pinned in tests).  The residual
+        # is projected ONCE before the gradient sums — inlining the dot
+        # product into every gradient column would make the plan O(dim²).
+        dot = " + ".join(f"{w[i]!r} * element_at({x_col}, {i + 1})" for i in range(d1))
+        resid = features.selectExpr(
+            x_col,
+            f"(1.0 / (1.0 + exp(-({dot})))) - cast({label_col} as double) as _r",
         )
-        grads = resid_df.agg(
+        grads = resid.selectExpr(
             *[
-                F.sum(
-                    F.round(
-                        F.col("_r") * F.element_at(F.col(x_col), j + 1) * s
-                    ).cast("long")
-                ).alias(f"g{j}")
-                for j in range(dim + 1)
+                f"sum(cast(round(_r * element_at({x_col}, {j + 1}) * {s!r}) "
+                f"as bigint)) as g{j}"
+                for j in range(d1)
             ]
         ).collect()[0]
-        w = [w[j] - lr * grads[f"g{j}"] / (s * n) for j in range(dim + 1)]
+        w = [w[j] - lr * grads[f"g{j}"] / (s * n) for j in range(d1)]
     return w
 
 
