@@ -158,6 +158,30 @@ def test_auc_extremes(spark):
     assert ties["auc"] == 0.5
 
 
+def test_sql_float_literal_roundtrip(spark):
+    """The selectExpr training path embeds weights as ``repr(float)`` SQL
+    literals; Spark parses plain decimals as DECIMAL and scientific
+    notation as DOUBLE — both must land back on the IDENTICAL double in
+    double-context arithmetic, or training would drift from the Column
+    path.  Checked over adversarial magnitudes (subnormal-ish, huge,
+    negative, long-mantissa).  Known exception, deliberately NOT listed:
+    ``-0.0`` parses via DECIMAL (no signed zero) to ``+0.0`` — unreachable
+    in the update rule (``w − lr·g/(s·n)`` with exact-integer g never
+    yields −0.0) and value-identical through every product/σ anyway."""
+    import struct
+
+    vals = [
+        0.1, -0.30000000000000004, 1e-300, -1.7976931348623157e308,
+        4096.0, 2.220446049250313e-16, 123456789.123456789,
+        0.9999999999999999, 5e-324,
+    ]
+    exprs = [f"cast({v!r} as double) as c{i}" for i, v in enumerate(vals)]
+    row = spark.range(1).selectExpr(*exprs).collect()[0]
+    for i, v in enumerate(vals):
+        got = row[f"c{i}"]
+        assert struct.pack("<d", got) == struct.pack("<d", v), (v, got)
+
+
 def test_eval_is_partitioning_invariant(feats):
     w = logreg_train(feats, dim=DIM, iterations=3, lr=4.0)
     r1 = classifier_eval(feats, w).collect()[0]
