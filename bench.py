@@ -190,6 +190,9 @@ HEADLINE = [
     # 12 full-batch quantized-gradient GD iterations + scoring; the entire
     # deterministic training loop is the measured cost)
     "quality_classifier_accounting",
+    # round-7 addition: AMS tug-of-war F2 sketch (one narrow scan, 3 md5 +
+    # 80 sign sums, vs the exact keyed-shuffle recount it replaces)
+    "ams_f2_bigram_estimate",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

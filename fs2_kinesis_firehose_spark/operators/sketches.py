@@ -48,6 +48,9 @@ __all__ = [
     "heavy_hitters",
     "count_min_table",
     "count_min_lookup",
+    "ams_sign",
+    "ams_f2_sketch",
+    "ams_f2_estimate",
 ]
 
 
@@ -267,3 +270,91 @@ def count_min_lookup(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS (tug-of-war) second-moment sketch
+# ---------------------------------------------------------------------------
+def ams_sign(item_col: str, r: int, *, salt: str = "ams") -> F.Column:
+    """Deterministic ±1 sign for repetition ``r`` — bit ``r % 32`` of
+    ``md5(item || '|salt' || r // 32)``.  One md5 serves 32 repetitions
+    (each hex char contributes its low bit), so an 80-rep sketch costs 3
+    md5 evaluations per row, not 80.  Engine-portable: DuckDB restates the
+    identical substring/parity arithmetic, making the sketch sums (exact
+    integers) bit-comparable cross-engine."""
+    block, pos = divmod(r, 32)
+    h = F.md5(F.concat(F.col(item_col).cast("string"), F.lit(f"|{salt}{block}")))
+    bit = F.conv(F.substring(h, pos + 1, 1), 16, 10).cast("long") % 2
+    return bit * 2 - 1
+
+
+def ams_f2_sketch(
+    df: DataFrame,
+    item_col: str,
+    *,
+    reps: int = 80,
+    salt: str = "ams",
+) -> DataFrame:
+    """AMS tug-of-war sketch (Alon–Matias–Szegedy, STOC 1996) of the second
+    frequency moment F2 = Σ_k c_k² as ONE row of ``reps`` integer sums:
+    ``s_r = Σ_rows sign_r(item)``.  Each ``s_r²`` is an unbiased estimator
+    of F2 (Var ≤ 2·F2²); callers average within groups and take a median
+    across groups (``ams_f2_estimate``) for the standard concentration.
+
+    F2 is the self-join size / collision mass of a key column — the
+    skew statistic that decides salting and partition strategy at 100 TB,
+    estimated here in one narrow scan with O(reps) state and NO keyed
+    shuffle (a plain groupBy(count²) pays a full shuffle on the key).
+    The sketch is mergeable: sums are linear, so per-slice sketch rows
+    fold by elementwise addition.
+
+    Entirely JVM-side codegen: ``ceil(reps/32)`` md5 calls per row + one
+    aggregate returning a single ``reps``-column integer row.  NULL items
+    are ignored.
+    """
+    if reps < 1:
+        raise ValueError(f"need reps >= 1; got {reps}")
+    rows = df.where(F.col(item_col).isNotNull())
+    sums = [
+        F.sum(ams_sign(item_col, r, salt=salt)).cast("long").alias(f"s{r}")
+        for r in range(reps)
+    ]
+    return rows.agg(*sums)
+
+
+def ams_f2_estimate(
+    sketch: DataFrame,
+    *,
+    reps: int = 80,
+    groups: int = 5,
+) -> DataFrame:
+    """Median-of-means F2 estimate from an ``ams_f2_sketch`` row: the
+    ``reps`` squared sums are averaged within ``groups`` equal groups
+    (Var/size_per_group), and the median group mean is the estimate —
+    the AMS concentration recipe verbatim.
+
+    Everything stays integer until the final division: group sums of
+    squares are exact int64 (``s_r² ≤ n²``), the median picks an exact
+    integer, and the returned columns are ``(g0..g{groups-1},
+    median_sq_sum)`` plus ``f2_estimate = median_sq_sum / per_group`` —
+    so a SQL oracle can hash the integer state and restate the one
+    division exactly."""
+    if reps % groups != 0:
+        raise ValueError(f"groups={groups} must divide reps={reps}")
+    per = reps // groups
+    gcols = [
+        sum(
+            (F.col(f"s{g * per + i}") * F.col(f"s{g * per + i}") for i in range(per)),
+            F.lit(0).cast("long"),
+        ).alias(f"g{g}")
+        for g in range(groups)
+    ]
+    out = sketch.select(*gcols)
+    med = F.element_at(
+        F.array_sort(F.array(*[F.col(f"g{g}") for g in range(groups)])),
+        groups // 2 + 1,
+    ).alias("median_sq_sum")
+    return out.select(
+        *[f"g{g}" for g in range(groups)],
+        med,
+    ).withColumn("f2_estimate", F.col("median_sq_sum") / F.lit(float(per)))

@@ -558,3 +558,101 @@ def streaming_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS (tug-of-war) F2 sketch (operators/sketches.py:ams_f2_sketch)
+# ---------------------------------------------------------------------------
+_AMS_REPS, _AMS_GROUPS = 80, 5
+_AMS_PER = _AMS_REPS // _AMS_GROUPS
+
+
+def _ams_oracle() -> str:
+    """DuckDB restatement of the ENTIRE AMS pipeline — like Count-Min the
+    sketch is deterministic (md5-derived ±1 signs, exact integer sums), so
+    the 80 sign sums, the 5 group sums of squares, the median pick, and
+    even the final double estimate (a division by 2^4) are bit-comparable
+    cross-engine."""
+    sign_sums = ",\n        ".join(
+        f"SUM(CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5(bg || '|ams{r // 32}'), "
+        f"{r % 32 + 1}, 1)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s{r}"
+        for r in range(_AMS_REPS)
+    )
+    gcols = ",\n        ".join(
+        "CAST("
+        + " + ".join(f"s{g * _AMS_PER + i} * s{g * _AMS_PER + i}" for i in range(_AMS_PER))
+        + f" AS BIGINT) AS g{g}"
+        for g in range(_AMS_GROUPS)
+    )
+    return f"""
+    WITH w AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS words FROM documents
+    ),
+    big AS (
+        SELECT unnest([words[i] || ' ' || words[i + 1]
+                       FOR i IN range(1, len(words))]) AS bg
+        FROM w
+    ),
+    s AS (
+        SELECT {sign_sums}
+        FROM big
+    ),
+    g AS (
+        SELECT {gcols}
+        FROM s
+    ),
+    exact AS (
+        SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2,
+               CAST(SUM(c) AS BIGINT) AS n_items
+        FROM (SELECT COUNT(*) AS c FROM big GROUP BY bg)
+    )
+    SELECT g0, g1, g2, g3, g4,
+           list_sort([g0, g1, g2, g3, g4])[3] AS median_sq_sum,
+           list_sort([g0, g1, g2, g3, g4])[3] / {float(_AMS_PER)!r} AS f2_estimate,
+           exact_f2, n_items,
+           ABS(list_sort([g0, g1, g2, g3, g4])[3] / {float(_AMS_PER)!r}
+               / exact_f2 - 1.0) < 0.5 AS within_tol
+    FROM g, exact
+    """
+
+
+@query("ams_f2_bigram_estimate", oracle=_ams_oracle())
+def ams_f2_bigram_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war second-moment sketch over the bigram stream: F2 =
+    Σ c_bg² (the self-join size / collision mass of the bigram key — the
+    statistic that decides salting and partition strategy for a keyed
+    shuffle at 100 TB) estimated in ONE narrow scan with O(reps) state and
+    no keyed shuffle, vs the exact groupBy answer side by side.  80
+    repetitions from 3 md5 calls per row (32 sign bits per hash), mean of
+    16 within each of 5 groups, median across groups — the AMS
+    concentration recipe, every intermediate an exact integer so the
+    oracle rebuilds the sketch bit-for-bit (the Count-Min verification
+    strategy applied to second moments)."""
+    from fs2_kinesis_firehose_spark.operators.sketches import (
+        ams_f2_estimate,
+        ams_f2_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = word_ngram_rows(
+        docs, "text", "doc_id", 2, distinct=False, out_col="bg"
+    ).localCheckpoint(eager=False)  # feeds the sketch AND the exact recount
+    est = ams_f2_estimate(
+        ams_f2_sketch(bigrams, "bg", reps=_AMS_REPS),
+        reps=_AMS_REPS,
+        groups=_AMS_GROUPS,
+    )
+    exact = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_f2"),
+        F.sum("c").cast("long").alias("n_items"),
+    )
+    return est.crossJoin(exact).select(  # 1-row x 1-row
+        "g0", "g1", "g2", "g3", "g4",
+        "median_sq_sum",
+        "f2_estimate",
+        "exact_f2",
+        "n_items",
+        (F.abs(F.col("f2_estimate") / F.col("exact_f2") - 1.0) < 0.5).alias(
+            "within_tol"
+        ),
+    )

@@ -163,3 +163,61 @@ def test_cm_validation(spark):
         count_min_table(df, "item", width=1, depth=4)
     with pytest.raises(ValueError):
         count_min_table(df, "item", width=64, depth=0)
+
+
+# ---------------------------------------------------------------------------
+# AMS tug-of-war F2 sketch
+# ---------------------------------------------------------------------------
+def _ams_sign_py(item: str, r: int, salt: str = "ams") -> int:
+    import hashlib
+
+    block, pos = divmod(r, 32)
+    h = hashlib.md5((item + f"|{salt}{block}").encode()).hexdigest()
+    return (int(h[pos], 16) % 2) * 2 - 1
+
+
+def test_ams_sums_match_python_mirror(spark):
+    df, items = _zipf_df(spark, n=3_000, vocab=300, seed=11)
+    reps = 40
+    row = SK.ams_f2_sketch(df, "item", reps=reps).collect()[0]
+    counts = collections.Counter(items)
+    for r in range(reps):
+        want = sum(c * _ams_sign_py(t, r) for t, c in counts.items())
+        assert row[f"s{r}"] == want, r
+
+
+def test_ams_estimate_unbiased_enough(spark):
+    # Fixed hashes → deterministic; assert the median-of-means lands within
+    # the 3-sigma envelope (sigma = sqrt(2/per_group) * F2 ≈ 0.35 F2).
+    df, items = _zipf_df(spark, n=20_000, vocab=2_000, seed=7)
+    counts = collections.Counter(items)
+    f2 = sum(c * c for c in counts.values())
+    est = SK.ams_f2_estimate(SK.ams_f2_sketch(df, "item", reps=80)).collect()[0]
+    assert abs(est["f2_estimate"] / f2 - 1.0) < 1.0
+    # median really is the middle group mean
+    gs = sorted(est[f"g{g}"] for g in range(5))
+    assert est["median_sq_sum"] == gs[2]
+
+
+def test_ams_mergeable_by_elementwise_sum(spark):
+    # Linear sketch: sketch(A ∪ B) == sketch(A) + sketch(B), exactly.
+    df, items = _zipf_df(spark, n=4_000, vocab=400, seed=5)
+    a = spark.createDataFrame([(s,) for s in items[:2_500]], "item string")
+    b = spark.createDataFrame([(s,) for s in items[2_500:]], "item string")
+    reps = 32
+    whole = SK.ams_f2_sketch(df, "item", reps=reps).collect()[0]
+    ra = SK.ams_f2_sketch(a, "item", reps=reps).collect()[0]
+    rb = SK.ams_f2_sketch(b, "item", reps=reps).collect()[0]
+    for r in range(reps):
+        assert whole[f"s{r}"] == ra[f"s{r}"] + rb[f"s{r}"], r
+
+
+def test_ams_nulls_ignored_and_validation(spark):
+    df = spark.createDataFrame([("a",), (None,), ("a",)], "item string")
+    row = SK.ams_f2_sketch(df, "item", reps=4).collect()[0]
+    for r in range(4):
+        assert row[f"s{r}"] in (-2, 2)  # |sum| == count of non-null rows
+    with pytest.raises(ValueError):
+        SK.ams_f2_sketch(df, "item", reps=0)
+    with pytest.raises(ValueError):
+        SK.ams_f2_estimate(SK.ams_f2_sketch(df, "item", reps=10), reps=10, groups=4)
