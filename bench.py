@@ -193,6 +193,10 @@ HEADLINE = [
     # round-7 addition: AMS tug-of-war F2 sketch (one narrow scan, 3 md5 +
     # 80 sign sums, vs the exact keyed-shuffle recount it replaces)
     "ams_f2_bigram_estimate",
+    # round-7 addition: bucketed co-located join (both sides written
+    # bucketBy(orderkey); timing includes the two bucketed writes + the
+    # zero-exchange sort-merge join)
+    "bucketed_colocated_join_revenue",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

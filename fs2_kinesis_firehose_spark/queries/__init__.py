@@ -76,6 +76,9 @@ WINDOW_EXEMPT: dict[str, str] = {
     # the r7 window froze; oracle-checked green at sf0.01 (compare_query)
     # and on every test run by tests/test_oracle_parity.py.
     "ams_f2_bigram_estimate": "late-r7 registration; heads the r8 window",
+    "bucketed_colocated_join_revenue": (
+        "late-r7 registration; heads the r8 window"
+    ),
 }
 
 _WINDOW_PRIORITY: list[str] = [

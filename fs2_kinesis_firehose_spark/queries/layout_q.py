@@ -134,3 +134,117 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_files_total bigint, n_files_opened bigint, n_rows_total bigint, "
         "n_rows_scanned bigint, n_rows_match bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: the layout that removes the join shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "bucketed_colocated_join_revenue",
+    # The oracle restates the JOIN RESULT from the raw tables (bucketing
+    # must not change a single row) and the layout CONTRACT as constants:
+    # a bucket-aligned sort-merge join plans with ZERO Exchange nodes.
+    # A bucket-hash mismatch between the two writes, a dropped bucket
+    # file, or a spec that silently falls back to a shuffled join breaks
+    # either the values or the plan facts.
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) / 10000
+             AS revenue,
+           CAST(0 AS BIGINT) AS join_exchanges,
+           TRUE AS join_is_sort_merge
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bucketed_colocated_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed tables — the layout decision that
+    removes the dominant exchange from repeated fact-fact joins at 100 TB:
+    both sides are written ``bucketBy(8, orderkey).sortBy(orderkey)`` (one
+    file per bucket via an aligned pre-repartition), and the sort-merge
+    join then reads bucket-aligned splits with NO shuffle on either side.
+
+    The zero-shuffle property is not just pytest-pinned
+    (tests/test_bucketing.py): the plan of the measured join — built with
+    broadcast disabled, so the co-location is what saves the exchange —
+    is inspected and emitted as columns (``join_exchanges`` = count of
+    Exchange nodes, ``join_is_sort_merge``), which the oracle states as
+    0/TRUE; the revenue aggregate proves the bucketed write+read round-
+    trips every row.  EAGER by necessity (like zorder_pruning_stats): the
+    join needs the layout written.  Tables live in a per-sf database under
+    one managed tmp root, dropped and rewritten per invocation."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    h = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    db = f"bktdb_{h}"
+    loc = Path(tempfile.gettempdir()) / "fs2spark-bucket" / f"db-{h}"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    if loc.exists():
+        shutil.rmtree(loc)
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+
+    n_buckets = 8
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    # Pre-repartition on the bucket column with the bucket count: Spark's
+    # repartition hash == the bucketing hash, so every bucket's rows land
+    # in exactly one task -> one file per bucket (keeps the read-side sort
+    # elided and the file count fixed at n_buckets regardless of input
+    # parallelism).
+    (
+        orders.repartition(n_buckets, F.col("o_orderkey"))
+        .write.bucketBy(n_buckets, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(f"{db}.orders_b")
+    )
+    (
+        lineitem.repartition(n_buckets, F.col("l_orderkey"))
+        .write.bucketBy(n_buckets, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(f"{db}.lineitem_b")
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # isolate co-location
+    try:
+        o = spark.table(f"{db}.orders_b")
+        li = spark.table(f"{db}.lineitem_b")
+        joined = o.join(li, o.o_orderkey == li.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = plan.count("Exchange")
+        is_smj = "SortMergeJoin" in plan
+        out = (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.count_distinct("o_orderkey").alias("n_orders"),
+                (
+                    F.round(
+                        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                        * 10000,
+                        0,
+                    )
+                    / 10000
+                ).alias("revenue"),
+            )
+            .select(
+                "o_orderpriority",
+                "n_items",
+                "n_orders",
+                "revenue",
+                F.lit(n_exchanges).cast("long").alias("join_exchanges"),
+                F.lit(is_smj).alias("join_is_sort_merge"),
+            )
+        )
+        # Materialize under the forced-SMJ conf so the measured plan IS the
+        # executed plan (the conf is restored before the driver collects).
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
