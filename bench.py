@@ -197,6 +197,10 @@ HEADLINE = [
     # bucketBy(orderkey); timing includes the two bucketed writes + the
     # zero-exchange sort-merge join)
     "bucketed_colocated_join_revenue",
+    # round-7 addition: residual IVFADC (the verbatim Jegou recipe — PQ on
+    # coarse residuals, per-cell query LUTs + cross-cell constants; timing
+    # includes cell assign, residual fit, encode, probe, rescore)
+    "ivf_pq_residual_rescored_topk",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -48,6 +48,8 @@ __all__ = [
     "pq_topk",
     "pq_rescored_topk",
     "ivf_pq_rescored_topk",
+    "ivf_residual",
+    "ivf_pq_residual_rescored_topk",
 ]
 
 
@@ -286,4 +288,114 @@ def ivf_pq_rescored_topk(
         key_col=key_col,
         code_col=code_col,
         round_to=round_to,
+    )
+
+
+def ivf_residual(
+    df: DataFrame,
+    centroids,
+    *,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    out_col: str = "residual",
+) -> DataFrame:
+    """Append ``out_col`` = x − centroid(cell(x)) — the residual the TRUE
+    IVFADC recipe quantizes (Jégou et al. 2011 §III: PQ on residuals, not
+    raw vectors, because residual energy ≪ vector energy once the coarse
+    quantizer has localized the point — the codebooks spend their 2^codes
+    on a tighter distribution and recall rises at equal bytes).
+
+    Pure Column arithmetic on a literal centroid table (k×d floats — plan
+    metadata); the subtraction runs in double (float→double is exact), so
+    a SQL oracle computing ``v[i] − c[i]`` on the CAST(DOUBLE) vectors
+    lands bit-identically."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    c_row = F.element_at(cent_lit, F.col(cell_col) + 1)
+    return df.withColumn(
+        out_col,
+        F.zip_with(F.col(vec_col).cast("array<double>"), c_row, lambda x, y: x - y),
+    )
+
+
+def ivf_pq_residual_rescored_topk(
+    df: DataFrame,
+    centroids,
+    model: dict,
+    query: list[float],
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    candidates: int = 50,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    code_col: str = "pq_code",
+    cell_col: str = "ivf_cell",
+    round_to: int = 6,
+) -> DataFrame:
+    """Residual IVFADC — the verbatim billion-vector recipe: probe the
+    ``nprobe`` nearest coarse cells, ADC-rank in-cell RESIDUAL codes
+    against a PER-CELL lookup table built from the query's residual
+    q − centroid_c, exact-rescore the shortlist floats.
+
+    The cross-cell subtlety ``ivf_pq_rescored_topk`` (raw-vector codes)
+    does not have: with residual codes the ADC score approximates
+    ‖r − (q − c)‖², whose expansion carries a ``‖q − c‖²`` term that
+    DIFFERS per cell — dropping it (as the single-LUT raw path validly
+    drops the constant ‖q‖²) would make scores incomparable across probed
+    cells.  Each cell's chain therefore adds its ``‖q − c_cell‖²``
+    constant (sequential-fold literal), restoring a comparable estimate
+    of the full ‖x − q‖².
+
+    ``df`` must carry ``cell_col`` (ivf_assign against the SAME
+    ``centroids``) and ``code_col`` (pq_encode of the ``ivf_residual``
+    column against the SAME ``model``).  Plan shape is identical to the
+    raw-code path — cell filter, one codegen CASE-over-probed-cells ADC
+    chain + TakeOrderedAndProject, candidate-local rescore — the per-cell
+    LUT only widens the projection by nprobe branches.  Returns
+    ``(key_col, l2_dist)``."""
+    from fs2_kinesis_firehose_spark.functions import vectors as V
+    from fs2_kinesis_firehose_spark.operators.similarity import (
+        _seq_sq_norm,
+        ivf_probe_cells,
+    )
+
+    dim = model["dim"]
+    cells = ivf_probe_cells(centroids, query, nprobe)
+
+    score = None
+    for c in cells:
+        qr = [float(query[i]) - float(centroids[c][i]) for i in range(dim)]
+        lut = _adc_lut(model, qr)
+        term: Column | None = None
+        for j, row in enumerate(lut):
+            t = F.element_at(
+                F.array(*[F.lit(float(v)) for v in row]),
+                F.element_at(F.col(code_col), j + 1) + 1,
+            )
+            term = t if term is None else term + t
+        term = term + F.lit(_seq_sq_norm(qr))  # cross-cell comparability
+        score = (
+            F.when(F.col(cell_col) == c, term)
+            if score is None
+            else score.when(F.col(cell_col) == c, term)
+        )
+
+    cand = (
+        df.filter(F.col(cell_col).isin(cells))
+        .select(key_col, vec_col, F.round(score, round_to).alias("_adc"))
+        .orderBy(F.asc("_adc"), F.asc(key_col))
+        .limit(candidates)
+    )
+    qlit = V.literal_vector(query)
+    q_sq = 0.0
+    for x in query:
+        q_sq += float(x) * float(x)
+    v = F.col(vec_col)
+    l2 = (V.dot(v, v, dim) - F.lit(2.0) * V.dot(v, qlit, dim)) + F.lit(q_sq)
+    return (
+        cand.select(key_col, F.round(l2, round_to).alias("l2_dist"))
+        .orderBy(F.asc("l2_dist"), F.asc(key_col))
+        .limit(k)
     )

@@ -79,6 +79,9 @@ WINDOW_EXEMPT: dict[str, str] = {
     "bucketed_colocated_join_revenue": (
         "late-r7 registration; heads the r8 window"
     ),
+    "ivf_pq_residual_rescored_topk": (
+        "late-r7 registration; heads the r8 window"
+    ),
 }
 
 _WINDOW_PRIORITY: list[str] = [

@@ -390,3 +390,135 @@ def pq_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
     enc = PQ.pq_encode(emb, model)
     return PQ.pq_rescored_topk(enc, model, q, 10, candidates=_PQ_CAND)
+
+
+def _cent_literal_sql() -> str:
+    """The seeded IVF centroids as ONE nested SQL list literal (the same
+    repr-exact floats `_ivf_cell_sql` inlines per-distance)."""
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    cents = S.seeded_centroids(_DIM, _IVF_CELLS, seed=7, scale=0.125)
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents
+        )
+        + "]"
+    )
+
+
+def _ivf_pq_residual_oracle() -> str:
+    """The residual-IVFADC replay: cell assignment + probe ranking (the
+    `_ivf_cell_sql` machinery), residual points r = v − centroid[cell],
+    m per-subspace kmeans fits ON THE RESIDUALS, a PER-CELL LUT from the
+    query residual q − centroid[cell], the in-cell ADC shortlist ranked by
+    LUT sum + the per-cell ‖q − c‖² comparability constant, and the exact
+    rescore on the RAW vectors — every stage bit-restated."""
+    fin = _PQ_ITERS + 1
+    probe_expr, cellpos_expr = _ivf_cell_sql()
+    cent = _cent_literal_sql()
+    ctes = [
+        "raw AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        "q AS (SELECT v FROM raw ORDER BY vec_id LIMIT 1)",
+    ]
+    # cellpos/probe exprs reference p.v / q.v (the _ivf_cell_sql contract)
+    ctes.append(
+        f"cellv AS MATERIALIZED (SELECT p.vec_id, {cellpos_expr} AS cellpos "
+        "FROM raw p)"
+    )
+    ctes.append(f"probe AS (SELECT {probe_expr} AS cells FROM q)")
+    ctes.append(f"""pts AS MATERIALIZED (
+        SELECT r.vec_id,
+               [r.v[i] - ({cent})[cv.cellpos][i] FOR i IN range(1, {_DIM + 1})] AS v
+        FROM raw r JOIN cellv cv USING (vec_id)
+    )""")
+    for j in range(_PQ_M):
+        ctes.extend(_pq_subspace_kmeans_ctes(j, _PQ_K, _PQ_ITERS, _PQ_SUB))
+    ctes.append(f"""qrn AS (
+        SELECT u.cell,
+               [q.v[i] - ({cent})[u.cell][i] FOR i IN range(1, {_DIM + 1})] AS v
+        FROM (SELECT UNNEST(cells) AS cell FROM probe) u CROSS JOIN q
+    )""")
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
+        ctes.append(f"""lutr_{j} AS (
+        SELECT qr.cell, c.cluster,
+               list_inner_product(c.c, c.c)
+               - 2.0 * list_inner_product(qr.v[{lo}:{hi}], c.c) AS dist
+        FROM c{_PQ_ITERS}_{j} c CROSS JOIN qrn qr
+    )""")
+    joins = "\n        ".join(
+        f"JOIN a{fin}_{j} a{j} ON a{j}.vec_id = a0.vec_id\n        "
+        f"JOIN lutr_{j} l{j} ON l{j}.cell = cv.cellpos "
+        f"AND l{j}.cluster = a{j}.cluster"
+        if j
+        else "JOIN lutr_0 l0 ON l0.cell = cv.cellpos AND l0.cluster = a0.cluster"
+        for j in range(_PQ_M)
+    )
+    est_sum = (
+        " + ".join(f"l{j}.dist" for j in range(_PQ_M))
+        + " + list_inner_product(qn.v, qn.v)"
+    )
+    ctes.append(f"""cand AS (
+        SELECT a0.vec_id
+        FROM a{fin}_0 a0
+        JOIN cellv cv ON cv.vec_id = a0.vec_id
+        JOIN qrn qn ON qn.cell = cv.cellpos
+        {joins}
+        ORDER BY ROUND({est_sum}, 6), a0.vec_id
+        LIMIT {_PQ_CAND}
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT c.vec_id,
+           ROUND(list_inner_product(p.v, p.v)
+                 - 2.0 * list_inner_product(p.v, q.v)
+                 + list_inner_product(q.v, q.v), 6) AS l2_dist
+    FROM cand c JOIN raw p ON p.vec_id = c.vec_id CROSS JOIN q
+    ORDER BY ROUND(list_inner_product(p.v, p.v)
+                   - 2.0 * list_inner_product(p.v, q.v)
+                   + list_inner_product(q.v, q.v), 6), c.vec_id
+    LIMIT 10
+    """
+
+
+@query("ivf_pq_residual_rescored_topk", oracle=_ivf_pq_residual_oracle())
+def ivf_pq_residual_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC (operators/pq.py:ivf_pq_residual_rescored_topk) —
+    the VERBATIM Jégou et al. 2011 recipe: PQ codebooks are fit on the
+    coarse-quantizer residuals x − centroid(cell(x)) (tighter distribution
+    → better codes at equal bytes than the raw-vector composition
+    `ivf_pq_rescored_topk` runs), the query builds a PER-CELL lookup table
+    from its own residual q − centroid_c, and each probed cell's chain
+    adds its ‖q − c‖² constant so ADC scores stay comparable ACROSS cells.
+    The oracle replays everything — cells, probes, residuals, all m
+    residual-space fits, per-cell LUTs, the comparability constant, the
+    shortlist, the exact rescore — so the final float distances hash."""
+    from fs2_kinesis_firehose_spark.operators import pq as PQ
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.seeded_centroids(_DIM, _IVF_CELLS, seed=7, scale=0.125)
+    q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+
+    assigned = S.ivf_assign(emb, cents)
+    with_res = PQ.ivf_residual(assigned, cents).localCheckpoint(eager=False)
+    model = PQ.pq_fit(
+        with_res, vec_col="residual", key_col="vec_id",
+        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS,
+    )
+    # pq_encode reuses the ivf_cell column name internally; stash the coarse
+    # cell under a temp name around the encode (the documented contract).
+    enc = (
+        PQ.pq_encode(
+            with_res.withColumnRenamed("ivf_cell", "_coarse"),
+            model,
+            vec_col="residual",
+        )
+        .withColumnRenamed("_coarse", "ivf_cell")
+    )
+    return PQ.ivf_pq_residual_rescored_topk(
+        enc, cents, model, q, 10, nprobe=_IVF_NPROBE, candidates=_PQ_CAND
+    )

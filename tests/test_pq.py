@@ -172,3 +172,123 @@ def test_pq_encode_rejects_preexisting_ivf_cell(spark):
     assigned = S.ivf_assign(df, S.seeded_centroids(8, 4, seed=7, scale=1.0))
     with pytest.raises(ValueError, match="ivf_cell"):
         PQ.pq_encode(assigned, model)
+
+
+# ---------------------------------------------------------------------------
+# Residual IVFADC
+# ---------------------------------------------------------------------------
+def _residual_enc(df, cents, dim, m, k, iters):
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    assigned = S.ivf_assign(df, cents)
+    with_res = PQ.ivf_residual(assigned, cents)
+    model = PQ.pq_fit(
+        with_res, vec_col="residual", dim=dim, m=m, k=k, iterations=iters
+    )
+    enc = (
+        PQ.pq_encode(
+            with_res.withColumnRenamed("ivf_cell", "_coarse"),
+            model,
+            vec_col="residual",
+        )
+        .withColumnRenamed("_coarse", "ivf_cell")
+    )
+    return enc, model
+
+
+def test_ivf_residual_matches_numpy(spark):
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    rng = np.random.default_rng(41)
+    X = rng.normal(0, 2, (50, 8))
+    df = _emb_df(spark, X)
+    cents = S.ivf_train_centroids(df, n_centroids=4, sample_fraction=1.0, seed=1)
+    got = PQ.ivf_residual(S.ivf_assign(df, cents), cents).collect()
+    C = np.asarray(cents)
+    for r in got:
+        want = X[r["vec_id"]] - C[r["ivf_cell"]]
+        assert np.allclose(r["residual"], want, atol=0)
+
+
+def test_residual_ivfadc_exact_at_full_budget(spark):
+    """nprobe = all cells + candidates = n: the residual path degenerates to
+    an exact search (rescore sees every row), regardless of code quality —
+    and the cross-cell ``‖q − c‖²`` constant must not corrupt the pool."""
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    rng = np.random.default_rng(43)
+    X = rng.normal(0, 1, (80, 16))
+    df = _emb_df(spark, X)
+    cents = S.ivf_train_centroids(df, n_centroids=4, sample_fraction=1.0, seed=2)
+    enc, model = _residual_enc(df, cents, 16, 4, 8, 2)
+    q = X[3]
+    exact = np.argsort(((X - q) ** 2).sum(1), kind="stable")[:10].tolist()
+    got = [
+        r["vec_id"]
+        for r in PQ.ivf_pq_residual_rescored_topk(
+            enc, cents, model, list(q), 10, nprobe=4, candidates=80
+        ).collect()
+    ]
+    assert got == exact
+
+
+def test_residual_ivfadc_recall_not_below_raw_composition(spark):
+    """The reason residuals exist: at equal (m, k, nprobe, candidates)
+    budget on clustered data, residual codes must not lose recall vs the
+    raw-vector composition (the codebooks model a tighter distribution)."""
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    rng = np.random.default_rng(47)
+    centers = rng.normal(0, 5, (6, 32))
+    X = np.vstack([c + rng.normal(0, 0.5, (40, 32)) for c in centers])
+    df = _emb_df(spark, X)
+    cents = S.ivf_train_centroids(df, n_centroids=6, sample_fraction=1.0, seed=1)
+
+    raw_model = PQ.pq_fit(df, vec_col="embedding", dim=32, m=4, k=16, iterations=3)
+    raw_enc = S.ivf_assign(PQ.pq_encode(df, raw_model), cents).cache()
+    res_enc, res_model = _residual_enc(df, cents, 32, 4, 16, 3)
+    res_enc = res_enc.cache()
+
+    raw_hits = res_hits = 0
+    queries = [3, 11, 57, 101, 149, 203]  # one per cluster
+    for qi in queries:
+        q = X[qi]
+        exact10 = set(np.argsort(((X - q) ** 2).sum(1), kind="stable")[:10].tolist())
+        raw = {
+            r["vec_id"]
+            for r in PQ.ivf_pq_rescored_topk(
+                raw_enc, cents, raw_model, list(q), 10, nprobe=2, candidates=25
+            ).collect()
+        }
+        res = {
+            r["vec_id"]
+            for r in PQ.ivf_pq_residual_rescored_topk(
+                res_enc, cents, res_model, list(q), 10, nprobe=2, candidates=25
+            ).collect()
+        }
+        raw_hits += len(exact10 & raw)
+        res_hits += len(exact10 & res)
+    # statistical, not per-query: across a query per cluster the residual
+    # codes must match the raw composition overall (and stay near-exact)
+    assert res_hits >= raw_hits - 1
+    assert res_hits >= 0.85 * 10 * len(queries)
+
+
+def test_residual_ivfadc_probes_only_in_cell_rows(spark):
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    rng = np.random.default_rng(53)
+    X = rng.normal(0, 1, (60, 8))
+    df = _emb_df(spark, X)
+    cents = S.seeded_centroids(8, 4, seed=7, scale=1.0)
+    enc, model = _residual_enc(df, cents, 8, 2, 4, 2)
+    q = X[0]
+    cells = S.ivf_probe_cells(cents, list(q), 1)
+    in_cell = {r["vec_id"] for r in enc.filter(enc.ivf_cell.isin(cells)).collect()}
+    got = {
+        r["vec_id"]
+        for r in PQ.ivf_pq_residual_rescored_topk(
+            enc, cents, model, list(q), 10, nprobe=1, candidates=60
+        ).collect()
+    }
+    assert got <= in_cell
