@@ -82,6 +82,9 @@ WINDOW_EXEMPT: dict[str, str] = {
     "ivf_pq_residual_rescored_topk": (
         "late-r7 registration; heads the r8 window"
     ),
+    "text_format_roundtrip_counts": (
+        "late-r7 registration; heads the r8 window"
+    ),
 }
 
 _WINDOW_PRIORITY: list[str] = [
@@ -162,6 +165,7 @@ def load_all() -> None:
     from fs2_kinesis_firehose_spark.queries import (  # noqa: F401
         cluster_q,
         curation_q,
+        format_q,
         graph_q,
         layout_q,
         llm,

@@ -573,9 +573,13 @@ def _ams_oracle() -> str:
     the 80 sign sums, the 5 group sums of squares, the median pick, and
     even the final double estimate (a division by 2^4) are bit-comparable
     cross-engine."""
+    n_blocks = (_AMS_REPS + 31) // 32
+    words = ",\n        ".join(
+        f"CAST(CONCAT('0x', SUBSTRING(md5(bg || '|ams{b}'), 1, 8)) AS BIGINT) AS w{b}"
+        for b in range(n_blocks)
+    )
     sign_sums = ",\n        ".join(
-        f"SUM(CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5(bg || '|ams{r // 32}'), "
-        f"{r % 32 + 1}, 1)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s{r}"
+        f"SUM(CASE WHEN (w{r // 32} >> {r % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s{r}"
         for r in range(_AMS_REPS)
     )
     gcols = ",\n        ".join(
@@ -593,9 +597,13 @@ def _ams_oracle() -> str:
                        FOR i IN range(1, len(words))]) AS bg
         FROM w
     ),
+    ws AS (
+        SELECT {words}
+        FROM big
+    ),
     s AS (
         SELECT {sign_sums}
-        FROM big
+        FROM ws
     ),
     g AS (
         SELECT {gcols}

@@ -173,7 +173,7 @@ def _ams_sign_py(item: str, r: int, salt: str = "ams") -> int:
 
     block, pos = divmod(r, 32)
     h = hashlib.md5((item + f"|{salt}{block}").encode()).hexdigest()
-    return (int(h[pos], 16) % 2) * 2 - 1
+    return ((int(h[:8], 16) >> pos) & 1) * 2 - 1
 
 
 def test_ams_sums_match_python_mirror(spark):
