@@ -201,6 +201,10 @@ HEADLINE = [
     # coarse residuals, per-cell query LUTs + cross-cell constants; timing
     # includes cell assign, residual fit, encode, probe, rescore)
     "ivf_pq_residual_rescored_topk",
+    # round-7 addition: source-format roundtrips (orders -> CSV + gzip
+    # JSON-lines + ORC -> read back with explicit schemas; writes included
+    # in the timing — that IS the roundtrip)
+    "text_format_roundtrip_counts",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -1,4 +1,4 @@
-"""Text source-format coverage: CSV and JSON-lines read paths verified
+"""Source-format coverage: CSV, JSON-lines, and ORC read paths verified
 through the driver gate as LOSSLESS ROUNDTRIPS.
 
 Parquet is the repo's canonical storage, but every real ingest surface also
@@ -44,13 +44,13 @@ _ROUNDTRIP_ARM = """
 @query(
     "text_format_roundtrip_counts",
     oracle=" UNION ALL ".join(
-        _ROUNDTRIP_ARM.format(fmt=f) for f in ("csv", "json")
+        _ROUNDTRIP_ARM.format(fmt=f) for f in ("csv", "json", "orc")
     ),
 )
 def text_format_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Orders written to CSV (header + explicit timestamp format) and
-    gzipped JSON-lines, read back with EXPLICIT schemas, and aggregated —
-    one row per format, both of which the oracle restates from the parquet
+    """Orders written to CSV (header + explicit timestamp format), gzipped
+    JSON-lines, and ORC, read back with EXPLICIT schemas, and aggregated —
+    one row per format, each of which the oracle restates from the parquet
     original.  EAGER by necessity (like zorder_pruning_stats): the read
     needs the text files written; output directories are deterministic per
     sf_dir under one managed tmp root, wiped per invocation."""
@@ -82,6 +82,9 @@ def text_format_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.write.option("compression", "gzip")
         .mode("overwrite").json(str(root / "json"))
     )
+    # the other columnar format large deployments interop with (Hive/Trino
+    # estates are often ORC-native); typed end-to-end, no text parse at all
+    orders.write.mode("overwrite").orc(str(root / "orc"))
 
     csv_back = (
         spark.read.schema(schema)
@@ -90,6 +93,7 @@ def text_format_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(str(root / "csv"))
     )
     json_back = spark.read.schema(schema).json(str(root / "json"))
+    orc_back = spark.read.schema(schema).orc(str(root / "orc"))
 
     def arm(df: DataFrame, fmt: str) -> DataFrame:
         str_hash = F.conv(
@@ -116,4 +120,8 @@ def text_format_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(str_hash).cast("long").alias("string_hash_sum"),
         ).select(F.lit(fmt).alias("fmt"), "*")
 
-    return arm(csv_back, "csv").unionByName(arm(json_back, "json"))
+    return (
+        arm(csv_back, "csv")
+        .unionByName(arm(json_back, "json"))
+        .unionByName(arm(orc_back, "orc"))
+    )
