@@ -1,0 +1,260 @@
+"""Edit-distance similarity self-join — segment-pigeonhole candidate
+generation (PassJoin: Li, Deng, Wang, Feng, "PASS-JOIN: a partition-based
+method for similarity joins", PVLDB 5(3), 2011) + exact Levenshtein verify.
+
+The dedup family's missing member: Jaccard/containment/MinHash treat a
+document as a token SET, so they cannot see typo-level near-duplicates of
+SHORT strings (identifiers, titles, entity names) where one character
+insert/delete/substitute is the whole difference.  The reference has no
+string operators at all (its unit is an opaque byte record,
+`RecordOps.scala:26`); this is the entity-resolution primitive a curation
+pipeline runs over name/id columns.
+
+Exactness argument (pigeonhole): partition each string ``s`` into ``k+1``
+disjoint substrings ("segments").  An edit script of cost ≤ k touches at
+most k of them, so at least ONE segment of ``s`` survives verbatim in
+``t`` — contiguous and unbroken (no edit lies inside it) — at a start
+position shifted by at most k (each edit shifts later positions by ≤ 1).
+Hence every qualifying pair shares an exact (segment_index, substring)
+key within a ±k position window, and a join on segment keys followed by a
+Levenshtein(≤ k) verify returns EXACTLY the pairs at edit distance ≤ k —
+the DuckDB oracle replays the quadratic definition and must match
+bit-for-bit.  Strings too short to own k+1 non-empty segments
+(len < k+1) cannot be partitioned; they are routed through a dedicated
+bucket joined against the (length ≤ 2k)-bounded partner pool — any
+qualifying partner of a < k+1-char string is ≤ 2k chars, so the bucket is
+k-bounded, not data-sized.
+
+Scale shape: candidates per segment bucket of frequency ``f`` cost O(f²),
+so total candidate volume ≈ (k+1)·(2k+1)·N²/card(segment).  Boundaries
+are therefore a LAYOUT decision: the ``boundaries`` parameter pins
+segments onto the high-entropy region of template strings (serial
+numbers, zero-padded ids) where the even default would waste segments on
+constant prefixes/padding and melt into the quadratic join it exists to
+avoid.  Everything below is built-in Column expressions; the probe/index
+substring enumerations are ``transform`` lambdas over literal combo
+arrays so the position arithmetic appears ONCE in the plan (a Python-
+unrolled variant at k=2 emitted 75 inlined CASE trees and fell out of
+whole-stage codegen).  The only shuffles are the segment-key join, the
+candidate distinct, and whatever the caller aggregates; the Levenshtein
+verify is Spark's JVM ``levenshtein(l, r, threshold)`` which early-exits
+past the threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["editdist_selfjoin_pairs", "editdist_pair_counts"]
+
+
+def _seg_start(length: Column, k: int, i: Column) -> Column:
+    """Start (0-based) of segment ``i`` under the even k+1-way partition:
+    the first ``length % (k+1)`` segments get one extra char."""
+    base = (length / (k + 1)).cast("int")
+    return i * base + F.least(i, length % (k + 1))
+
+
+def _seg_len(length: Column, k: int, i: Column) -> Column:
+    base = (length / (k + 1)).cast("int")
+    return base + F.when(i < length % (k + 1), F.lit(1)).otherwise(F.lit(0))
+
+
+def _index_side(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    k: int,
+    boundaries: list[tuple[int, int]] | None,
+) -> DataFrame:
+    """One row per (string, segment): the string's own partition segments.
+    Even mode excludes strings shorter than k+1 chars (no valid partition);
+    those pairs come from the short-string bucket instead."""
+    s = F.col(text_col)
+    if boundaries is not None:
+        need = max(st + ln for st, ln in boundaries)
+        # Explicit boundaries are a precondition, not best-effort: a string
+        # too short to span them silently loses its pigeonhole guarantee,
+        # so fail the job instead.
+        guard = F.assert_true(
+            F.length(s) >= F.lit(need),
+            F.concat(F.lit("editdist boundaries exceed string: "), s),
+        )
+        segs = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("seg_idx"),
+                    F.when(guard.isNull(), F.substring(s, st + 1, ln)).alias("seg"),
+                )
+                for i, (st, ln) in enumerate(boundaries)
+            ]
+        )
+        base = df
+    else:
+        idx = F.sequence(F.lit(0), F.lit(k))
+        segs = F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("seg_idx"),
+                s.substr(_seg_start(F.length(s), k, i) + 1, _seg_len(F.length(s), k, i)).alias(
+                    "seg"
+                ),
+            ),
+        )
+        base = df.where(F.length(s) >= k + 1)
+    return base.select(
+        F.col(key_col).alias("key1"), s.alias("txt1"), F.explode(segs).alias("ix")
+    ).select("key1", "txt1", F.col("ix.seg_idx").alias("seg_idx"), F.col("ix.seg").alias("seg"))
+
+
+def _probe_side(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    k: int,
+    boundaries: list[tuple[int, int]] | None,
+) -> DataFrame:
+    """One row per (string, segment slot, position shift): every substring
+    of the probe string that could equal an index segment of a partner
+    within edit distance k — slot start ± k and (even mode) every source
+    length in [len−k, len+k]."""
+    t = F.col(text_col)
+    m = F.length(t)
+    if boundaries is not None:
+        subs = []
+        for i, (st, ln) in enumerate(boundaries):
+            for shift in range(-k, k + 1):
+                pos = st + shift
+                if pos < 0:
+                    continue
+                subs.append(
+                    F.struct(
+                        F.lit(i).alias("seg_idx"),
+                        F.when(F.lit(pos + ln) <= m, F.substring(t, pos + 1, ln)).alias("seg"),
+                    )
+                )
+        enumerated = F.array(*subs)
+    else:
+        combos = F.array(
+            *[
+                F.struct(F.lit(dl).alias("dl"), F.lit(i).alias("i"), F.lit(sh).alias("sh"))
+                for dl in range(-k, k + 1)
+                for i in range(k + 1)
+                for sh in range(-k, k + 1)
+            ]
+        )
+
+        def _sub(c: Column) -> Column:
+            src_len = m + c["dl"]
+            pos = _seg_start(src_len, k, c["i"]) + c["sh"]
+            ln = _seg_len(src_len, k, c["i"])
+            ok = (src_len >= k + 1) & (pos >= 0) & (ln > 0) & (pos + ln <= m)
+            return F.struct(
+                c["i"].alias("seg_idx"), F.when(ok, t.substr(pos + 1, ln)).alias("seg")
+            )
+
+        enumerated = F.transform(combos, _sub)
+    return (
+        df.select(
+            F.col(key_col).alias("key2"),
+            t.alias("txt2"),
+            F.explode(F.array_distinct(enumerated)).alias("px"),
+        )
+        .select("key2", "txt2", F.col("px.seg_idx").alias("seg_idx"), F.col("px.seg").alias("seg"))
+        .where(F.col("seg").isNotNull())
+    )
+
+
+def _short_string_candidates(df: DataFrame, text_col: str, key_col: str, k: int) -> DataFrame:
+    """Pairs whose smaller-key member is < k+1 chars (unpartitionable).
+    Any qualifying partner is ≤ (k+1-1)+k = 2k chars, so both sides are
+    length-bounded pools, not data-sized: the 1-key equi-join is quadratic
+    only over the ≤2k-char stragglers (a corpus where THOSE are numerous
+    has a quadratic true result anyway)."""
+    s = F.col(text_col)
+    shorts = df.where(F.length(s) < k + 1).select(
+        F.lit(1).alias("one"), F.col(key_col).alias("ka"), s.alias("ta")
+    )
+    partners = df.where(F.length(s) <= 2 * k).select(
+        F.lit(1).alias("one"), F.col(key_col).alias("kb"), s.alias("tb")
+    )
+    joined = shorts.join(partners, "one").where(F.col("ka") != F.col("kb"))
+    return joined.select(
+        F.least("ka", "kb").alias("key1"),
+        F.greatest("ka", "kb").alias("key2"),
+        F.when(F.col("ka") < F.col("kb"), F.col("ta")).otherwise(F.col("tb")).alias("txt1"),
+        F.when(F.col("ka") < F.col("kb"), F.col("tb")).otherwise(F.col("ta")).alias("txt2"),
+    )
+
+
+def editdist_selfjoin_pairs(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    *,
+    k: int = 1,
+    boundaries: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """All unordered pairs ``(key1 < key2, edit_dist)`` with
+    ``levenshtein(text1, text2) <= k``.
+
+    ``boundaries`` — optional list of exactly ``k+1`` ``(start, length)``
+    0-based char ranges, pairwise disjoint and in order, that every input
+    string spans (enforced with ``assert_true``).  They need NOT cover the
+    whole string: the pigeonhole counts edit operations, and edits outside
+    the covered region only shift it by ≤ k (absorbed by the probe
+    window).  Omit for the fully general even partition of each string.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if boundaries is not None:
+        if len(boundaries) != k + 1:
+            raise ValueError(f"need exactly k+1={k + 1} boundaries, got {len(boundaries)}")
+        ends = [st + ln for st, ln in boundaries]
+        starts = [st for st, _ in boundaries]
+        if any(ln <= 0 for _, ln in boundaries) or any(
+            starts[j + 1] < ends[j] for j in range(len(boundaries) - 1)
+        ):
+            raise ValueError(f"boundaries must be positive-length, ordered, disjoint: {boundaries}")
+
+    index = _index_side(df, text_col, key_col, k, boundaries)
+    probe = _probe_side(df, text_col, key_col, k, boundaries)
+    cand = (
+        index.join(probe, on=["seg_idx", "seg"])
+        .where(F.col("key1") < F.col("key2"))
+        .select("key1", "key2", "txt1", "txt2")
+    )
+    if boundaries is None:
+        cand = cand.unionByName(_short_string_candidates(df, text_col, key_col, k))
+    # Verify BEFORE deduplicating: the threshold Levenshtein is a cheap
+    # early-exit JVM call evaluated map-side, so filtering first shrinks the
+    # distinct's shuffle from the full candidate volume (Σ bucket f² rows,
+    # each carrying both texts) down to true-pair multiplicity (≤
+    # (k+1)(2k+1) copies per real pair, 3 narrow columns).  Measured 11 s →
+    # ~6 s on the sf0.1 serial-name query.
+    ed = F.levenshtein(F.col("txt1"), F.col("txt2"), k)
+    return (
+        cand.select("key1", "key2", ed.alias("edit_dist"))
+        .where(F.col("edit_dist") >= 0)
+        .distinct()
+    )
+
+
+def editdist_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    *,
+    k: int = 1,
+    boundaries: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Pair counts per exact edit distance ∈ [0, k] — the bounded-output
+    accounting view (the full pair set at sf0.1 is ~10⁵ rows; the counts
+    pin it just as hard because one wrong/missing pair moves a count)."""
+    pairs = editdist_selfjoin_pairs(df, text_col, key_col, k=k, boundaries=boundaries)
+    return (
+        pairs.groupBy("edit_dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("edit_dist")
+    )

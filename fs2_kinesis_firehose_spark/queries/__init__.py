@@ -85,6 +85,10 @@ WINDOW_EXEMPT: dict[str, str] = {
     "text_format_roundtrip_counts": (
         "late-r7 registration; heads the r8 window"
     ),
+    # Same situation: registered after the r7 window froze; oracle-checked
+    # green at sf0.01 on every test run (tests/test_oracle_parity.py).
+    "editdist_neardup_counts": "late-r7 registration; heads the r8 window",
+    "pmi_collocations_topk": "late-r7 registration; heads the r8 window",
 }
 
 _WINDOW_PRIORITY: list[str] = [
@@ -174,6 +178,7 @@ def load_all() -> None:
         sinkq,
         sketch_q,
         streaming_q,
+        stringsim_q,
         temporal_q,
         tpch_q,
         upsert_q,

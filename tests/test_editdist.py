@@ -1,0 +1,124 @@
+"""editdist_selfjoin_pairs vs the quadratic brute-force definition.
+
+The candidate filter (PassJoin segment pigeonhole) claims LOSSLESSNESS, so
+the whole pair set — keys AND distances — must equal the O(n²) dynamic-
+programming answer on every input, including adversarial ones (shared
+prefixes, repeated chars, length spreads, unicode)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row
+
+from fs2_kinesis_firehose_spark.operators.editdist import (
+    editdist_pair_counts,
+    editdist_selfjoin_pairs,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute(strings: dict[int, str], k: int) -> set[tuple[int, int, int]]:
+    keys = sorted(strings)
+    out = set()
+    for i, k1 in enumerate(keys):
+        for k2 in keys[i + 1 :]:
+            d = _lev(strings[k1], strings[k2])
+            if d <= k:
+                out.add((k1, k2, d))
+    return out
+
+
+def _spark_pairs(spark, strings, k, boundaries=None):
+    df = spark.createDataFrame([Row(key=i, s=s) for i, s in strings.items()])
+    got = editdist_selfjoin_pairs(df, "s", "key", k=k, boundaries=boundaries)
+    return {(r.key1, r.key2, r.edit_dist) for r in got.collect()}
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_even_partition_matches_bruteforce_random(spark, k):
+    rng = random.Random(42 + k)
+    alphabet = "abc"  # tiny alphabet => dense near-pairs
+    strings = {
+        i: "".join(rng.choice(alphabet) for _ in range(rng.randint(k + 1, 9)))
+        for i in range(120)
+    }
+    assert _spark_pairs(spark, strings, k) == _brute(strings, k)
+
+
+def test_even_partition_handles_length_spread_and_unicode(spark):
+    strings = {
+        0: "düsseldorf",
+        1: "dusseldorf",
+        2: "düsseldorff",
+        3: "ssseldorf",
+        4: "düsseldorf2021",
+        5: "dü",
+        6: "d",
+        7: "aa",
+        8: "ab",
+        9: "ba",
+    }
+    for k in (1, 2):
+        assert _spark_pairs(spark, strings, k) == _brute(strings, k)
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_template_boundaries_match_bruteforce(spark, k):
+    """Zero-padded serial numbers: boundaries pinned to the digit region."""
+    rng = random.Random(7)
+    strings = {i: f"unit#{rng.randrange(10**4):09d}" for i in range(300)}
+    # region [5, 14) == the 9 digits; split into k+1 ranges
+    if k == 1:
+        boundaries = [(5, 5), (10, 4)]
+    else:
+        boundaries = [(5, 3), (8, 3), (11, 3)]
+    got = _spark_pairs(spark, strings, k, boundaries=boundaries)
+    assert got == _brute(strings, k)
+
+
+def test_counts_view_aggregates_pairs(spark):
+    strings = {0: "kitten", 1: "sitten", 2: "sittin", 3: "mitten", 4: "kitten"}
+    df = spark.createDataFrame([Row(key=i, s=s) for i, s in strings.items()])
+    rows = {r.edit_dist: r.n_pairs for r in editdist_pair_counts(df, "s", "key", k=2).collect()}
+    brute = _brute(strings, 2)
+    expect = {}
+    for _, _, d in brute:
+        expect[d] = expect.get(d, 0) + 1
+    assert rows == expect
+    assert rows.get(0) == 1  # the duplicate "kitten" pair
+
+
+def test_boundary_validation():
+    import pyspark.sql.functions  # noqa: F401  (import side effects only)
+
+    from fs2_kinesis_firehose_spark.operators import editdist as E
+
+    with pytest.raises(ValueError, match="k must be"):
+        E.editdist_selfjoin_pairs(None, "s", "key", k=0)
+    with pytest.raises(ValueError, match="exactly k\\+1"):
+        E.editdist_selfjoin_pairs(None, "s", "key", k=1, boundaries=[(0, 2)])
+    with pytest.raises(ValueError, match="disjoint"):
+        E.editdist_selfjoin_pairs(None, "s", "key", k=1, boundaries=[(0, 3), (2, 2)])
+
+
+def test_short_string_violating_boundaries_fails_loudly(spark):
+    df = spark.createDataFrame([Row(key=0, s="abcdef"), Row(key=1, s="abc")])
+    pairs = editdist_selfjoin_pairs(df, "s", "key", k=1, boundaries=[(0, 2), (2, 3)])
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        pairs.collect()
