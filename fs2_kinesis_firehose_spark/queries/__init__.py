@@ -89,6 +89,7 @@ WINDOW_EXEMPT: dict[str, str] = {
     # green at sf0.01 on every test run (tests/test_oracle_parity.py).
     "editdist_neardup_counts": "late-r7 registration; heads the r8 window",
     "pmi_collocations_topk": "late-r7 registration; heads the r8 window",
+    "mad_event_outliers": "late-r7 registration; heads the r8 window",
 }
 
 _WINDOW_PRIORITY: list[str] = [
@@ -175,6 +176,7 @@ def load_all() -> None:
         llm,
         relational,
         retrieval_q,
+        robust_q,
         sinkq,
         sketch_q,
         streaming_q,
