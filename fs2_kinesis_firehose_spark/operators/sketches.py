@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "misra_gries_summaries",
+    "mg_merge_compress",
     "heavy_hitters",
     "count_min_table",
     "count_min_lookup",
@@ -96,6 +97,40 @@ def misra_gries_summaries(
         )
 
     return df.select(item_col).mapInPandas(summarize, schema=out_schema)
+
+
+def mg_merge_compress(state: DataFrame, new: DataFrame, k: int) -> DataFrame:
+    """Merge two Misra–Gries summaries (``item, weight`` DataFrames) and
+    compress back to ≤ k counters — the mergeable-summary operation of
+    Agarwal et al., "Mergeable summaries" (PODS 2012): sum weights, find
+    the (k+1)-th largest, subtract it, keep positives.  Error adds: if the
+    inputs undercount by ε₁n₁ and ε₂n₂ the merge undercounts by at most
+    ε₁n₁ + ε₂n₂ + t where t is the subtracted threshold — overall still
+    ≤ (n₁+n₂)/(k+1), so a micro-batch FOLD of per-batch summaries keeps
+    the global no-false-negative guarantee for φ > 1/(k+1).
+
+    Plan shape: one groupBy-sum over ≤ 2k (+k·partitions) rows, a
+    TakeOrderedAndProject for the threshold, and a 1-row broadcast
+    crossJoin — the exact in-plan compress idiom of ``heavy_hitters``;
+    state size is bounded by k regardless of stream volume."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    merged = (
+        state.unionByName(new)
+        .groupBy("item")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    thr = (
+        merged.orderBy(F.desc("weight")).limit(k + 1)
+        .agg(
+            F.when(F.count("*") >= k + 1, F.min("weight")).otherwise(F.lit(0)).alias("thr")
+        )
+    )
+    return (
+        merged.crossJoin(F.broadcast(thr))
+        .where(F.col("weight") > F.col("thr"))
+        .select("item", (F.col("weight") - F.col("thr")).alias("weight"))
+    )
 
 
 def heavy_hitters(

@@ -664,3 +664,94 @@ def ams_f2_bigram_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_tol"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: mergeable MG fold + exact recount gate
+# ---------------------------------------------------------------------------
+# Same phi as the batch query ABOVE — deliberately: the streaming fold must
+# land on the identical statistic the one-shot pipeline computes (the hll /
+# streaming_hll pairing).  k == ceil(1/phi) == 800 keeps the fold guarantee
+# under the copies=2 replay (2f > 2n/(k+1) <= f >= ceil(phi*n)) and sits
+# below the fixture's 916 distinct bigrams so compress genuinely fires.
+# phi smaller than 0.00125 degenerates at sf0.01 (636+ of 916 bigrams pass);
+# larger degenerates at sf0.1 (0 pass) — the corpus flattens as it grows.
+_SHH_PHI = _PHI
+_SHH_K = _K
+
+
+@query(
+    "streaming_heavy_hitter_bigrams",
+    oracle=f"""
+    WITH w AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS words FROM documents
+    ),
+    big AS (
+        SELECT unnest([words[i] || ' ' || words[i + 1]
+                       FOR i IN range(1, len(words))]) AS bigram
+        FROM w
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM big)
+    SELECT CAST(2 AS BIGINT) AS n_batches, bigram, COUNT(*) AS cnt
+    FROM big, tot
+    GROUP BY bigram, n
+    HAVING COUNT(*) >= CEIL({_SHH_PHI} * n)
+    """,
+)
+def streaming_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frequency monitoring: fold per-micro-batch Misra–Gries
+    summaries into ≤ k counters via ``mg_merge_compress`` (Agarwal et al.
+    mergeable summaries), then gate with an exact recount.
+
+    The replay is at-least-once (copies=2: every document delivered twice)
+    and MG is NOT duplication-idempotent — replayed weights double — which
+    is exactly why the pattern stays exact anyway: the fold only produces
+    CANDIDATES (recall holds because doubling both counts and the stream
+    length leaves "count > stream/(k+1)" invariant), while counts and the
+    φ·n cut come from one exact pass over the single-copy table.  The
+    complementary deployment contract to streaming_hll_cardinality's
+    idempotent-algebra fold: there replay-safety lives in the MERGE, here
+    it lives in the GATE.  Oracle is the plain GROUP BY/HAVING definition —
+    every sketch internal is checked by implication.  State per batch is
+    ≤ k rows, localCheckpointed; driver cost independent of stream volume.
+    """
+    from fs2_kinesis_firehose_spark.streaming.replay import replay_parquet
+
+    empty = spark.createDataFrame([], "item string, weight long")
+    acc: dict = {"state": empty, "batches": 0}
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        grams = word_ngram_rows(batch, "text", "doc_id", 2, distinct=False, out_col="bg")
+        # per-partition summaries can total k·P rows, so the first batch
+        # compresses through the same merge path as every later one
+        summaries = SK.misra_gries_summaries(grams, "bg", _SHH_K)
+        acc["state"] = SK.mg_merge_compress(acc["state"], summaries, _SHH_K).localCheckpoint(
+            eager=True
+        )
+        acc["batches"] += 1
+
+    stream = replay_parquet(
+        spark, sf_dir, "documents", copies=2, max_files_per_trigger=1
+    ).select("doc_id", "text")
+    qh = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    qh.awaitTermination()
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = word_ngram_rows(docs, "text", "doc_id", 2, distinct=False, out_col="bg")
+    totals = docs.agg(
+        F.sum(F.greatest(F.size(tokens("text")) - 1, F.lit(0))).cast("long").alias("n")
+    )
+    candidates = acc["state"].select(F.col("item").alias("bg"))
+    cut = F.ceil(F.lit(_SHH_PHI) * F.col("n")).cast("long")
+    return (
+        grams.join(F.broadcast(candidates), "bg", "inner")
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(totals))
+        .where(F.col("cnt") >= cut)
+        .select(
+            F.lit(acc["batches"]).cast("long").alias("n_batches"),
+            F.col("bg").alias("bigram"),
+            "cnt",
+        )
+    )

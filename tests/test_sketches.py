@@ -221,3 +221,57 @@ def test_ams_nulls_ignored_and_validation(spark):
         SK.ams_f2_sketch(df, "item", reps=0)
     with pytest.raises(ValueError):
         SK.ams_f2_estimate(SK.ams_f2_sketch(df, "item", reps=10), reps=10, groups=4)
+
+
+def test_mg_merge_compress_matches_dict_reference(spark):
+    """Distributed merge-compress == the dict _compress on the summed
+    weights (same (k+1)-th-largest threshold, subtract, keep-positive)."""
+    import random
+
+    rng = random.Random(3)
+    a = {f"w{i}": rng.randint(1, 50) for i in range(40)}
+    b = {f"w{i}": rng.randint(1, 50) for i in range(20, 60)}
+    k = 25
+    da = spark.createDataFrame(list(a.items()), "item string, weight long")
+    db = spark.createDataFrame(list(b.items()), "item string, weight long")
+    got = {r.item: r.weight for r in SK.mg_merge_compress(da, db, k).collect()}
+
+    summed = dict(a)
+    for it, w in b.items():
+        summed[it] = summed.get(it, 0) + w
+    expect = SK._compress(summed, k)
+    assert got == expect
+    assert len(got) <= k
+
+
+def test_mg_merge_compress_no_op_below_k(spark):
+    da = spark.createDataFrame([("x", 5), ("y", 3)], "item string, weight long")
+    db = spark.createDataFrame([("y", 2), ("z", 1)], "item string, weight long")
+    got = {r.item: r.weight for r in SK.mg_merge_compress(da, db, 10).collect()}
+    assert got == {"x": 5, "y": 5, "z": 1}
+
+    with pytest.raises(ValueError):
+        SK.mg_merge_compress(da, db, 0)
+
+
+def test_mg_fold_preserves_heavy_hitter_recall(spark):
+    """Folding per-chunk summaries through mg_merge_compress must keep
+    every item with frequency > n/(k+1) in the final state (the streaming
+    candidate-recall guarantee)."""
+    df, items = _zipf_df(spark, n=6_000, vocab=500, seed=9)
+    k = 60
+    chunks = [items[i : i + 1500] for i in range(0, len(items), 1500)]
+    state = spark.createDataFrame([], "item string, weight long")
+    for ch in chunks:
+        cdf = spark.createDataFrame([(s,) for s in ch], "item string")
+        state = SK.mg_merge_compress(
+            state, SK.misra_gries_summaries(cdf, "item", k), k
+        ).localCheckpoint(eager=True)
+    survivors = {r.item for r in state.collect()}
+    assert state.count() <= k
+    from collections import Counter
+
+    counts = Counter(items)
+    for it, c in counts.items():
+        if c > len(items) / (k + 1):
+            assert it in survivors, (it, c)
