@@ -91,6 +91,7 @@ WINDOW_EXEMPT: dict[str, str] = {
     "pmi_collocations_topk": "late-r7 registration; heads the r8 window",
     "mad_event_outliers": "late-r7 registration; heads the r8 window",
     "streaming_heavy_hitter_bigrams": "late-r7 registration; heads the r8 window",
+    "streaming_kll_doclen_quantiles": "late-r7 registration; heads the r8 window",
 }
 
 _WINDOW_PRIORITY: list[str] = [

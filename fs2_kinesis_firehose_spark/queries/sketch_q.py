@@ -755,3 +755,80 @@ def streaming_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFram
             "cnt",
         )
     )
+
+
+@query(
+    "streaming_kll_doclen_quantiles",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS n_batches, 0.01 AS phi, COUNT(text) AS n, TRUE AS rank_ok FROM documents
+    UNION ALL SELECT 2, 0.1,  COUNT(text), TRUE FROM documents
+    UNION ALL SELECT 2, 0.25, COUNT(text), TRUE FROM documents
+    UNION ALL SELECT 2, 0.5,  COUNT(text), TRUE FROM documents
+    UNION ALL SELECT 2, 0.75, COUNT(text), TRUE FROM documents
+    UNION ALL SELECT 2, 0.9,  COUNT(text), TRUE FROM documents
+    UNION ALL SELECT 2, 0.99, COUNT(text), TRUE FROM documents
+    """,
+)
+def streaming_kll_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile monitoring — the third leg of the streaming-sketch
+    trio (cardinality: streaming_hll_cardinality, frequency:
+    streaming_heavy_hitter_bigrams, quantiles: here).  Per micro-batch ONE
+    Arrow pass builds a KLL summary; the driver folds it into the running
+    sketch with the mergeable-summaries merge (a few KB of metadata,
+    independent of stream volume — no localCheckpoint even needed, the
+    state never re-enters a plan until the final validation projection).
+
+    Replay story #3: the replay is at-least-once (copies=2) and KLL is
+    neither duplication-idempotent (HLL max) nor gated by an exact recount
+    (MG); instead QUANTILES THEMSELVES are duplication-invariant — doubling
+    every value doubles every rank AND n, leaving rank/n ratios unchanged —
+    so the folded sketch's estimates still satisfy the rank-error bound
+    against the single-copy table, which is what the emitted ``rank_ok``
+    booleans check exactly (one scan, two conditional sums per phi)."""
+    from fs2_kinesis_firehose_spark.operators.kll import kll_sketch
+    from fs2_kinesis_firehose_spark.streaming.replay import replay_parquet
+
+    acc: dict = {"sk": None, "batches": 0}
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        lens = batch.select(F.length("text").cast("double").alias("len")).where(
+            F.col("len").isNotNull()
+        )
+        sk = kll_sketch(lens, "len", k=200)
+        acc["sk"] = sk if acc["sk"] is None else acc["sk"].merge(sk)
+        acc["batches"] += 1
+
+    stream = replay_parquet(
+        spark, sf_dir, "documents", copies=2, max_files_per_trigger=1
+    ).select("text")
+    qh = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    qh.awaitTermination()
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(F.length("text").cast("double").alias("len")).where(
+        F.col("len").isNotNull()
+    )
+    ests = [acc["sk"].quantile(p) for p in _KLL_PHIS]
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, v in enumerate(ests):
+        aggs.append(F.sum((F.col("len") < F.lit(v)).cast("long")).alias(f"lo{i}"))
+        aggs.append(F.sum((F.col("len") <= F.lit(v)).cast("long")).alias(f"hi{i}"))
+    stats = lens.agg(*aggs).localCheckpoint(eager=False)  # ONE exact pass
+
+    parts = []
+    for i, phi in enumerate(_KLL_PHIS):
+        target = F.lit(phi) * F.col("n")
+        err = F.greatest(F.lit(0.0), F.col(f"lo{i}") - target, target - F.col(f"hi{i}"))
+        parts.append(
+            stats.select(
+                F.lit(acc["batches"]).cast("long").alias("n_batches"),
+                F.lit(phi).alias("phi"),
+                F.col("n"),
+                (err <= F.lit(_KLL_EPS) * F.col("n")).alias("rank_ok"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
