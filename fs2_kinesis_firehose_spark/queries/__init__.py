@@ -92,6 +92,7 @@ WINDOW_EXEMPT: dict[str, str] = {
     "mad_event_outliers": "late-r7 registration; heads the r8 window",
     "streaming_heavy_hitter_bigrams": "late-r7 registration; heads the r8 window",
     "streaming_kll_doclen_quantiles": "late-r7 registration; heads the r8 window",
+    "analyze_orders_stats": "late-r7 registration; heads the r8 window",
 }
 
 _WINDOW_PRIORITY: list[str] = [
@@ -181,6 +182,7 @@ def load_all() -> None:
         robust_q,
         sinkq,
         sketch_q,
+        stats_q,
         streaming_q,
         stringsim_q,
         temporal_q,
