@@ -205,6 +205,25 @@ HEADLINE = [
     # JSON-lines + ORC -> read back with explicit schemas; writes included
     # in the timing — that IS the roundtrip)
     "text_format_roundtrip_counts",
+    # round-7 addition: edit-distance self-join (PassJoin segment pigeonhole
+    # + threshold-Levenshtein verify over 15k serial names; candidate volume
+    # is the measured cost — sum of segment-bucket f^2)
+    "editdist_neardup_counts",
+    # round-7 addition: PMI collocations (two count aggregates + two word
+    # joins + TakeOrdered; exact-integer outputs)
+    "pmi_collocations_topk",
+    # round-7 addition: robust outlier accounting (two histogram-fed exact
+    # median passes + broadcast join-backs, no raw-row window)
+    "mad_event_outliers",
+    # round-7 addition: streaming MG fold (copies=2 replay, <= k state rows
+    # per batch, exact recount gate over the single-copy corpus)
+    "streaming_heavy_hitter_bigrams",
+    # round-7 addition: streaming KLL fold (per-batch Arrow summaries merged
+    # driver-side; one exact rank-validation scan)
+    "streaming_kll_doclen_quantiles",
+    # round-7 addition: ANALYZE stats row (one multi-distinct aggregate over
+    # orders: null counts, NDVs, min/max, string widths)
+    "analyze_orders_stats",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)
