@@ -326,3 +326,48 @@ def test_classifier_eval_ranks_on_histogram_not_rows(spark, sf_smoke):
     assert w_pos != -1, plan
     assert "HashAggregate" in plan[w_pos:], plan
     assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_editdist_verify_before_distinct_no_cartesian(spark, sf_smoke):
+    """The segment filter must stay an equi-join (no cartesian fallback)
+    and the threshold-Levenshtein verify must run BELOW the pair-dedup
+    aggregate so the distinct shuffles true-pair multiplicity, not the
+    full candidate volume."""
+    df = q.QUERIES["editdist_neardup_counts"](spark, sf_smoke)
+    plan = explain_str(df)
+    assert "levenshtein" in plan, plan
+    assert_plan_lacks(df, "CartesianProduct")
+    # boundary mode has no short-string fallback bucket -> no BNLJ either
+    assert_plan_lacks(df, "BroadcastNestedLoopJoin")
+    # top-down formatted plan: the verify Filter is a descendant of the
+    # dedup HashAggregate, so it prints after the FIRST aggregate block
+    assert plan.find("levenshtein") > plan.find("HashAggregate"), plan
+
+
+def test_pmi_takeordered_and_partial_counts(spark, sf_smoke):
+    df = q.QUERIES["pmi_collocations_topk"](spark, sf_smoke)
+    plan = assert_plan_contains(df, "TakeOrderedAndProject")
+    assert_plan_lacks(df, "CartesianProduct")
+    # bigram + unigram counts both partial-aggregated (>= 4 HashAggregates)
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_mad_windows_run_on_histograms_not_rows(spark, sf_smoke):
+    """Both median passes must sort per-group DISTINCT-VALUE aggregates,
+    never raw rows: every Window's input chain includes a HashAggregate
+    (the histogram), and the median join-backs broadcast."""
+    df = q.QUERIES["mad_event_outliers"](spark, sf_smoke)
+    plan = explain_str(df)
+    assert plan.count("Window") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    first_window = plan.find("Window")
+    assert "HashAggregate" in plan[first_window:], plan
+
+
+def test_analyze_stats_single_scan_expand_distinct(spark, sf_smoke):
+    df = q.QUERIES["analyze_orders_stats"](spark, sf_smoke)
+    plan = explain_str(df)
+    # one pass over orders; the multi-distinct runs via Expand, map-side
+    assert plan.count("orders.parquet") == 1, plan
+    assert "Expand" in plan, plan
+    assert_plan_lacks(df, "CartesianProduct")
