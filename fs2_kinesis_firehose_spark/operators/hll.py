@@ -54,6 +54,7 @@ def hll_table(
     *,
     p: int = 12,
     salt: str = "hll",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Build the register table ``(bucket int, rho int)`` for the distinct
     count of ``item_col`` (NULLs ignored, as COUNT(DISTINCT) does).
@@ -81,26 +82,36 @@ def hll_table(
     rho = F.when(w == 0, F.lit(rmax)).otherwise(
         F.lit(_HASH_BITS - p) - F.length(F.bin(w)) + 1
     )
+    # ``group_cols`` turns the sketch into a PER-SLICE register table
+    # (group..., bucket, rho) — one mergeable distinct-count artifact per
+    # group in the same ONE partial-aggregated pass; <= groups * 2^p rows.
     return (
         df.where(F.col(item_col).isNotNull())
-        .select((h % m).cast("int").alias("bucket"), rho.cast("int").alias("rho"))
-        .groupBy("bucket")
+        .select(
+            *group_cols,
+            (h % m).cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
 
 
-def hll_merge(*tables: DataFrame) -> DataFrame:
+def hll_merge(*tables: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Exact sketch union: registers are max-linear, so merging sketches of
-    ANY overlapping slices equals the sketch of their union."""
+    ANY overlapping slices equals the sketch of their union.  With
+    ``group_cols`` the merge is per slice (same-group registers max)."""
     if not tables:
         raise ValueError("need at least one register table")
     out = tables[0]
     for t in tables[1:]:
         out = out.unionByName(t)
-    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    return out.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho"))
 
 
-def hll_estimate(registers: DataFrame, *, p: int = 12) -> DataFrame:
+def hll_estimate(
+    registers: DataFrame, *, p: int = 12, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """One-row estimate DataFrame from a register table:
 
     ``(n_nonzero bigint, scaled_sum bigint, estimate double)``
@@ -116,7 +127,8 @@ def hll_estimate(registers: DataFrame, *, p: int = 12) -> DataFrame:
     m = 1 << p
     rmax = _HASH_BITS - p + 1
     alpha = hll_alpha(m)
-    agg = registers.agg(
+    grouped = registers.groupBy(*group_cols) if group_cols else registers
+    agg = grouped.agg(
         F.count(F.lit(1)).alias("n_nonzero"),
         F.coalesce(
             # Python-API shiftleft takes only a literal count; the SQL form
@@ -134,6 +146,6 @@ def hll_estimate(registers: DataFrame, *, p: int = 12) -> DataFrame:
         (raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
-    return agg.select("n_nonzero", scaled).withColumn(
+    return agg.select(*group_cols, "n_nonzero", scaled).withColumn(
         "estimate", est.alias("estimate")
     )

@@ -93,6 +93,7 @@ WINDOW_EXEMPT: dict[str, str] = {
     "streaming_heavy_hitter_bigrams": "late-r7 registration; heads the r8 window",
     "streaming_kll_doclen_quantiles": "late-r7 registration; heads the r8 window",
     "analyze_orders_stats": "late-r7 registration; heads the r8 window",
+    "hll_grouped_distinct_estimates": "late-r7 registration; heads the r8 window",
 }
 
 _WINDOW_PRIORITY: list[str] = [

@@ -832,3 +832,93 @@ def streaming_kll_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _hll_grouped_oracle() -> str:
+    """Per-slice register rebuild: the single-query GROUP BY form of the
+    hll_distinct_estimates oracle — registers, scaled sums, checksums, and
+    the small-range branch all restated per o_orderpriority."""
+    wbits = 60 - _HLL_P
+    return f"""
+    WITH h AS (
+        SELECT o_orderpriority AS priority,
+               CAST(CONCAT('0x',
+                 SUBSTRING(md5(CAST(o_custkey AS VARCHAR) || '|hll'), 1, 15))
+                 AS BIGINT) AS hv
+        FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    reg AS (
+        SELECT priority, CAST(hv % {_HLL_M} AS INT) AS bucket,
+               MAX(CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_RMAX}
+                        ELSE {wbits} - LENGTH(bin(hv // {_HLL_M})) + 1
+                   END) AS rho
+        FROM h GROUP BY priority, bucket
+    ),
+    s AS (
+        SELECT priority, COUNT(*) AS n_nonzero,
+               CAST(SUM(1::BIGINT << ({_HLL_RMAX} - rho)) AS BIGINT)
+                 + ({_HLL_M} - COUNT(*)) * ({1 << _HLL_RMAX}::BIGINT) AS scaled_sum,
+               CAST(SUM((bucket + 1) * rho) AS BIGINT) AS register_checksum
+        FROM reg GROUP BY priority
+    ),
+    e AS (
+        SELECT o_orderpriority AS priority,
+               COUNT(DISTINCT o_custkey) AS exact_distinct
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY priority
+    )
+    SELECT s.priority, n_nonzero, scaled_sum, register_checksum, exact_distinct,
+           ABS(
+             CASE WHEN raw <= 2.5 * {_HLL_M} AND n_nonzero < {_HLL_M}
+                  THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE) / ({_HLL_M} - n_nonzero))
+                  ELSE raw END
+             / exact_distinct - 1.0
+           ) < 0.05 AS within_tol
+    FROM (
+        SELECT *, CAST({_HLL_ALPHA_MM!r} AS DOUBLE)
+                    * CAST({float(1 << _HLL_RMAX)!r} AS DOUBLE) / scaled_sum AS raw
+        FROM s
+    ) s JOIN e ON s.priority = e.priority
+    """
+
+
+@query("hll_grouped_distinct_estimates", oracle=_hll_grouped_oracle())
+def hll_grouped_distinct_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice distinct-count artifacts: ONE partial-aggregated pass
+    builds a register table per o_orderpriority (group_cols on hll_table),
+    estimates come from a per-group rollup of the same table — the shape a
+    100 TB pipeline persists so per-day/per-source cardinalities union and
+    intersect later WITHOUT rescanning (hll_merge is per-slice max).  The
+    oracle rebuilds every group's registers bit-for-bit and restates
+    checksum + scaled sum + the small-range branch per group."""
+    from fs2_kinesis_firehose_spark.operators.hll import hll_estimate, hll_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    reg = hll_table(
+        orders.select(F.col("o_orderpriority").alias("priority"), "o_custkey"),
+        "o_custkey",
+        p=_HLL_P,
+        group_cols=("priority",),
+    ).localCheckpoint(eager=False)  # feeds estimate AND checksum
+    est = hll_estimate(reg, p=_HLL_P, group_cols=("priority",))
+    chk = reg.groupBy("priority").agg(
+        F.sum((F.col("bucket") + 1) * F.col("rho")).cast("long").alias("register_checksum")
+    )
+    exact = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count_distinct("o_custkey").alias("exact_distinct"))
+    )
+    return (
+        est.join(chk, "priority")
+        .join(exact, "priority")
+        .select(
+            "priority",
+            "n_nonzero",
+            "scaled_sum",
+            "register_checksum",
+            "exact_distinct",
+            (F.abs(F.col("estimate") / F.col("exact_distinct") - 1.0) < 0.05).alias(
+                "within_tol"
+            ),
+        )
+    )
