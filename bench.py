@@ -224,6 +224,9 @@ HEADLINE = [
     # round-7 addition: ANALYZE stats row (one multi-distinct aggregate over
     # orders: null counts, NDVs, min/max, string widths)
     "analyze_orders_stats",
+    # round-7 addition: per-slice HLL registers (one grouped partial-agg
+    # pass, per-group estimate rollup + checksum + exact comparison)
+    "hll_grouped_distinct_estimates",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)
