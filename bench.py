@@ -227,6 +227,12 @@ HEADLINE = [
     # round-7 addition: per-slice HLL registers (one grouped partial-agg
     # pass, per-group estimate rollup + checksum + exact comparison)
     "hll_grouped_distinct_estimates",
+    # round-7 addition: Deequ-style constraint report (six independent
+    # one-aggregate checks incl. a broadcast anti-join FK probe)
+    "dq_check_report",
+    # round-7 addition: additive-MV fold refresh (two slice aggregates +
+    # one full-outer fold + the full recompute it is certified against)
+    "incremental_mv_refresh_accounting",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -1,0 +1,47 @@
+"""Incremental materialized-view maintenance — additive aggregate folding.
+
+The warehouse feature that makes 100 TB dashboards affordable: a
+SUM/COUNT-shaped aggregate view is refreshed by folding the DELTA's
+partial aggregate into the stored view instead of rescanning the base
+(refresh cost ∝ delta, not corpus).  Correctness rests on the same
+algebra Spark's own partial aggregation uses — sums and counts are
+commutative monoids, so ``agg(base ⊎ delta) == fold(agg(base),
+agg(delta))`` exactly, including for disjoint/overlapping key sets
+(full-outer coalesce-to-identity).  AVG-style views store (sum, count)
+pairs and derive the ratio at read time; MIN/MAX fold with greatest/
+least (monoid, but not invertible — deletes need recompute); EXACT
+DISTINCT does not fold — store HLL registers (operators/hll.py,
+max-monoid) when approximate is acceptable.
+
+Plan shape: one full-outer join on the view key between two
+aggregate-sized tables (broadcast when the delta's key set is small) +
+codegen coalesce-adds.  No raw-row work at refresh time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["fold_additive_agg"]
+
+
+def fold_additive_agg(
+    view: DataFrame, delta: DataFrame, keys: list[str], add_cols: list[str]
+) -> DataFrame:
+    """Fold a delta partial-aggregate into a stored view: full-outer join
+    on ``keys``, per-column ``coalesce(v, 0) + coalesce(d, 0)`` for every
+    additive measure in ``add_cols`` (sums and counts).  Output schema ==
+    view schema; key-only-in-delta rows appear, key-only-in-view rows
+    survive unchanged."""
+    d = delta
+    for c in add_cols:
+        d = d.withColumnRenamed(c, f"_d_{c}")
+    joined = view.join(d, keys, "full_outer")
+    out_cols: list = [F.col(k) for k in keys]
+    for c in add_cols:
+        zero = F.lit(0).cast(view.schema[c].dataType)
+        out_cols.append(
+            (F.coalesce(F.col(c), zero) + F.coalesce(F.col(f"_d_{c}"), zero)).alias(c)
+        )
+    return joined.select(*out_cols)

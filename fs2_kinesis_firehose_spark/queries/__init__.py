@@ -94,6 +94,8 @@ WINDOW_EXEMPT: dict[str, str] = {
     "streaming_kll_doclen_quantiles": "late-r7 registration; heads the r8 window",
     "analyze_orders_stats": "late-r7 registration; heads the r8 window",
     "hll_grouped_distinct_estimates": "late-r7 registration; heads the r8 window",
+    "dq_check_report": "late-r7 registration; heads the r8 window",
+    "incremental_mv_refresh_accounting": "late-r7 registration; heads the r8 window",
 }
 
 _WINDOW_PRIORITY: list[str] = [
@@ -174,6 +176,7 @@ def load_all() -> None:
     from fs2_kinesis_firehose_spark.queries import (  # noqa: F401
         cluster_q,
         curation_q,
+        dq_q,
         format_q,
         graph_q,
         layout_q,
