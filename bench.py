@@ -233,6 +233,9 @@ HEADLINE = [
     # round-7 addition: additive-MV fold refresh (two slice aggregates +
     # one full-outer fold + the full recompute it is certified against)
     "incremental_mv_refresh_accounting",
+    # round-7 addition: real WAV codec roundtrip (synthesize -> encode ->
+    # container-walking decode -> integer features, two Arrow stages)
+    "multimodal_wav_roundtrip_stats",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -96,6 +96,7 @@ WINDOW_EXEMPT: dict[str, str] = {
     "hll_grouped_distinct_estimates": "late-r7 registration; heads the r8 window",
     "dq_check_report": "late-r7 registration; heads the r8 window",
     "incremental_mv_refresh_accounting": "late-r7 registration; heads the r8 window",
+    "multimodal_wav_roundtrip_stats": "late-r7 registration; heads the r8 window",
 }
 
 _WINDOW_PRIORITY: list[str] = [

@@ -2075,3 +2075,82 @@ def streaming_quality_gate_accounting(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("prob_bin")
     )
+
+
+@query(
+    "multimodal_wav_roundtrip_stats",
+    # The REAL WAV codec (operators/wav.py — RIFF/WAVE PCM16, stdlib
+    # struct) is driver-verifiable the same way the PNG one is: samples
+    # come from a pure-integer formula the oracle restates, the Spark side
+    # routes them through ACTUAL WAV bytes (encode → container-parsing
+    # decode), and equal integer features prove the audio path is
+    # lossless.  n_bytes is measured from the real payload — the 44-byte
+    # canonical header + 2 bytes/sample, certified by the oracle's
+    # arithmetic form.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               8000 + (doc_id % 3) * 4000 AS sample_rate,
+               400 + doc_id % 211 AS n,
+               doc_id % 97 + 1 AS k
+        FROM documents WHERE doc_id < 100
+    ),
+    idx AS (
+        SELECT doc_id, k, unnest(range(0, n)) AS i FROM d
+    ),
+    s AS (
+        SELECT doc_id, i, ((i * k) % 20001) - 10000 AS v FROM idx
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(v * v) AS BIGINT) AS sum_squares,
+               CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * v < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+               CAST(MAX(ABS(v)) AS INT) AS peak
+        FROM (
+            SELECT doc_id, v,
+                   LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM s
+        )
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(44 + 2 * d.n AS BIGINT) AS n_bytes,
+           CAST(d.sample_rate AS INT) AS sample_rate,
+           f.n_samples, f.sum_squares, f.zero_crossings, f.peak
+    FROM d JOIN feats f ON d.doc_id = f.doc_id
+    """,
+)
+def multimodal_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec AUDIO path under the correctness gate (the WAV analog of
+    multimodal_png_roundtrip_stats): per doc, a deterministic int16
+    waveform → encode_wav → REAL decode_wav (RIFF chunk walk, PCM16
+    validation) → integer-exact features (sum of squares, strict-sign
+    zero crossings, peak) via one Arrow-batched audio_features pass.
+    The encode stage is a second narrow mapInPandas; nothing shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    from fs2_kinesis_firehose_spark.operators.wav import audio_features, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rate = 8000 + (d % 3) * 4000
+                n = 400 + d % 211
+                k = d % 97 + 1
+                samples = (((np.arange(n, dtype=np.int64) * k) % 20001) - 10000).astype(
+                    np.int16
+                )
+                rows.append((d, encode_wav(samples, rate)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    clips = docs.mapInPandas(synth, "doc_id bigint, payload binary").withColumn(
+        "n_bytes", F.length("payload").cast("long")
+    )
+    return audio_features(clips, "payload", ["doc_id", "n_bytes"])
