@@ -236,6 +236,9 @@ HEADLINE = [
     # round-7 addition: real WAV codec roundtrip (synthesize -> encode ->
     # container-walking decode -> integer features, two Arrow stages)
     "multimodal_wav_roundtrip_stats",
+    # round-7 addition: real Y4M video codec roundtrip (same shape; adds
+    # the temporal-activity sum over per-frame luma)
+    "multimodal_y4m_roundtrip_stats",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

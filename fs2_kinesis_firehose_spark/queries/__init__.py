@@ -97,6 +97,7 @@ WINDOW_EXEMPT: dict[str, str] = {
     "dq_check_report": "late-r7 registration; heads the r8 window",
     "incremental_mv_refresh_accounting": "late-r7 registration; heads the r8 window",
     "multimodal_wav_roundtrip_stats": "late-r7 registration; heads the r8 window",
+    "multimodal_y4m_roundtrip_stats": "late-r7 registration; heads the r8 window",
 }
 
 _WINDOW_PRIORITY: list[str] = [

@@ -2154,3 +2154,82 @@ def multimodal_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFram
         "n_bytes", F.length("payload").cast("long")
     )
     return audio_features(clips, "payload", ["doc_id", "n_bytes"])
+
+
+@query(
+    "multimodal_y4m_roundtrip_stats",
+    # Completes the real-container trio (PNG/WAV/Y4M): deterministic luma
+    # frames from a pure-integer formula → encode_y4m → container-walking
+    # decode_y4m → integer features.  n_bytes pins the container layout:
+    # 36-byte stream header + per frame (6-byte FRAME marker + 64 pixels).
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 3 + doc_id % 5 AS t FROM documents WHERE doc_id < 100
+    ),
+    px AS (
+        SELECT doc_id, t, unnest(range(0, t * 64)) AS j FROM d
+    ),
+    v AS (
+        SELECT doc_id, j // 64 AS frame,
+               (doc_id * 31 + (j // 64) * 17 + ((j % 64) // 8) * 8 + j % 8) % 256 AS p
+        FROM px
+    ),
+    fsums AS (
+        SELECT doc_id, frame, CAST(SUM(p) AS BIGINT) AS s,
+               CAST(MAX(p) AS INT) AS fmax
+        FROM v GROUP BY doc_id, frame
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(s) AS BIGINT) AS total_luma,
+               CAST(SUM(ABS(s - prev)) FILTER (WHERE prev IS NOT NULL) AS BIGINT)
+                 AS frame_delta_sum,
+               CAST(MAX(fmax) AS INT) AS peak_luma
+        FROM (
+            SELECT doc_id, s, fmax,
+                   LAG(s) OVER (PARTITION BY doc_id ORDER BY frame) AS prev
+            FROM fsums
+        )
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(36 + d.t * 70 AS BIGINT) AS n_bytes,
+           25 AS fps_num,
+           CAST(d.t AS INT) AS n_frames,
+           8 AS height, 8 AS width,
+           a.total_luma,
+           COALESCE(a.frame_delta_sum, 0) AS frame_delta_sum,
+           a.peak_luma
+    FROM d JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def multimodal_y4m_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec VIDEO path under the correctness gate: per doc, 3-7
+    deterministic 8×8 luma frames → encode_y4m → REAL decode_y4m (stream
+    header parse, FRAME walk, size validation) → integer-exact features
+    including the Σ|S_t − S_{t−1}| temporal-activity measure.  Two narrow
+    Arrow stages, no shuffle (operators/y4m.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from fs2_kinesis_firehose_spark.operators.y4m import encode_y4m, video_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                t = 3 + d % 5
+                tt, yy, xx = np.meshgrid(
+                    np.arange(t), np.arange(8), np.arange(8), indexing="ij"
+                )
+                frames = ((d * 31 + tt * 17 + yy * 8 + xx) % 256).astype(np.uint8)
+                rows.append((d, encode_y4m(frames, fps=(25, 1))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    clips = docs.mapInPandas(synth, "doc_id bigint, payload binary").withColumn(
+        "n_bytes", F.length("payload").cast("long")
+    )
+    return video_features(clips, "payload", ["doc_id", "n_bytes"])
