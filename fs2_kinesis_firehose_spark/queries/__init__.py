@@ -63,112 +63,76 @@ WINDOW_EXEMPT: dict[str, str] = {
     # oracle).  A window slot here can only ever record no_oracle (r3
     # verdict, "What's wrong" #3).
     "simhash_candidates": "subsumed by oracle-checked simhash_neardup_pairs",
-    # Registered after the r7 window was frozen (10 never-verified + scd2 +
-    # all 39 r4-evidence rotations fill the 50 slots exactly; evicting a
-    # rotation would leave the r6 verdict's top ask incomplete).  Oracle-
-    # checked green at sf0.01 this round (compare_query) and covered on
-    # every test run by tests/test_oracle_parity.py; MUST head the r8 window.
-    "streaming_hll_cardinality": "late-r7 registration; heads the r8 window",
-    "streaming_quality_gate_accounting": (
-        "late-r7 registration; heads the r8 window"
-    ),
-    # Same situation as the two streaming entries above: registered after
-    # the r7 window froze; oracle-checked green at sf0.01 (compare_query)
-    # and on every test run by tests/test_oracle_parity.py.
-    "ams_f2_bigram_estimate": "late-r7 registration; heads the r8 window",
-    "bucketed_colocated_join_revenue": (
-        "late-r7 registration; heads the r8 window"
-    ),
-    "ivf_pq_residual_rescored_topk": (
-        "late-r7 registration; heads the r8 window"
-    ),
-    "text_format_roundtrip_counts": (
-        "late-r7 registration; heads the r8 window"
-    ),
-    # Same situation: registered after the r7 window froze; oracle-checked
-    # green at sf0.01 on every test run (tests/test_oracle_parity.py).
-    "editdist_neardup_counts": "late-r7 registration; heads the r8 window",
-    "pmi_collocations_topk": "late-r7 registration; heads the r8 window",
-    "mad_event_outliers": "late-r7 registration; heads the r8 window",
-    "streaming_heavy_hitter_bigrams": "late-r7 registration; heads the r8 window",
-    "streaming_kll_doclen_quantiles": "late-r7 registration; heads the r8 window",
-    "analyze_orders_stats": "late-r7 registration; heads the r8 window",
-    "hll_grouped_distinct_estimates": "late-r7 registration; heads the r8 window",
-    "dq_check_report": "late-r7 registration; heads the r8 window",
-    "incremental_mv_refresh_accounting": "late-r7 registration; heads the r8 window",
-    "multimodal_wav_roundtrip_stats": "late-r7 registration; heads the r8 window",
-    "multimodal_y4m_roundtrip_stats": "late-r7 registration; heads the r8 window",
 }
 
 _WINDOW_PRIORITY: list[str] = [
-    # --- r7 window.  Rotation state: r6 swept 50/50 green; after it the
-    # registry's OLDEST live evidence is r4 (39 queries — the r6 verdict's
-    # top ask is rotating them through so everything lands r5+).  This
-    # window: (1) heads with the TEN queries that have never earned a
-    # driver row (r6's late IVF+PQ composition plus this round's new
-    # operators — end-to-end spool→dedup→Firehose pipeline, HLL sketches,
-    # TPC-H Q12/Q21, containment join, sign-quant ANN, and the quantized-
-    # gradient quality-classifier trainer + its rank-sum AUC/calibration
-    # eval); (2) re-verifies scd2_version_accounting, whose apply path
-    # changed this round (single-tick codegen fast path); (3) rotates in
-    # ALL 39 r4-evidence queries — 10 + 1 + 39 fills the window exactly.
-    # The full r5-evidence set rotates in r8.
+    # --- r8 window (derived by scripts/window_rotation.py from the
+    # CORRECTNESS history; the r7 verdict's top ask).  Rotation state:
+    # r7 swept 50/50 green, leaving 17 late-r7 registrations with NO
+    # driver row (they were window-exempt because the r7 slots were
+    # exactly full).  This window: (1) heads with all 17 never-verified
+    # late-r7 queries — residual IVFADC, DQ report, incremental MV fold,
+    # CSV/JSON/ORC roundtrip, the streaming quality gate + the three
+    # streaming sketch folds, WAV/Y4M codecs, bucketed co-located join,
+    # Hampel outliers, AMS F2, grouped HLL, ANALYZE stats, PassJoin
+    # editdist, PMI collocations; (2) re-verifies queries whose
+    # implementation changed this round (HLL exact shift-based register
+    # math, PQ fit/encode checkpointing); (3) fills the remaining slots
+    # with the oldest-evidence (r5) rotations, name-ascending.
     # ---------------------------------------------------------------
-    # (1) never driver-verified
-    "ivf_pq_rescored_topk",
-    "pipeline_dedup_delivery_accounting",
-    "hll_distinct_estimates",
-    "tpch_q12_shipmode_priority",
-    "tpch_q21_suppliers_kept_waiting",
-    "ngram_containment_pairs",
-    "binary_quant_rescored_topk",
-    "hll_overlap_estimates",
-    "quality_classifier_accounting",
-    "classifier_auc_calibration",
+    # (1) never driver-verified (late-r7 registrations, exemptions lifted)
+    "ivf_pq_residual_rescored_topk",
+    "dq_check_report",
+    "incremental_mv_refresh_accounting",
+    "text_format_roundtrip_counts",
+    "streaming_quality_gate_accounting",
+    "multimodal_wav_roundtrip_stats",
+    "multimodal_y4m_roundtrip_stats",
+    "bucketed_colocated_join_revenue",
+    "mad_event_outliers",
+    "streaming_hll_cardinality",
+    "ams_f2_bigram_estimate",
+    "streaming_heavy_hitter_bigrams",
+    "streaming_kll_doclen_quantiles",
+    "hll_grouped_distinct_estimates",
+    "analyze_orders_stats",
+    "editdist_neardup_counts",
+    "pmi_collocations_topk",
     # (2) implementation changed this round -> re-verify
-    "scd2_version_accounting",
-    # (3) r4-evidence queries (complete set; newest green row is r4)
-    "ann_lsh_topk",
-    "applyinpandas_zscore",
-    "approx_distinct_users",
-    "asof_join_latest_order",
-    "benchmark_contamination",
-    "bpe_learned_token_counts",
-    "customer_order_window_stats",
-    "dedup_exact",
-    "distinct_segments",
-    "doc_fingerprints",
-    "doc_length_histogram",
-    "embedding_neardup_blocked",
-    "embedding_neardup_pairs",
-    "global_top10_orders",
-    "gopher_quality_flags",
-    "gopher_repetition_flags",
-    "grouping_sets_order_stats",
-    "ivf_topk",
-    "lang_id_counts",
-    "multimodal_frame_sample_stats",
-    "multimodal_image_features",
-    "near_dedup_cluster_sizes",
-    "near_dedup_survivors",
-    "ngram_jaccard_filtered",
-    "ngram_jaccard_pairs",
-    "order_price_percentiles",
-    "packed_sequence_stats",
-    "pandas_udaf_geomean",
-    "pii_redaction_stats",
-    "quality_scores",
-    "returnflag_cube",
-    "revenue_by_nation",
-    "source_mixture_counts",
-    "stratified_sample_docs",
-    "temperature_mixing_counts",
-    "token_stats",
-    "train_val_test_counts",
-    "udtf_bigram_counts",
-    "zorder_pruning_stats",
-    # (4) no tail fill this round: ten never-verified + scd2 + 39 r4
-    # rotations fill the window exactly; the full r5 set rotates in r8
+    "hll_distinct_estimates",
+    "hll_overlap_estimates",
+    "pq_adc_topk",
+    "pq_rescored_topk",
+    "ivf_pq_rescored_topk",
+    # (3) oldest-evidence rotations (newest green row is r5), name-asc
+    "all_party_names_union",
+    "array_functions",
+    "bm25_postings_topk",
+    "bm25_topk",
+    "ccnet_perplexity_buckets",
+    "customers_with_orders",
+    "doc_community_labels",
+    "event_funnel_times",
+    "full_outer_nation_balance",
+    "hourly_gap_report",
+    "kmeans_cluster_stats",
+    "late_shipments",
+    "leakage_safe_split_counts",
+    "market_segment_rollup",
+    "monthly_revenue_running",
+    "nations_with_customers_and_suppliers",
+    "nations_without_rich_suppliers",
+    "pagerank_top_sources",
+    "part_copurchase_triangles",
+    "parts_never_ordered",
+    "segment_count_distinct",
+    "snapshot_upsert_accounting",
+    "streaming_progress_rollup",
+    "streaming_tumbling_counts",
+    "streaming_upsert_accounting",
+    "tfidf_doc_keywords",
+    "top_orders_per_customer",
+    "tpch_q10_returned_items",
 ]
 
 
