@@ -78,7 +78,11 @@ def hll_table(
         16,
         10,
     ).cast("long")
-    w = (h / m).cast("long")  # floor-div: h >= 0 always
+    # Exact integer floor-div: m = 2^p, so h div m == h >> p.  (A ``h / m``
+    # double division would round at 53 bits — h is 60-bit, so for
+    # h >= 2^53 the rounding could move w across a multiple-of-m boundary
+    # and desync rho from the oracle's exact ``hv // m``.)
+    w = F.shiftright(h, p)
     rho = F.when(w == 0, F.lit(rmax)).otherwise(
         F.lit(_HASH_BITS - p) - F.length(F.bin(w)) + 1
     )

@@ -35,10 +35,17 @@ def fold_additive_agg(
     view schema; key-only-in-delta rows appear, key-only-in-view rows
     survive unchanged."""
     d = delta
-    for c in add_cols:
+    for c in add_cols + keys:
         d = d.withColumnRenamed(c, f"_d_{c}")
-    joined = view.join(d, keys, "full_outer")
-    out_cols: list = [F.col(k) for k in keys]
+    # eqNullSafe, not a USING-join: SQL null != null would leave a
+    # NULL-keyed group present in both sides as TWO output rows instead
+    # of one folded row (a full recompute would emit one).
+    cond = None
+    for k in keys:
+        c = view[k].eqNullSafe(d[f"_d_{k}"])
+        cond = c if cond is None else cond & c
+    joined = view.join(d, cond, "full_outer")
+    out_cols: list = [F.coalesce(view[k], d[f"_d_{k}"]).alias(k) for k in keys]
     for c in add_cols:
         zero = F.lit(0).cast(view.schema[c].dataType)
         out_cols.append(

@@ -62,6 +62,11 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= n:
         tag = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + size > n:
+            raise ValueError(
+                f"truncated chunk {tag!r} at byte {pos}: declares {size} bytes, "
+                f"{n - pos - 8} remain"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if tag == b"fmt ":
             if size < 16:
@@ -77,6 +82,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or data is None:
         raise ValueError("missing fmt or data chunk")
+    if len(data) % 2:
+        raise ValueError(f"odd data chunk length {len(data)} for 16-bit samples")
     return sample_rate, np.frombuffer(data, dtype="<i2")
 
 

@@ -107,7 +107,10 @@ def video_features(df: DataFrame, payload_col: str, keep_cols: list[str]) -> Dat
             rows = []
             for _, r in pdf.iterrows():
                 (fn, _fd), frames = decode_y4m(bytes(r[payload_col]))
-                sums = frames.reshape(frames.shape[0], -1).sum(axis=1, dtype=np.int64)
+                # explicit h*w (not -1): reshape(-1) raises on a legal
+                # zero-frame clip, where frames has shape (0, h, w)
+                n_f, f_h, f_w = frames.shape
+                sums = frames.reshape(n_f, f_h * f_w).sum(axis=1, dtype=np.int64)
                 delta = int(np.abs(np.diff(sums)).sum()) if len(sums) > 1 else 0
                 rows.append(
                     tuple(r[c] for c in keep_cols)
