@@ -58,9 +58,10 @@ def put_batch_with_retry(
             last_error = None
         except Exception as e:  # whole-call failure: retry unchanged request
             last_error = e
-            if attempts > retry.max_retries:
+            delay = retry.delay_s(attempts - 1)
+            if delay is None:  # schedule exhausted (GiveUp)
                 raise
-            sleep(retry.backoff_s(attempts - 1))
+            sleep(delay)
             continue
 
         responses = resp["RequestResponses"]
@@ -73,9 +74,10 @@ def put_batch_with_retry(
         if not still_failed:  # success predicate (Firehose.scala:81)
             break
         pending = still_failed
-        if attempts > retry.max_retries:
+        delay = retry.delay_s(attempts - 1)
+        if delay is None:  # schedule exhausted: return the partial result
             break
-        sleep(retry.backoff_s(attempts - 1))
+        sleep(delay)
 
     failed = sum(1 for entry in final if not (entry or {}).get("RecordId"))
     return {

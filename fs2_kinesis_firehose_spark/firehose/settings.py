@@ -12,6 +12,7 @@ ProducerSettings.scala:29-30), and the retry policy (exponential backoff from
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
+from typing import Callable
 
 MAX_BATCH_SIZE = 500  # AWS PutRecordBatch hard limit; ProducerSettings.scala:61
 MAX_BATCH_BYTES = 4 * 1024 * 1024  # 4 MiB per PutRecordBatch call (AWS quota)
@@ -20,14 +21,37 @@ MAX_RECORD_BYTES = 1_000 * 1024  # 1,000 KiB per record (AWS quota)
 
 @dataclass(frozen=True)
 class RetryPolicy:
-    """Exponential backoff: sleep ``base_backoff_s * 2**attempt`` between
-    attempts, at most ``max_retries`` retries (defaults match
-    ProducerSettings.scala:82: 500 ms base, 6 retries)."""
+    """Retry schedule for a PutRecordBatch call.
+
+    Default: exponential backoff — sleep ``base_backoff_s * 2**attempt``
+    between attempts, at most ``max_retries`` retries (defaults match
+    ProducerSettings.scala:82: 500 ms base, 6 retries).
+
+    ``schedule_fn`` closes the composability gap vs the reference's
+    cats-retry ``RetryPolicy`` (ProducerSettings.scala:41-42, which accepts
+    ANY policy — ``join``/``meet`` composition, jitter, follow-based caps):
+    when set, ``schedule_fn(attempt)`` alone decides the delay before retry
+    #``attempt`` (0-based), and returning ``None`` means give up — exactly
+    cats-retry's ``DelayAndRetry``/``GiveUp`` decision shape, so any custom
+    schedule ports as one function instead of a fork of the sink loop.
+    ``max_retries``/``base_backoff_s`` are ignored while ``schedule_fn``
+    is set."""
 
     max_retries: int = 6
     base_backoff_s: float = 0.5
+    schedule_fn: Callable[[int], float | None] | None = None
 
     def backoff_s(self, attempt: int) -> float:
+        return self.base_backoff_s * (2**attempt)
+
+    def delay_s(self, attempt: int) -> float | None:
+        """Delay before retry #``attempt`` (0-based), or ``None`` to stop
+        retrying — the single decision point ``put_batch_with_retry``
+        consults (cats-retry's ``PolicyDecision`` shape)."""
+        if self.schedule_fn is not None:
+            return self.schedule_fn(attempt)
+        if attempt >= self.max_retries:
+            return None
         return self.base_backoff_s * (2**attempt)
 
 

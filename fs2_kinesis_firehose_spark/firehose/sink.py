@@ -101,7 +101,7 @@ def produce_acks(
     settings: ProducerSettings,
     client_factory: ClientFactory,
     *,
-    ordered: bool = False,
+    ordered: bool | None = None,
 ) -> DataFrame:
     """Batch-mode produce over a ``value: binary`` DataFrame → ack DataFrame.
 
@@ -120,20 +120,32 @@ def produce_acks(
     reject it on every retry, so failing fast on the executor is strictly
     better).
 
-    ``ordered=True`` closes the A5 semantic delta against the reference's
-    order-preserving ``mapAsync`` (firehose.scala:41): the round-robin
-    ``repartition(parallelism)`` is skipped (it would scramble arrival
-    order; in-flight parallelism then equals the INPUT's partition count),
-    and the ack DataFrame is globally sorted by ``(partition_id,
-    request_index)`` — Spark partition indexes follow source order, so the
-    ack sequence equals the order requests were cut from the input stream.
-    Cost: one sort over the (request-count-sized, tiny) ack rows plus giving
-    up the parallelism re-balance; the default stays unordered.
+    ``ordered`` mirrors the reference's order-preserving ``mapAsync``
+    (firehose.scala:41).  Default (``None``): ordered exactly when
+    ``parallelism == 1`` — the reference's default configuration
+    (ProducerSettings.scala:80 sets parallelism 1, and mapAsync at 1 is
+    globally sequential and order-preserving), so a user porting default
+    settings gets identical ack ordering with zero extra cost (the
+    unordered path would funnel through one partition anyway; the ordered
+    path does the same WITHOUT a shuffle).  Ordered mode uses an
+    order-preserving ``coalesce(parallelism)`` instead of the round-robin
+    ``repartition`` (which would scramble arrival order) — in-flight puts
+    stay bounded by ``parallelism`` AND each task consumes its input
+    partitions in source-index order — and the ack DataFrame is globally
+    sorted by ``(partition_id, request_index)``, so the ack sequence equals
+    the order requests were cut from the input stream.  Cost vs unordered:
+    one sort over the (request-count-sized, tiny) ack rows and no
+    re-balance of skewed inputs; pass ``ordered=False`` with
+    ``parallelism=1`` to get the old repartition-funnel behavior.
     """
     if "value" not in framed.columns:
         raise ValueError("produce expects a framed DataFrame with a 'value' column")
+    if ordered is None:
+        ordered = settings.parallelism == 1  # ProducerSettings.scala:80 default
     if ordered:
-        partitioned = framed.select("value")
+        # order-preserving concurrency bound: coalesce merges whole input
+        # partitions in index order, never splits or interleaves them
+        partitioned = framed.select("value").coalesce(settings.parallelism)
     else:
         partitioned = framed.select("value").repartition(settings.parallelism)
 

@@ -113,6 +113,7 @@ def logreg_train(
     iterations: int = 3,
     lr: float = 1.0,
     scale_bits: int = 12,
+    n: int | None = None,
 ) -> list[float]:
     """Full-batch gradient descent with exact integer gradient sums.
 
@@ -123,9 +124,15 @@ def logreg_train(
     ulp-level engine differences are absorbed by the coarse rounding step
     (2^−s ≫ ulp), so the trained weights are deterministic and
     engine-portable.  Returns the (dim+1) weights.
+
+    Pass ``n`` (the exact row count) when the caller already knows it —
+    skips one full ``count()`` scan of the features table, which at 100 TB
+    is a whole extra pass; weights are bit-identical since ``n`` enters
+    the update as the same exact integer either way.
     """
-    n = features.count()
-    if n == 0:
+    if n is None:
+        n = features.count()
+    if n <= 0:
         raise ValueError("cannot train on an empty features DataFrame")
     s = float(1 << scale_bits)
     d1 = dim + 1

@@ -34,6 +34,18 @@ def fold_additive_agg(
     additive measure in ``add_cols`` (sums and counts).  Output schema ==
     view schema; key-only-in-delta rows appear, key-only-in-view rows
     survive unchanged."""
+    missing = [c for c in keys + add_cols if c not in delta.columns]
+    if missing:
+        raise ValueError(f"delta is missing fold columns: {missing}")
+    clash = [
+        f"_d_{c}"
+        for c in keys + add_cols
+        if f"_d_{c}" in view.columns or f"_d_{c}" in delta.columns
+    ]
+    if clash:
+        # withColumnRenamed would silently collide (or no-op) and the
+        # d["_d_<col>"] references below would bind the wrong column.
+        raise ValueError(f"reserved _d_-prefixed names already present: {clash}")
     d = delta
     for c in add_cols + keys:
         d = d.withColumnRenamed(c, f"_d_{c}")

@@ -25,6 +25,15 @@ Engine shape:
   ``element_at`` sum in subspace order, entirely codegen — bit-identical
   to a SQL restatement that adds the same m terms left-to-right, which is
   what makes PQ the rare ANN operator with a full-replay oracle.
+- ``lut_mode="broadcast"`` — the 100×-dims variant: the same LUT rides as
+  a one-row (or one-row-per-probed-cell) BROADCAST relation instead of
+  m·k plan literals, joined with a BroadcastHashJoin and summed by the
+  identical left-to-right ``element_at`` chain over the joined column.
+  At production dims (m=96, k=256, nprobe·m·k doubles ≈ 100 KB+) the
+  literal path bloats generated code past the whole-stage-codegen limit;
+  the broadcast path keeps the expression tree O(m) regardless of k and
+  ships LUT bytes as data.  Scores are bit-identical to the literal path
+  (same fold order), so both share one oracle.
 - ``pq_topk`` — ADC ranking via TakeOrderedAndProject (rounded-score,
   then id, tie-break).
 
@@ -138,6 +147,24 @@ def _adc_lut(model: dict, query: list[float]) -> list[list[float]]:
     return lut
 
 
+def _lut_chain_sum(lut_col: Column, code_col: str, m: int) -> Column:
+    """Left-to-right ``Σ_j lut[j][code_j]`` over a COLUMN-borne m×k LUT —
+    the identical fold order as the literal chain (and the SQL oracle's
+    ``l0.dist + l1.dist + …``), so literal and broadcast scores are
+    bit-equal.  Expression size is O(m) element_at nodes, independent of
+    k — this is what keeps the broadcast path inside whole-stage codegen
+    at production dims where the literal path's m·k constants blow it."""
+    term: Column | None = None
+    for j in range(m):
+        t = F.element_at(
+            F.element_at(lut_col, j + 1),
+            F.element_at(F.col(code_col), j + 1) + 1,
+        )
+        term = t if term is None else term + t
+    assert term is not None
+    return term
+
+
 def pq_adc_scores(
     df: DataFrame,
     model: dict,
@@ -145,11 +172,33 @@ def pq_adc_scores(
     *,
     code_col: str = "pq_code",
     out_col: str = "adc_dist",
+    lut_mode: str = "literal",
 ) -> DataFrame:
-    """Append the ADC comparable distance: a chained ``element_at`` sum over
+    """Append the ADC comparable distance.
+
+    ``lut_mode="literal"`` (default): a chained ``element_at`` sum over
     the literal LUT, in subspace order — pure codegen, no Python, and
-    bit-restatable as ``lut0[code0+1] + lut1[code1+1] + …`` in SQL."""
+    bit-restatable as ``lut0[code0+1] + lut1[code1+1] + …`` in SQL.
+
+    ``lut_mode="broadcast"``: the same LUT as a ONE-ROW broadcast relation
+    (``array<array<double>>``), equi-joined on a constant key (plans as a
+    BroadcastHashJoin — a few-KB hashed build side, zero shuffle on the
+    corpus) and summed by the identical chain over the joined column.
+    Bit-identical scores; use at production dims (m ≥ 64, k = 256) where
+    m·k literals would bloat generated code out of whole-stage codegen."""
+    if lut_mode not in ("literal", "broadcast"):
+        raise ValueError(f"unknown lut_mode: {lut_mode!r}")
     lut = _adc_lut(model, query)
+    if lut_mode == "broadcast":
+        lut_df = df.sparkSession.createDataFrame(
+            [(1, lut)], "_lutkey INT, _lut ARRAY<ARRAY<DOUBLE>>"
+        )
+        return (
+            df.withColumn("_lutkey", F.lit(1))
+            .join(F.broadcast(lut_df), "_lutkey")
+            .withColumn(out_col, _lut_chain_sum(F.col("_lut"), code_col, model["m"]))
+            .drop("_lutkey", "_lut")
+        )
     term: Column | None = None
     for j, row in enumerate(lut):
         t = F.element_at(
@@ -169,13 +218,14 @@ def pq_topk(
     key_col: str = "vec_id",
     code_col: str = "pq_code",
     round_to: int = 6,
+    lut_mode: str = "literal",
 ) -> DataFrame:
     """ADC top-k: ``(key_col, adc_dist)`` ascending, deterministic
     (rounded-distance, then key) — TakeOrderedAndProject, never a global
     sort.  For higher recall, rescore the top-C (C ≫ k) candidates with
     exact distances on the float vectors — candidates are k-scale rows, so
     the rescore is a broadcast-join away."""
-    scored = pq_adc_scores(df, model, query, code_col=code_col)
+    scored = pq_adc_scores(df, model, query, code_col=code_col, lut_mode=lut_mode)
     return (
         scored.select(
             key_col, F.round(F.col("adc_dist"), round_to).alias("adc_dist")
@@ -196,6 +246,7 @@ def pq_rescored_topk(
     key_col: str = "vec_id",
     code_col: str = "pq_code",
     round_to: int = 6,
+    lut_mode: str = "literal",
 ) -> DataFrame:
     """The production PQ recipe: ADC selects ``candidates`` (≫ k) cheap
     approximate nearest rows, then the float vectors of ONLY those rows are
@@ -213,7 +264,7 @@ def pq_rescored_topk(
 
     dim = model["dim"]
     cand = (
-        pq_adc_scores(df, model, query, code_col=code_col)
+        pq_adc_scores(df, model, query, code_col=code_col, lut_mode=lut_mode)
         .select(
             key_col, vec_col, F.round(F.col("adc_dist"), round_to).alias("_adc")
         )
@@ -249,6 +300,7 @@ def ivf_pq_rescored_topk(
     code_col: str = "pq_code",
     cell_col: str = "ivf_cell",
     round_to: int = 6,
+    lut_mode: str = "literal",
 ) -> DataFrame:
     """The full billion-vector ANN recipe (Jégou et al. 2011, the IVFADC
     query path): IVF coarse cells prune the corpus to the ``nprobe`` cells
@@ -288,6 +340,7 @@ def ivf_pq_rescored_topk(
         key_col=key_col,
         code_col=code_col,
         round_to=round_to,
+        lut_mode=lut_mode,
     )
 
 
@@ -333,6 +386,7 @@ def ivf_pq_residual_rescored_topk(
     code_col: str = "pq_code",
     cell_col: str = "ivf_cell",
     round_to: int = 6,
+    lut_mode: str = "literal",
 ) -> DataFrame:
     """Residual IVFADC — the verbatim billion-vector recipe: probe the
     ``nprobe`` nearest coarse cells, ADC-rank in-cell RESIDUAL codes
@@ -361,33 +415,61 @@ def ivf_pq_residual_rescored_topk(
         ivf_probe_cells,
     )
 
+    if lut_mode not in ("literal", "broadcast"):
+        raise ValueError(f"unknown lut_mode: {lut_mode!r}")
     dim = model["dim"]
     cells = ivf_probe_cells(centroids, query, nprobe)
 
-    score = None
-    for c in cells:
-        qr = [float(query[i]) - float(centroids[c][i]) for i in range(dim)]
-        lut = _adc_lut(model, qr)
-        term: Column | None = None
-        for j, row in enumerate(lut):
-            t = F.element_at(
-                F.array(*[F.lit(float(v)) for v in row]),
-                F.element_at(F.col(code_col), j + 1) + 1,
-            )
-            term = t if term is None else term + t
-        term = term + F.lit(_seq_sq_norm(qr))  # cross-cell comparability
-        score = (
-            F.when(F.col(cell_col) == c, term)
-            if score is None
-            else score.when(F.col(cell_col) == c, term)
+    if lut_mode == "broadcast":
+        # The 100×-dims path: one LUT row PER PROBED CELL rides as a
+        # broadcast relation (nprobe·m·k doubles — ~100 KB even at m=96,
+        # k=256, nprobe=4).  The inner BroadcastHashJoin on the cell id
+        # doubles as the probe filter (only probed cells have a build-side
+        # row), and the score is the identical left-to-right chain over
+        # the joined LUT column + the joined comparability constant — the
+        # expression tree is O(m) nodes with zero data-dependent literals,
+        # so whole-stage codegen survives any (m, k, nprobe).
+        rows = []
+        for c in cells:
+            qr = [float(query[i]) - float(centroids[c][i]) for i in range(dim)]
+            rows.append((int(c), _adc_lut(model, qr), float(_seq_sq_norm(qr))))
+        lut_df = df.sparkSession.createDataFrame(
+            rows, "_lutcell INT, _lut ARRAY<ARRAY<DOUBLE>>, _cconst DOUBLE"
         )
+        score_b = (
+            _lut_chain_sum(F.col("_lut"), code_col, model["m"]) + F.col("_cconst")
+        )
+        cand = (
+            df.join(F.broadcast(lut_df), F.col(cell_col) == F.col("_lutcell"))
+            .select(key_col, vec_col, F.round(score_b, round_to).alias("_adc"))
+            .orderBy(F.asc("_adc"), F.asc(key_col))
+            .limit(candidates)
+        )
+    else:
+        score = None
+        for c in cells:
+            qr = [float(query[i]) - float(centroids[c][i]) for i in range(dim)]
+            lut = _adc_lut(model, qr)
+            term: Column | None = None
+            for j, row in enumerate(lut):
+                t = F.element_at(
+                    F.array(*[F.lit(float(v)) for v in row]),
+                    F.element_at(F.col(code_col), j + 1) + 1,
+                )
+                term = t if term is None else term + t
+            term = term + F.lit(_seq_sq_norm(qr))  # cross-cell comparability
+            score = (
+                F.when(F.col(cell_col) == c, term)
+                if score is None
+                else score.when(F.col(cell_col) == c, term)
+            )
 
-    cand = (
-        df.filter(F.col(cell_col).isin(cells))
-        .select(key_col, vec_col, F.round(score, round_to).alias("_adc"))
-        .orderBy(F.asc("_adc"), F.asc(key_col))
-        .limit(candidates)
-    )
+        cand = (
+            df.filter(F.col(cell_col).isin(cells))
+            .select(key_col, vec_col, F.round(score, round_to).alias("_adc"))
+            .orderBy(F.asc("_adc"), F.asc(key_col))
+            .limit(candidates)
+        )
     qlit = V.literal_vector(query)
     q_sq = 0.0
     for x in query:

@@ -186,6 +186,19 @@ def _pq_oracle() -> str:
     """
 
 
+def _pq_adc_topk(spark: SparkSession, sf_dir: str, lut_mode: str) -> DataFrame:
+    from fs2_kinesis_firehose_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = PQ.pq_fit(
+        emb, vec_col="embedding", key_col="vec_id",
+        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS,
+    )
+    q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    enc = PQ.pq_encode(emb, model)
+    return PQ.pq_topk(enc, model, q, 10, key_col="vec_id", lut_mode=lut_mode)
+
+
 @query("pq_adc_topk", oracle=_pq_oracle())
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN (operators/pq.py — the memory half of IVF+PQ):
@@ -197,16 +210,20 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     float distance estimates are driver-hashed (the strongest oracle any
     ANN path here has; recall-vs-exact is pytest-bounded in
     tests/test_pq.py)."""
-    from fs2_kinesis_firehose_spark.operators import pq as PQ
+    return _pq_adc_topk(spark, sf_dir, "literal")
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    model = PQ.pq_fit(
-        emb, vec_col="embedding", key_col="vec_id",
-        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS,
-    )
-    q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
-    enc = PQ.pq_encode(emb, model)
-    return PQ.pq_topk(enc, model, q, 10, key_col="vec_id")
+
+@query("pq_adc_bcast_topk", oracle=_pq_oracle())
+def pq_adc_bcast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pq_adc_topk` with BROADCAST-LUT scoring (operators/pq.py
+    lut_mode="broadcast"): the m×k lookup table rides as a one-row
+    broadcast relation equi-joined on a constant key (BroadcastHashJoin —
+    KB-scale build side, zero corpus shuffle) instead of m·k plan
+    literals; the score is the identical left-to-right element_at chain
+    over the joined column, so the SAME full-replay oracle hashes both
+    paths.  This is the plan that survives production PQ dims (m=96,
+    k=256) where the literal CASE would fall out of whole-stage codegen."""
+    return _pq_adc_topk(spark, sf_dir, "broadcast")
 
 
 _PQ_CAND = 50
@@ -484,18 +501,9 @@ def _ivf_pq_residual_oracle() -> str:
     """
 
 
-@query("ivf_pq_residual_rescored_topk", oracle=_ivf_pq_residual_oracle())
-def ivf_pq_residual_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Residual IVFADC (operators/pq.py:ivf_pq_residual_rescored_topk) —
-    the VERBATIM Jégou et al. 2011 recipe: PQ codebooks are fit on the
-    coarse-quantizer residuals x − centroid(cell(x)) (tighter distribution
-    → better codes at equal bytes than the raw-vector composition
-    `ivf_pq_rescored_topk` runs), the query builds a PER-CELL lookup table
-    from its own residual q − centroid_c, and each probed cell's chain
-    adds its ‖q − c‖² constant so ADC scores stay comparable ACROSS cells.
-    The oracle replays everything — cells, probes, residuals, all m
-    residual-space fits, per-cell LUTs, the comparability constant, the
-    shortlist, the exact rescore — so the final float distances hash."""
+def _residual_ivfadc(spark: SparkSession, sf_dir: str, lut_mode: str) -> DataFrame:
+    """Shared residual-IVFADC pipeline (both LUT modes are bit-identical,
+    so both driver queries share `_ivf_pq_residual_oracle`)."""
     from fs2_kinesis_firehose_spark.operators import pq as PQ
     from fs2_kinesis_firehose_spark.operators import similarity as S
 
@@ -520,5 +528,37 @@ def ivf_pq_residual_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumnRenamed("_coarse", "ivf_cell")
     )
     return PQ.ivf_pq_residual_rescored_topk(
-        enc, cents, model, q, 10, nprobe=_IVF_NPROBE, candidates=_PQ_CAND
+        enc, cents, model, q, 10,
+        nprobe=_IVF_NPROBE, candidates=_PQ_CAND, lut_mode=lut_mode,
     )
+
+
+@query("ivf_pq_residual_rescored_topk", oracle=_ivf_pq_residual_oracle())
+def ivf_pq_residual_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC (operators/pq.py:ivf_pq_residual_rescored_topk) —
+    the VERBATIM Jégou et al. 2011 recipe: PQ codebooks are fit on the
+    coarse-quantizer residuals x − centroid(cell(x)) (tighter distribution
+    → better codes at equal bytes than the raw-vector composition
+    `ivf_pq_rescored_topk` runs), the query builds a PER-CELL lookup table
+    from its own residual q − centroid_c, and each probed cell's chain
+    adds its ‖q − c‖² constant so ADC scores stay comparable ACROSS cells.
+    The oracle replays everything — cells, probes, residuals, all m
+    residual-space fits, per-cell LUTs, the comparability constant, the
+    shortlist, the exact rescore — so the final float distances hash."""
+    return _residual_ivfadc(spark, sf_dir, "literal")
+
+
+@query("ivf_pq_residual_bcast_topk", oracle=_ivf_pq_residual_oracle())
+def ivf_pq_residual_bcast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC, BROADCAST-LUT scoring (operators/pq.py
+    lut_mode="broadcast") — the production-dims variant of
+    `ivf_pq_residual_rescored_topk`: per-probed-cell LUTs ride as a
+    broadcast relation (BroadcastHashJoin on the coarse cell id doubles as
+    the probe filter) instead of nprobe·m·k plan literals, keeping the
+    generated code O(m) at any codebook size (m=96, k=256 would blow the
+    whole-stage-codegen limit as literals).  Scores are bit-identical to
+    the literal chain (same left-to-right fold), so the SAME full-replay
+    oracle hashes both paths; the plan shape (BHJ, no corpus shuffle,
+    TakeOrderedAndProject twice) is pinned in tests/test_pq.py and
+    tests/test_plans.py."""
+    return _residual_ivfadc(spark, sf_dir, "broadcast")

@@ -187,3 +187,17 @@ def test_eval_is_partitioning_invariant(feats):
     r1 = classifier_eval(feats, w).collect()[0]
     r2 = classifier_eval(feats.repartition(7), w).collect()[0]
     assert r1 == r2  # every column, including the float AUC, bit-identical
+
+
+def test_known_n_skips_count_and_keeps_weights_bit_identical(feats):
+    """`n=` lets the caller skip logreg_train's count() scan (a whole extra
+    pass at 100 TB); the update uses the same exact integer, so weights
+    must be BIT-identical to the count()-derived run."""
+    n = feats.count()
+    w_counted = logreg_train(feats, dim=DIM, iterations=3, lr=4.0)
+    w_known = logreg_train(feats, dim=DIM, iterations=3, lr=4.0, n=n)
+    assert w_known == w_counted
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        logreg_train(feats, dim=DIM, iterations=1, n=0)

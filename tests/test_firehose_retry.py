@@ -87,3 +87,44 @@ def test_exponential_backoff_schedule():
         client, "s", recs(b"a"), RetryPolicy(max_retries=6, base_backoff_s=0.5), sleep=sleeps.append
     )
     assert sleeps == [0.5, 1.0, 2.0]  # 500ms base, doubling (ProducerSettings.scala:82)
+
+
+def test_custom_schedule_fn_drives_delays_and_giveup():
+    """Missing #1 closure (cats-retry composability,
+    ProducerSettings.scala:41-42): a user-supplied schedule_fn(attempt) ->
+    delay | None fully replaces the expo family — delays follow the
+    schedule exactly, and the first None gives up (partial result
+    returned, like an exhausted max_retries)."""
+    sleeps: list[float] = []
+    # fibonacci-with-jitter-ish schedule, capped at 3 retries
+    sched = {0: 0.1, 1: 0.1, 2: 0.25}
+    policy = RetryPolicy(schedule_fn=lambda a: sched.get(a))
+    client = FakeFirehose(fail_record_times=100)
+    resp = put_batch_with_retry(client, "s", recs(b"a", b"b"), policy, sleep=sleeps.append)
+    assert sleeps == [0.1, 0.1, 0.25]
+    assert resp["Attempts"] == 4  # 1 initial + 3 scheduled retries
+    assert resp["FailedPutCount"] == 2
+    # max_retries is ignored while schedule_fn is set
+    assert RetryPolicy(max_retries=0, schedule_fn=lambda a: 0.5).delay_s(7) == 0.5
+
+
+def test_custom_schedule_fn_whole_call_giveup_raises():
+    client = FakeFirehose(raise_call_times=100)
+    policy = RetryPolicy(schedule_fn=lambda a: 0.0 if a < 1 else None)
+    with pytest.raises(ConnectionError):
+        put_batch_with_retry(client, "s", recs(b"a"), policy, sleep=lambda _: None)
+    assert client.put_batch_calls == 2  # initial + the single scheduled retry
+
+
+def test_custom_schedule_fn_recovers_partial_failures():
+    """The schedule interacts correctly with shrink-to-failed: records that
+    succeed on their second submission are delivered once, under a custom
+    constant-delay schedule."""
+    client = FakeFirehose(fail_record_times=1)
+    policy = RetryPolicy(schedule_fn=lambda a: 0.0 if a < 5 else None)
+    resp = put_batch_with_retry(
+        client, "s", recs(b"a", b"b", b"c"), policy, sleep=lambda _: None
+    )
+    assert resp["FailedPutCount"] == 0
+    assert resp["Attempts"] == 2
+    assert sorted(client.delivered["s"]) == [b"a", b"b", b"c"]

@@ -154,13 +154,12 @@ def test_streaming_produce_delivers_all_events(spark, sf_smoke, tmp_path):
 
 def test_ordered_acks_follow_input_order(spark, tmp_path):
     """ordered=True (A5 delta closure): the ack sequence must equal the
-    order requests were cut from the input — partition indexes in source
-    order, request_index in slice order within each partition — under a
-    genuinely multi-partition run, and the first record of each request
-    must advance monotonically through the input."""
+    order requests were cut from the input — and in-flight puts stay
+    bounded by ``parallelism`` via an ORDER-PRESERVING coalesce (the
+    reference's mapAsync bounds concurrency AND preserves order,
+    firehose.scala:41): 4 source partitions of 300 ids coalesce into 2
+    tasks of contiguous source partitions, 6 requests each."""
     spool = str(tmp_path / "spool")
-    # 4 explicit input partitions of 300 ids each, batch_size=100
-    # → requests 0..2 per partition, 12 acks total
     df = spark.range(0, 1200, 1, 4).selectExpr(
         "CAST(lpad(string(id), 6, '0') AS BINARY) AS value"
     )
@@ -170,12 +169,37 @@ def test_ordered_acks_follow_input_order(spark, tmp_path):
     ).collect()
     order = [(a.partition_id, a.request_index) for a in acks]
     assert order == sorted(order), "acks not in (partition, request) order"
-    # input partitioning preserved (no round-robin repartition in ordered
-    # mode): range(…, 4) gives exactly partitions 0..3, 3 requests each
-    assert [p for p, _ in order] == [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3]
-    assert [r for _, r in order] == [0, 1, 2] * 4
+    # coalesce(2) over 4 equal partitions: tasks 0 and 1, 6 requests each —
+    # the concurrency bound holds (only partition ids 0..1 appear)
+    assert [p for p, _ in order] == [0] * 6 + [1] * 6
+    assert [r for _, r in order] == [0, 1, 2, 3, 4, 5] * 2
     assert all(a.n_records == 100 for a in acks)
     assert len(read_spool(spool, "t")) == 1200
+
+
+def test_default_is_ordered_at_parallelism_1(spark, tmp_path):
+    """Missing #2 closure: the DEFAULT (ordered=None) matches the
+    reference's defaults — parallelism=1 (ProducerSettings.scala:80) +
+    order-preserving mapAsync (firehose.scala:41) means globally
+    sequential, globally ordered delivery.  Records must land in the spool
+    in exact source order across a multi-partition input."""
+    spool = str(tmp_path / "spool")
+    df = spark.range(0, 900, 1, 3).selectExpr(
+        "CAST(lpad(string(id), 6, '0') AS BINARY) AS value"
+    )
+    settings = ProducerSettings(stream_name="t", parallelism=1, batch_size=100)
+    acks = produce_acks(df, settings, fake_client_factory(spool_dir=spool)).collect()
+    order = [(a.partition_id, a.request_index) for a in acks]
+    assert order == [(0, i) for i in range(9)]  # one task, source order
+    delivered = [p.decode() for p in read_spool(spool, "t")]
+    assert delivered == sorted(delivered), "delivery not in source order"
+    # explicit opt-out restores the repartition funnel (still 1 partition)
+    spool2 = str(tmp_path / "spool2")
+    acks2 = produce_acks(
+        df, settings, fake_client_factory(spool_dir=spool2), ordered=False
+    ).collect()
+    assert len(read_spool(spool2, "t")) == 900
+    assert {a.partition_id for a in acks2} == {0}
 
 
 def test_unordered_acks_still_repartition(spark, tmp_path):

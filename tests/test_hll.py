@@ -79,3 +79,29 @@ def test_empty_input_estimates_zero_distinct(spark):
     assert est.n_nonzero == 0
     # all-zero registers → linear counting m*ln(m/m) = 0
     assert est.estimate == 0.0
+
+
+def test_registers_exact_for_hash_words_at_and_above_2_53(spark):
+    """Regression (r8 fix, hll.py:85): the bucket shift must be exact
+    integer F.shiftright, not double division — for 60-bit hash words
+    >= 2^53 an IEEE `h / m` rounds at 53 bits and can move w across a
+    multiple-of-m boundary, desyncing rho.  Pin every register against a
+    pure-Python `hv >> p` mirror on items whose hash exceeds 2^53."""
+    import hashlib
+
+    p, salt, bits = 12, "hll", 60
+    items, mirror = [], {}
+    i = 0
+    while len(items) < 64:
+        s = str(i)
+        i += 1
+        hv = int(hashlib.md5(f"{s}|{salt}".encode()).hexdigest()[:15], 16)
+        if hv < 2**53:  # keep only the hashes the old float path could break
+            continue
+        items.append(s)
+        w = hv >> p
+        rho = (bits - p + 1) if w == 0 else (bits - p) - w.bit_length() + 1
+        b = hv % (1 << p)
+        mirror[b] = max(mirror.get(b, 0), rho)
+    df = spark.createDataFrame([(s,) for s in items], "item string")
+    assert _regs(hll_table(df, "item", p=p, salt=salt)) == sorted(mirror.items())

@@ -40,3 +40,39 @@ def test_fold_equals_recompute_on_random_split(spark):
     folded = {r.k: (r.s, r.n) for r in fold_additive_agg(agg(base), agg(delta), ["k"], ["s", "n"]).collect()}
     full = {r.k: (r.s, r.n) for r in agg(df).collect()}
     assert folded == full
+
+
+def test_fold_null_key_in_both_sides_folds_to_one_row(spark):
+    """Regression (r8 fix, mv.py eqNullSafe join): a NULL group key present
+    in BOTH view and delta must fold into ONE row — a plain equi-join's
+    null != null would emit two."""
+    view = spark.createDataFrame(
+        [(None, 10, 2), ("a", 1, 1)], "k string, s bigint, n bigint"
+    )
+    delta = spark.createDataFrame([(None, 7, 3)], "k string, s bigint, n bigint")
+    out = fold_additive_agg(view, delta, ["k"], ["s", "n"]).collect()
+    assert len(out) == 2
+    got = {r.k: (r.s, r.n) for r in out}
+    assert got == {None: (17, 5), "a": (1, 1)}
+
+
+def test_fold_null_key_only_in_delta_appears_once(spark):
+    view = spark.createDataFrame([("a", 1, 1)], "k string, s bigint, n bigint")
+    delta = spark.createDataFrame([(None, 7, 3)], "k string, s bigint, n bigint")
+    got = {
+        r.k: (r.s, r.n)
+        for r in fold_additive_agg(view, delta, ["k"], ["s", "n"]).collect()
+    }
+    assert got == {"a": (1, 1), None: (7, 3)}
+
+
+def test_fold_validates_delta_columns_and_rename_collisions(spark):
+    import pytest
+
+    view = spark.createDataFrame([("a", 1)], "k string, s bigint")
+    missing = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="missing fold columns"):
+        fold_additive_agg(view, missing, ["k"], ["s"])
+    clash = spark.createDataFrame([("a", 1, "x")], "k string, s bigint, _d_k string")
+    with pytest.raises(ValueError, match="_d_"):
+        fold_additive_agg(view, clash, ["k"], ["s"])

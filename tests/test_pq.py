@@ -292,3 +292,87 @@ def test_residual_ivfadc_probes_only_in_cell_rows(spark):
         ).collect()
     }
     assert got <= in_cell
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-LUT scoring (lut_mode="broadcast") — the production-dims path
+# ---------------------------------------------------------------------------
+def test_bcast_lut_bit_equal_to_literal_plain(spark):
+    """The broadcast LUT path must be BIT-identical to the literal chain
+    (same left-to-right fold over the same driver-built LUT), so both share
+    one full-replay oracle."""
+    rng = np.random.default_rng(61)
+    X = rng.normal(0, 1, (100, 16))
+    df = _emb_df(spark, X)
+    model = PQ.pq_fit(df, vec_col="embedding", dim=16, m=4, k=8, iterations=2)
+    enc = PQ.pq_encode(df, model).cache()
+    q = list(X[2])
+    lit_rows = PQ.pq_topk(enc, model, q, 10).collect()
+    bc_rows = PQ.pq_topk(enc, model, q, 10, lut_mode="broadcast").collect()
+    assert [tuple(r) for r in lit_rows] == [tuple(r) for r in bc_rows]
+    # and through the rescore path
+    lit_r = PQ.pq_rescored_topk(enc, model, q, 10, candidates=30).collect()
+    bc_r = PQ.pq_rescored_topk(
+        enc, model, q, 10, candidates=30, lut_mode="broadcast"
+    ).collect()
+    assert [tuple(r) for r in lit_r] == [tuple(r) for r in bc_r]
+
+
+def test_bcast_lut_bit_equal_to_literal_residual(spark):
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    rng = np.random.default_rng(67)
+    X = rng.normal(0, 1, (80, 16))
+    df = _emb_df(spark, X)
+    cents = S.ivf_train_centroids(df, n_centroids=4, sample_fraction=1.0, seed=2)
+    enc, model = _residual_enc(df, cents, 16, 4, 8, 2)
+    enc = enc.cache()
+    q = list(X[9])
+    lit_rows = PQ.ivf_pq_residual_rescored_topk(
+        enc, cents, model, q, 10, nprobe=2, candidates=30
+    ).collect()
+    bc_rows = PQ.ivf_pq_residual_rescored_topk(
+        enc, cents, model, q, 10, nprobe=2, candidates=30, lut_mode="broadcast"
+    ).collect()
+    assert [tuple(r) for r in lit_rows] == [tuple(r) for r in bc_rows]
+
+
+def test_bcast_lut_plan_shape(spark):
+    """Plan pins for the broadcast path: the LUT arrives via a
+    BroadcastHashJoin (hashed KB-scale build side), the corpus is never
+    hash-repartitioned (no shuffle Exchange), and ranking stays
+    TakeOrderedAndProject — the zero-shuffle scan plan that survives 100×."""
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    rng = np.random.default_rng(71)
+    X = rng.normal(0, 1, (60, 8))
+    df = _emb_df(spark, X)
+    cents = S.seeded_centroids(8, 4, seed=7, scale=1.0)
+    enc, model = _residual_enc(df, cents, 8, 2, 4, 2)
+    q = list(X[0])
+    plan = PQ.ivf_pq_residual_rescored_topk(
+        enc, cents, model, q, 5, nprobe=2, candidates=20, lut_mode="broadcast"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # Plain path: Catalyst constant-folds the lit(1) stream-side key, so the
+    # equi-join degenerates to a one-row broadcast nested-loop join (the
+    # repo's documented 1-row BNLJ idiom — a 1-row build side costs nothing
+    # at any scale).  Pin: SOME broadcast join, and still no corpus shuffle.
+    model2 = PQ.pq_fit(df, vec_col="embedding", dim=8, m=2, k=4, iterations=1)
+    plan2 = PQ.pq_topk(
+        PQ.pq_encode(df, model2), model2, q, 5, lut_mode="broadcast"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan2 or "BroadcastNestedLoopJoin" in plan2
+    assert "Exchange hashpartitioning" not in plan2
+
+
+def test_bcast_lut_mode_validation(spark):
+    rng = np.random.default_rng(73)
+    X = rng.normal(0, 1, (10, 8))
+    df = _emb_df(spark, X)
+    model = PQ.pq_fit(df, vec_col="embedding", dim=8, m=2, k=4, iterations=1)
+    enc = PQ.pq_encode(df, model)
+    with pytest.raises(ValueError, match="lut_mode"):
+        PQ.pq_adc_scores(enc, model, list(X[0]), lut_mode="nope").collect()

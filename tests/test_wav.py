@@ -69,3 +69,29 @@ def test_audio_features_spark(spark):
     assert got[1]["zero_crossings"] == 2  # 100/-200, -200/300; 0 never crosses
     assert got[1]["peak"] == 300
     assert got[2]["n_samples"] == 1 and got[2]["zero_crossings"] == 0 and got[2]["peak"] == 5
+
+
+def test_decode_truncated_chunk_raises():
+    """Regression (r8 fix, wav.py:65): a chunk declaring more bytes than
+    remain must raise, not silently yield a short clip."""
+    payload = encode_wav(np.arange(100, dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="truncated chunk"):
+        decode_wav(payload[:-7])
+
+
+def test_decode_odd_data_length_raises():
+    """Regression (r8 fix, wav.py:85): a 3-byte data chunk cannot hold
+    16-bit samples — loud error, not a silently dropped trailing byte."""
+    data = b"\x01\x02\x03"
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    with pytest.raises(ValueError, match="odd data chunk"):
+        decode_wav(payload)

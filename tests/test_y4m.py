@@ -58,3 +58,22 @@ def test_video_features_spark(spark):
     assert r.total_luma == 4 * 10 + 4 * 30
     assert r.frame_delta_sum == abs(120 - 40)
     assert r.peak_luma == 30
+
+
+def test_zero_frame_clip_decodes_and_features(spark):
+    """Regression (r8 fix, y4m.py:110): a header-only clip (zero FRAMEs) is
+    legal — decode yields shape (0, H, W) and video_features must not crash
+    on the reshape (the old reshape(-1, h*w) raised on 0 frames)."""
+    from pyspark.sql import Row
+
+    from fs2_kinesis_firehose_spark.operators.y4m import video_features
+
+    payload = encode_y4m(np.zeros((0, 4, 6), np.uint8), fps=(30, 1))
+    fps, frames = decode_y4m(payload)
+    assert fps == (30, 1)
+    assert frames.shape == (0, 4, 6) and frames.dtype == np.uint8
+
+    df = spark.createDataFrame([Row(cid=1, payload=bytearray(payload))])
+    r = video_features(df, "payload", ["cid"]).collect()[0]
+    assert (r.n_frames, r.height, r.width) == (0, 4, 6)
+    assert (r.total_luma, r.frame_delta_sum, r.peak_luma) == (0, 0, 0)
