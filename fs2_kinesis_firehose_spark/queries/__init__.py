@@ -66,73 +66,70 @@ WINDOW_EXEMPT: dict[str, str] = {
 }
 
 _WINDOW_PRIORITY: list[str] = [
-    # --- r8 window (derived by scripts/window_rotation.py from the
-    # CORRECTNESS history; the r7 verdict's top ask).  Rotation state:
-    # r7 swept 50/50 green, leaving 17 late-r7 registrations with NO
-    # driver row (they were window-exempt because the r7 slots were
-    # exactly full).  This window: (1) heads with all 17 never-verified
-    # late-r7 queries — residual IVFADC, DQ report, incremental MV fold,
-    # CSV/JSON/ORC roundtrip, the streaming quality gate + the three
-    # streaming sketch folds, WAV/Y4M codecs, bucketed co-located join,
-    # Hampel outliers, AMS F2, grouped HLL, ANALYZE stats, PassJoin
-    # editdist, PMI collocations; (2) re-verifies queries whose
-    # implementation changed this round (HLL exact shift-based register
-    # math, PQ fit/encode checkpointing); (3) fills the remaining slots
-    # with the oldest-evidence (r5) rotations, name-ascending.
+    # --- r9 window (derived by scripts/window_rotation.py; r8 swept
+    # 50/50 green and its rows are folded into verified_green.json).
+    # (1) heads with the two NEW broadcast-LUT ANN queries (never
+    # driver-verified) and the nine queries whose implementation changed
+    # this round — the PQ/IVFADC family (lut_mode threading), the
+    # editdist counts (exactly-once first-match aggregation replacing
+    # the pair-set distinct), the sink accounting trio (ordered-acks
+    # default + coalesce bound), and the MV fold (column validation);
+    # (2) fills the remaining 39 slots with oldest-evidence rotations
+    # (newest green row r5 — the TPC-H tail — then r6), name-ascending.
     # ---------------------------------------------------------------
-    # (1) never driver-verified (late-r7 registrations, exemptions lifted)
-    "ivf_pq_residual_rescored_topk",
-    "dq_check_report",
-    "incremental_mv_refresh_accounting",
-    "text_format_roundtrip_counts",
-    "streaming_quality_gate_accounting",
-    "multimodal_wav_roundtrip_stats",
-    "multimodal_y4m_roundtrip_stats",
-    "bucketed_colocated_join_revenue",
-    "mad_event_outliers",
-    "streaming_hll_cardinality",
-    "ams_f2_bigram_estimate",
-    "streaming_heavy_hitter_bigrams",
-    "streaming_kll_doclen_quantiles",
-    "hll_grouped_distinct_estimates",
-    "analyze_orders_stats",
-    "editdist_neardup_counts",
-    "pmi_collocations_topk",
-    # (2) implementation changed this round -> re-verify
-    "hll_distinct_estimates",
-    "hll_overlap_estimates",
+    # (1a) never driver-verified (new this round)
+    "pq_adc_bcast_topk",
+    "ivf_pq_residual_bcast_topk",
+    # (1b) implementation changed this round -> re-verify
     "pq_adc_topk",
     "pq_rescored_topk",
     "ivf_pq_rescored_topk",
-    # (3) oldest-evidence rotations (newest green row is r5), name-asc
-    "all_party_names_union",
-    "array_functions",
-    "bm25_postings_topk",
-    "bm25_topk",
-    "ccnet_perplexity_buckets",
-    "customers_with_orders",
-    "doc_community_labels",
-    "event_funnel_times",
-    "full_outer_nation_balance",
-    "hourly_gap_report",
-    "kmeans_cluster_stats",
-    "late_shipments",
-    "leakage_safe_split_counts",
-    "market_segment_rollup",
-    "monthly_revenue_running",
-    "nations_with_customers_and_suppliers",
-    "nations_without_rich_suppliers",
-    "pagerank_top_sources",
-    "part_copurchase_triangles",
-    "parts_never_ordered",
-    "segment_count_distinct",
-    "snapshot_upsert_accounting",
-    "streaming_progress_rollup",
-    "streaming_tumbling_counts",
-    "streaming_upsert_accounting",
-    "tfidf_doc_keywords",
-    "top_orders_per_customer",
-    "tpch_q10_returned_items",
+    "ivf_pq_residual_rescored_topk",
+    "editdist_neardup_counts",
+    "firehose_delivery_accounting",
+    "pipeline_dedup_delivery_accounting",
+    "kinesis_roundtrip_counts",
+    "incremental_mv_refresh_accounting",
+    # (2) oldest-evidence rotations (newest green r5, then r6), name-asc
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "trailing_7d_customer_revenue",
+    "weighted_sample_docs",
+    "winnow_coverage_check",
+    "winnow_fingerprint_overlap",
+    "ann_recall_at_k",
+    "approx_triangle_estimate",
+    "bloom_semijoin_revenue",
+    "cohort_retention_matrix",
+    "cosine_topk_bruteforce",
+    "count_min_bigram_estimates",
+    "curation_funnel_counts",
+    "customer_order_left_join",
+    "doc_chunk_stats",
+    "dsir_importance_weights",
+    "event_type_pivot",
+    "events_props_functions",
+    "exactly_once_replay_counts",
+    "heavy_hitter_bigrams",
+    "hourly_daily_event_rollup",
+    "hybrid_rrf_topk",
+    "interval_join_incident_counts",
+    "kll_doclen_quantiles",
+    "lm_perplexity_scores",
+    "minhash_lsh_pairs",
+    "multimodal_png_roundtrip_stats",
+    "nation_balance_unpivot",
 ]
 
 

@@ -122,3 +122,51 @@ def test_short_string_violating_boundaries_fails_loudly(spark):
 
     with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
         pairs.collect()
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_bounded_counts_match_bruteforce_and_pairs_path(spark, k):
+    """The exactly-once counts path (first-match dedup, no pair-set
+    distinct) must equal both the brute-force histogram and the pairs-path
+    aggregate — on adversarial dense serials where many pairs match on
+    MULTIPLE segments (the case the first-match filter exists for)."""
+    rng = random.Random(97 + k)
+    # tiny value space => plenty of pairs matching on 2+ segments at once
+    strings = {i: f"unit#{rng.randrange(200):09d}" for i in range(250)}
+    boundaries = [(5, 5), (10, 4)] if k == 1 else [(5, 3), (8, 3), (11, 3)]
+    df = spark.createDataFrame([Row(key=i, s=s) for i, s in strings.items()])
+    got = {
+        r.edit_dist: r.n_pairs
+        for r in editdist_pair_counts(df, "s", "key", k=k, boundaries=boundaries).collect()
+    }
+    expect: dict[int, int] = {}
+    for _, _, d in _brute(strings, k):
+        expect[d] = expect.get(d, 0) + 1
+    assert got == expect
+    # and the duplicate-string edge (edit_dist 0 across several copies)
+    dup = {i: "unit#000000042" for i in range(4)}
+    dupdf = spark.createDataFrame([Row(key=i, s=s) for i, s in dup.items()])
+    got0 = {
+        r.edit_dist: r.n_pairs
+        for r in editdist_pair_counts(dupdf, "s", "key", k=k, boundaries=boundaries).collect()
+    }
+    assert got0 == {0: 6}  # C(4,2) unordered pairs, each counted once
+
+
+def test_bounded_counts_plan_has_no_pair_distinct(spark):
+    """Plan pin for the 100-TB shape: boundaries-mode counts shuffle the
+    segment join and the (k+1)-row count aggregate — never the pair set.
+    No Exchange keyed on (key1, key2) and no distinct-aggregate over pair
+    keys may appear."""
+    df = spark.createDataFrame([Row(key=i, s=f"unit#{i:09d}") for i in range(50)])
+    plan = editdist_pair_counts(
+        df, "s", "key", k=1, boundaries=[(5, 5), (10, 4)]
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "key1" not in m.group(1) and "key2" not in m.group(1), m.group(0)
+    # the count aggregate keys on edit_dist only
+    assert re.search(r"HashAggregate\(keys=\[edit_dist", plan)
+    # no pair-keyed HashAggregate (the old distinct)
+    assert not re.search(r"HashAggregate\(keys=\[key1", plan)
