@@ -239,6 +239,13 @@ HEADLINE = [
     # round-7 addition: real Y4M video codec roundtrip (same shape; adds
     # the temporal-activity sum over per-frame luma)
     "multimodal_y4m_roundtrip_stats",
+    # round-9 additions: broadcast-LUT ADC scoring — the production-dims
+    # ANN plan (LUT rides as a broadcast relation joined on the probed
+    # cell / a constant key instead of m·k plan literals; compare against
+    # pq_adc_topk / ivf_pq_residual_rescored_topk above, which share the
+    # oracles)
+    "pq_adc_bcast_topk",
+    "ivf_pq_residual_bcast_topk",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -250,16 +250,58 @@ def _slot_matches(j: int, k: int, boundaries: list[tuple[int, int]]) -> Column:
     return cond
 
 
-def _first_match_keep(k: int, boundaries: list[tuple[int, int]]) -> Column:
+def _slot_matches_even(j: int, k: int) -> Column:
+    """Even-partition mirror of ``_probe_side``'s slot-``j`` emission: does
+    index segment j of ``txt1`` (its own even partition) occur among the
+    substrings the probe enumerates for ``txt2``?  Replicates the combo
+    pre-filter (multi-match window over (dl, sh)) and every emission guard
+    (src_len ≥ k+1, pos ≥ 0, ln > 0, pos+ln ≤ len) exactly — the
+    exactly-once guarantee of the first-match dedup rests on this being a
+    faithful mirror.  Value equality subsumes the implicit length match
+    (unequal-length substrings can never compare equal)."""
+    t1, t2 = F.col("txt1"), F.col("txt2")
+    m1, m2 = F.length(t1), F.length(t2)
+    jlit = F.lit(j)
+    s1 = t1.substr(_seg_start(m1, k, jlit) + 1, _seg_len(m1, k, jlit))
+    cond: Column | None = None
+    for dl in range(-k, k + 1):
+        src_len = m2 + dl
+        lo, hi = -((k - (-dl)) // 2), (k + (-dl)) // 2
+        for sh in range(lo, hi + 1):
+            pos = _seg_start(src_len, k, jlit) + sh
+            ln = _seg_len(src_len, k, jlit)
+            c = (
+                (src_len >= k + 1)
+                & (pos >= 0)
+                & (ln > 0)
+                & (pos + ln <= m2)
+                & (t2.substr(pos + 1, ln) == s1)
+            )
+            cond = c if cond is None else cond | c
+    assert cond is not None
+    return cond
+
+
+def _first_match_keep(
+    k: int, boundaries: list[tuple[int, int]] | None
+) -> Column:
     """TRUE iff this candidate row's ``seg_idx`` is the SMALLEST slot whose
     index segment matches — every qualifying pair then survives on exactly
     ONE candidate row, making a downstream distinct unnecessary.  Pure
-    map-side codegen ((k+1)·(2k+1) substring compares worst case)."""
+    map-side codegen ((k+1)·(2k+1) substring compares worst case with
+    boundaries; (k+1)·(2k+1)² with the even partition's length
+    enumeration)."""
+    n_slots = k + 1 if boundaries is None else len(boundaries)
     keep: Column | None = None
-    for i in range(len(boundaries)):
+    for i in range(n_slots):
         no_earlier = F.lit(True)
         for j in range(i):
-            no_earlier = no_earlier & ~_slot_matches(j, k, boundaries)
+            m = (
+                _slot_matches_even(j, k)
+                if boundaries is None
+                else _slot_matches(j, k, boundaries)
+            )
+            no_earlier = no_earlier & ~m
         keep = (
             F.when(F.col("seg_idx") == i, no_earlier)
             if keep is None
@@ -323,43 +365,66 @@ def editdist_pair_counts(
     accounting view (the full pair set at sf0.1 is ~10⁵ rows; the counts
     pin it just as hard because one wrong/missing pair moves a count).
 
-    Boundaries mode never materializes the pair set: the ``_first_match_
+    NEVER materializes the pair set (either mode): the ``_first_match_
     keep`` filter (smallest matching slot wins) makes every qualifying
     pair survive on exactly ONE candidate row — all map-side, directly on
     the segment-join output — so the only shuffle after the join is the
     (k+1)-row count aggregate.  The pairs-path ``distinct`` would shuffle
     the ~pair-set-sized survivor stream, which at 100 TB grows ~quadratic-
     in-density while the counts stay k+1 rows; this is why the accounting
-    view exists.  Even mode keeps the distinct (its probe enumerates
-    source lengths, so the first-match mirror would need the multi-match
-    window arithmetic re-derived per row; pairs there are driver-verified
-    by the brute-force pytest oracle instead)."""
-    if boundaries is None:
-        pairs = editdist_selfjoin_pairs(df, text_col, key_col, k=k, boundaries=None)
-        return (
-            pairs.groupBy("edit_dist")
-            .agg(F.count(F.lit(1)).alias("n_pairs"))
-            .orderBy("edit_dist")
-        )
+    view exists.
+
+    The dedup predicate rides INSIDE the aggregate as a conditional sum,
+    not as a ``.where``: Catalyst pushes filters into the join's residual
+    condition, where the CASE measured +75% on the whole query (8.7 s vs
+    4.9 s at sf0.1) despite short-circuiting behind the Levenshtein test;
+    as an aggregate input it runs once per verify-survivor in the partial
+    agg, which is free.  Counts are identical: every group that has rows
+    has each of its pairs' single keep row (non-keep duplicates of a pair
+    carry the pair's own edit_dist), so no zero-count groups can appear.
+
+    Even-mode coverage splits exactly-once by the SMALLER-KEY member:
+    indexable (≥ k+1 chars) pairs come from the segment join (the
+    key1 < key2 filter fixes the index side to the smaller key, and the
+    pigeonhole guarantees ≥ 1 surviving slot); pairs whose smaller-key
+    member is SHORT come from the ordered fallback bucket (short strings
+    as key1, the ≤ 2k-char partner pool as key2, ka < kb — each such pair
+    built exactly once, no distinct).  The two sources are disjoint
+    because the segment join has no index rows for short strings."""
     _validate(k, boundaries)
     index = _index_side(df, text_col, key_col, k, boundaries)
     probe = _probe_side(df, text_col, key_col, k, boundaries)
     ed = F.levenshtein(F.col("txt1"), F.col("txt2"), k)
     keep = _first_match_keep(k, boundaries)
-    # The dedup predicate rides INSIDE the aggregate as a conditional sum,
-    # not as a .where: Catalyst pushes filters into the join's residual
-    # condition, where the CASE measured +75% on the whole query (8.7 s vs
-    # 4.9 s at sf0.1) despite short-circuiting behind the Levenshtein test;
-    # as an aggregate input it runs once per verify-survivor in the partial
-    # agg, which is free.  Counts are identical: every group that has rows
-    # has each of its pairs' single keep row (non-keep duplicates of a pair
-    # carry the pair's own edit_dist), so no zero-count groups can appear.
-    return (
+    seg_part = (
         index.join(probe, on=["seg_idx", "seg"])
         .where(F.col("key1") < F.col("key2"))
         .select("seg_idx", "txt1", "txt2", ed.alias("edit_dist"))
         .where(F.col("edit_dist") >= 0)
         .groupBy("edit_dist")
         .agg(F.sum(F.when(keep, F.lit(1)).otherwise(F.lit(0))).alias("n_pairs"))
+    )
+    if boundaries is not None:
+        return seg_part.orderBy("edit_dist")
+    s = F.col(text_col)
+    shorts = df.where(F.length(s) < k + 1).select(
+        F.lit(1).alias("one"), F.col(key_col).alias("ka"), s.alias("ta")
+    )
+    partners = df.where(F.length(s) <= 2 * k).select(
+        F.lit(1).alias("one"), F.col(key_col).alias("kb"), s.alias("tb")
+    )
+    ed2 = F.levenshtein(F.col("ta"), F.col("tb"), k)
+    short_part = (
+        shorts.join(partners, "one")
+        .where(F.col("ka") < F.col("kb"))  # exactly-once orientation
+        .select(ed2.alias("edit_dist"))
+        .where(F.col("edit_dist") >= 0)
+        .groupBy("edit_dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return (
+        seg_part.unionByName(short_part)
+        .groupBy("edit_dist")
+        .agg(F.sum("n_pairs").alias("n_pairs"))
         .orderBy("edit_dist")
     )

@@ -90,6 +90,8 @@ _WINDOW_PRIORITY: list[str] = [
     "pipeline_dedup_delivery_accounting",
     "kinesis_roundtrip_counts",
     "incremental_mv_refresh_accounting",
+    "quality_classifier_accounting",
+    "streaming_upsert_accounting",
     # (2) oldest-evidence rotations (newest green r5, then r6), name-asc
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect",
@@ -128,8 +130,6 @@ _WINDOW_PRIORITY: list[str] = [
     "kll_doclen_quantiles",
     "lm_perplexity_scores",
     "minhash_lsh_pairs",
-    "multimodal_png_roundtrip_stats",
-    "nation_balance_unpivot",
 ]
 
 

@@ -1878,7 +1878,8 @@ def quality_classifier_accounting(spark: SparkSession, sf_dir: str) -> DataFrame
     g1_checksum = sum((j + 1) * g1[f"g{j}"] for j in range(_QC_DIM + 1))
 
     w = logreg_train(
-        feat, dim=_QC_DIM, iterations=_QC_ITERS, lr=_QC_LR, scale_bits=12
+        feat, dim=_QC_DIM, iterations=_QC_ITERS, lr=_QC_LR, scale_bits=12,
+        n=n,  # already counted above — skips logreg_train's count() scan
     )
     scored = logreg_score(feat, w)
     yh = (F.col("prob") >= 0.5).cast("int")

@@ -456,9 +456,13 @@ def streaming_upsert_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root)
     staging, snaps = str(root / "staging"), root / "snaps"
     snaps.mkdir(parents=True)
+    # the base snapshot is the pruned orders scan itself — materializing a
+    # v_base copy first would add a full table write+read to every run
+    # (measured ~25% of the sf1 wall time) for no semantic gain: batch 0's
+    # MERGE reads the original parquet with column pruning, and only the
+    # MERGE OUTPUTS are durable versioned snapshots (v0, v1, …).
     base = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    base.write.mode("overwrite").parquet(str(snaps / "v_base"))
-    current = {"path": str(snaps / "v_base")}
+    current: dict = {"path": None}
 
     def apply_batch(df: DataFrame, batch_id: int) -> None:
         key = F.col("o_orderkey")
@@ -476,7 +480,11 @@ def streaming_upsert_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False).alias("is_delete"),
         )
         changes = upd.unionByName(dele).unionByName(ins)
-        snap = df.sparkSession.read.parquet(current["path"])
+        snap = (
+            base
+            if current["path"] is None
+            else df.sparkSession.read.parquet(current["path"])
+        )
         out = upsert_snapshot(snap, changes, "o_orderkey", delete_col="is_delete")
         dst = str(snaps / f"v{batch_id}")
         out.write.mode("overwrite").parquet(dst)

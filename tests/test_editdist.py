@@ -170,3 +170,28 @@ def test_bounded_counts_plan_has_no_pair_distinct(spark):
     assert re.search(r"HashAggregate\(keys=\[edit_dist", plan)
     # no pair-keyed HashAggregate (the old distinct)
     assert not re.search(r"HashAggregate\(keys=\[key1", plan)
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_even_mode_counts_match_bruteforce(spark, k):
+    """Even-partition exactly-once counts: the first-match mirror of the
+    probe's (dl, sh) enumeration + the ordered short bucket must reproduce
+    the brute-force histogram — on dense random strings, length spreads,
+    unicode, and sub-k+1 shorts (the fallback-bucket population)."""
+    rng = random.Random(31 + k)
+    alphabet = "abc"
+    strings = {
+        i: "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+        for i in range(150)
+    }
+    strings.update({200: "d", 201: "dü", 202: "düsseldorf", 203: "dusseldorf",
+                    204: "aa", 205: "ab", 206: ""})
+    df = spark.createDataFrame([Row(key=i, s=s) for i, s in strings.items()])
+    got = {
+        r.edit_dist: r.n_pairs
+        for r in editdist_pair_counts(df, "s", "key", k=k).collect()
+    }
+    expect: dict[int, int] = {}
+    for _, _, d in _brute(strings, k):
+        expect[d] = expect.get(d, 0) + 1
+    assert got == expect
