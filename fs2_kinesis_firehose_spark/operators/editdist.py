@@ -383,48 +383,78 @@ def editdist_pair_counts(
     has each of its pairs' single keep row (non-keep duplicates of a pair
     carry the pair's own edit_dist), so no zero-count groups can appear.
 
-    Even-mode coverage splits exactly-once by the SMALLER-KEY member:
+    Counting is VALUE-LEVEL (the decisive 100-TB lever): the corpus first
+    collapses to DISTINCT strings with multiplicities (one value-keyed
+    partial-aggregated shuffle), the segment join runs over distinct
+    values only, and every surviving value pair contributes
+    ``cnt₁ · cnt₂`` key pairs; exact-duplicate (ed = 0) pairs never enter
+    the join at all — they are the closed form ``Σ C(cnt, 2)``.  On a
+    corpus where every string occurs r times this divides candidate
+    volume by r² (measured on the 10×-replica sf1 smoke: the row-level
+    join's 92 s collapsed to distinct-value scale); on duplicate-free
+    data the extra groupBy costs one map-side-combined shuffle.  ``key_col``
+    is not consulted — value pairs are oriented by the string itself.
+
+    Even-mode coverage splits exactly-once by the LEXICALLY-SMALLER value:
     indexable (≥ k+1 chars) pairs come from the segment join (the
-    key1 < key2 filter fixes the index side to the smaller key, and the
-    pigeonhole guarantees ≥ 1 surviving slot); pairs whose smaller-key
-    member is SHORT come from the ordered fallback bucket (short strings
-    as key1, the ≤ 2k-char partner pool as key2, ka < kb — each such pair
-    built exactly once, no distinct).  The two sources are disjoint
-    because the segment join has no index rows for short strings."""
+    key1 < key2 filter fixes the index side to the smaller value, and the
+    pigeonhole guarantees ≥ 1 surviving slot); pairs whose smaller value
+    is SHORT come from the ordered fallback bucket (short values as key1,
+    the ≤ 2k-char partner pool as key2 — each value pair built exactly
+    once, no distinct).  The two sources are disjoint because the segment
+    join has no index rows for short strings."""
     _validate(k, boundaries)
-    index = _index_side(df, text_col, key_col, k, boundaries)
-    probe = _probe_side(df, text_col, key_col, k, boundaries)
+    s = F.col(text_col)
+    g = (
+        df.where(s.isNotNull())
+        .groupBy(text_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    # the value string itself is the orientation key; multiplicity rides in
+    # the struct so the join helpers stay unchanged
+    gk = g.select(
+        F.struct(s.alias("t"), F.col("_cnt").alias("c")).alias("_vkey"), text_col
+    )
+    zero_part = (
+        g.where(F.col("_cnt") > 1)
+        .agg(F.sum(F.expr("(_cnt * (_cnt - 1)) div 2")).alias("n_pairs"))
+        .select(F.lit(0).cast("int").alias("edit_dist"), "n_pairs")
+        .where(F.col("n_pairs").isNotNull())
+    )
+    index = _index_side(gk, text_col, "_vkey", k, boundaries)
+    probe = _probe_side(gk, text_col, "_vkey", k, boundaries)
     ed = F.levenshtein(F.col("txt1"), F.col("txt2"), k)
     keep = _first_match_keep(k, boundaries)
+    w = (F.col("key1")["c"] * F.col("key2")["c"]).cast("long")
     seg_part = (
         index.join(probe, on=["seg_idx", "seg"])
-        .where(F.col("key1") < F.col("key2"))
-        .select("seg_idx", "txt1", "txt2", ed.alias("edit_dist"))
+        .where(F.col("key1") < F.col("key2"))  # struct order = value order
+        .select("seg_idx", "txt1", "txt2", ed.alias("edit_dist"), w.alias("_w"))
         .where(F.col("edit_dist") >= 0)
         .groupBy("edit_dist")
-        .agg(F.sum(F.when(keep, F.lit(1)).otherwise(F.lit(0))).alias("n_pairs"))
+        .agg(F.sum(F.when(keep, F.col("_w")).otherwise(F.lit(0))).alias("n_pairs"))
     )
-    if boundaries is not None:
-        return seg_part.orderBy("edit_dist")
-    s = F.col(text_col)
-    shorts = df.where(F.length(s) < k + 1).select(
-        F.lit(1).alias("one"), F.col(key_col).alias("ka"), s.alias("ta")
-    )
-    partners = df.where(F.length(s) <= 2 * k).select(
-        F.lit(1).alias("one"), F.col(key_col).alias("kb"), s.alias("tb")
-    )
-    ed2 = F.levenshtein(F.col("ta"), F.col("tb"), k)
-    short_part = (
-        shorts.join(partners, "one")
-        .where(F.col("ka") < F.col("kb"))  # exactly-once orientation
-        .select(ed2.alias("edit_dist"))
-        .where(F.col("edit_dist") >= 0)
-        .groupBy("edit_dist")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
+    parts = seg_part.unionByName(zero_part)
+    if boundaries is None:
+        shorts = gk.where(F.length(s) < k + 1).select(
+            F.lit(1).alias("one"), F.col("_vkey").alias("ka"), s.alias("ta")
+        )
+        partners = gk.where(F.length(s) <= 2 * k).select(
+            F.lit(1).alias("one"), F.col("_vkey").alias("kb"), s.alias("tb")
+        )
+        ed2 = F.levenshtein(F.col("ta"), F.col("tb"), k)
+        w2 = (F.col("ka")["c"] * F.col("kb")["c"]).cast("long")
+        short_part = (
+            shorts.join(partners, "one")
+            .where(F.col("ka") < F.col("kb"))  # exactly-once orientation
+            .select(ed2.alias("edit_dist"), w2.alias("_w"))
+            .where(F.col("edit_dist") >= 0)
+            .groupBy("edit_dist")
+            .agg(F.sum("_w").alias("n_pairs"))
+        )
+        parts = parts.unionByName(short_part)
     return (
-        seg_part.unionByName(short_part)
-        .groupBy("edit_dist")
+        parts.groupBy("edit_dist")
         .agg(F.sum("n_pairs").alias("n_pairs"))
         .orderBy("edit_dist")
     )
