@@ -52,7 +52,7 @@ class RetryPolicy:
             return self.schedule_fn(attempt)
         if attempt >= self.max_retries:
             return None
-        return self.base_backoff_s * (2**attempt)
+        return self.backoff_s(attempt)
 
 
 @dataclass(frozen=True)

@@ -393,7 +393,12 @@ def editdist_pair_counts(
     volume by r² (measured on the 10×-replica sf1 smoke: the row-level
     join's 92 s collapsed to distinct-value scale); on duplicate-free
     data the extra groupBy costs one map-side-combined shuffle.  ``key_col``
-    is not consulted — value pairs are oriented by the string itself.
+    is not consulted — value pairs are oriented by the string itself —
+    so counts equal the pairs view's aggregate exactly when ``key_col``
+    is unique per row (the operators' shared contract: with duplicated
+    keys, ``editdist_selfjoin_pairs``'s key1 < key2 drops same-key pairs
+    and its distinct collapses repeat key pairs, while row-level counting
+    keeps them).
 
     Even-mode coverage splits exactly-once by the LEXICALLY-SMALLER value:
     indexable (≥ k+1 chars) pairs come from the segment join (the

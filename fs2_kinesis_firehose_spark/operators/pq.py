@@ -147,6 +147,18 @@ def _adc_lut(model: dict, query: list[float]) -> list[list[float]]:
     return lut
 
 
+def _check_reserved(df: DataFrame, names: tuple[str, ...]) -> None:
+    """Broadcast-LUT scoring joins in internal columns; a pre-existing one
+    would be silently overwritten/dropped (or make the join ambiguous) —
+    fail loudly instead (same contract as pq_encode's ivf_cell guard)."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"broadcast-LUT scoring reserves column names {clash}; rename "
+            "the existing columns first"
+        )
+
+
 def _lut_chain_sum(lut_col: Column, code_col: str, m: int) -> Column:
     """Left-to-right ``Σ_j lut[j][code_j]`` over a COLUMN-borne m×k LUT —
     the identical fold order as the literal chain (and the SQL oracle's
@@ -190,6 +202,7 @@ def pq_adc_scores(
         raise ValueError(f"unknown lut_mode: {lut_mode!r}")
     lut = _adc_lut(model, query)
     if lut_mode == "broadcast":
+        _check_reserved(df, ("_lutkey", "_lut"))
         lut_df = df.sparkSession.createDataFrame(
             [(1, lut)], "_lutkey INT, _lut ARRAY<ARRAY<DOUBLE>>"
         )
@@ -429,6 +442,7 @@ def ivf_pq_residual_rescored_topk(
         # the joined LUT column + the joined comparability constant — the
         # expression tree is O(m) nodes with zero data-dependent literals,
         # so whole-stage codegen survives any (m, k, nprobe).
+        _check_reserved(df, ("_lutcell", "_lut", "_cconst"))
         rows = []
         for c in cells:
             qr = [float(query[i]) - float(centroids[c][i]) for i in range(dim)]

@@ -68,14 +68,16 @@ WINDOW_EXEMPT: dict[str, str] = {
 _WINDOW_PRIORITY: list[str] = [
     # --- r9 window (derived by scripts/window_rotation.py; r8 swept
     # 50/50 green and its rows are folded into verified_green.json).
-    # (1) heads with the two NEW broadcast-LUT ANN queries (never
-    # driver-verified) and the nine queries whose implementation changed
-    # this round — the PQ/IVFADC family (lut_mode threading), the
-    # editdist counts (exactly-once first-match aggregation replacing
+    # (1) heads with 13 slots: the two NEW broadcast-LUT ANN queries
+    # (never driver-verified) + the ELEVEN queries whose implementation
+    # changed this round — the PQ/IVFADC family (lut_mode threading),
+    # the editdist counts (exactly-once + value-level counting replacing
     # the pair-set distinct), the sink accounting trio (ordered-acks
-    # default + coalesce bound), and the MV fold (column validation);
-    # (2) fills the remaining 39 slots with oldest-evidence rotations
-    # (newest green row r5 — the TPC-H tail — then r6), name-ascending.
+    # default + coalesce bound), the MV fold (column validation), the
+    # classifier (known-n training), and the streaming upsert (v_base
+    # removal); (2) fills the remaining 37 slots with oldest-evidence
+    # rotations (newest green row r5 — the TPC-H tail — then r6),
+    # name-ascending.
     # ---------------------------------------------------------------
     # (1a) never driver-verified (new this round)
     "pq_adc_bcast_topk",

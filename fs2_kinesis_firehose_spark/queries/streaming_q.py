@@ -497,7 +497,9 @@ def streaming_upsert_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
     q.awaitTermination()
 
-    final = spark.read.parquet(current["path"])
+    # zero delivered batches (empty source) leaves no version — the final
+    # snapshot is then the untouched base, not a read of a missing path
+    final = spark.read.parquet(current["path"]) if current["path"] else base
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return final.groupBy(
         F.when(F.col("o_orderkey") < 0, "inserted")

@@ -195,3 +195,46 @@ def test_even_mode_counts_match_bruteforce(spark, k):
     for _, _, d in _brute(strings, k):
         expect[d] = expect.get(d, 0) + 1
     assert got == expect
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_first_match_mirror_tracks_probe_emissions(spark, k):
+    """Drift guard for the exactly-once counting: `_slot_matches_even(j)`
+    must be TRUE for (txt1, txt2) exactly when _probe_side actually emits
+    slot j of txt1's partition among txt2's substrings — if someone edits
+    _probe_side's enumeration (window, guards) without updating the
+    mirror, counts silently go wrong.  Compares the mirror column against
+    ground truth built FROM _probe_side's own output on random strings."""
+    from fs2_kinesis_firehose_spark.operators import editdist as E
+
+    rng = random.Random(11 + k)
+    strings = {
+        i: "".join(rng.choice("ab") for _ in range(rng.randint(k + 1, 7)))
+        for i in range(40)
+    }
+    df = spark.createDataFrame([Row(key=i, s=s) for i, s in strings.items()])
+    # ground truth: probe emissions per (key2, slot) as a value set
+    emitted: dict[tuple[int, int], set] = {}
+    for r in E._probe_side(df, "s", "key", k, None).collect():
+        emitted.setdefault((r.key2, r.seg_idx), set()).add(r.seg)
+    # index segments per key (even partition — only partitionable strings)
+    segs: dict[tuple[int, int], str] = {}
+    for r in E._index_side(df, "s", "key", k, None).collect():
+        segs[(r.key1, r.seg_idx)] = r.seg
+    # mirror evaluated by Spark on every (indexable txt1, any txt2) pair
+    pairs = [
+        (i, strings[i], j, strings[j])
+        for i in strings
+        if len(strings[i]) >= k + 1
+        for j in strings
+    ]
+    pdf = spark.createDataFrame(pairs, "k1 long, txt1 string, k2 long, txt2 string")
+    cols = [E._slot_matches_even(j, k).alias(f"m{j}") for j in range(k + 1)]
+    got = pdf.select("k1", "k2", *cols).collect()
+    for r in got:
+        for j in range(k + 1):
+            want = segs[(r.k1, j)] in emitted.get((r.k2, j), set())
+            assert r[f"m{j}"] == want, (
+                f"mirror drift: slot {j} of key {r.k1} vs key {r.k2}: "
+                f"mirror={r[f'm{j}']} probe={want}"
+            )

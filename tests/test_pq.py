@@ -376,3 +376,29 @@ def test_bcast_lut_mode_validation(spark):
     enc = PQ.pq_encode(df, model)
     with pytest.raises(ValueError, match="lut_mode"):
         PQ.pq_adc_scores(enc, model, list(X[0]), lut_mode="nope").collect()
+
+
+def test_bcast_lut_rejects_reserved_columns(spark):
+    """Broadcast mode joins in _lutkey/_lut (_lutcell/_cconst on the
+    residual path); a pre-existing column of that name would be silently
+    clobbered — must raise instead (the pq_encode ivf_cell precedent)."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(79)
+    X = rng.normal(0, 1, (10, 8))
+    df = _emb_df(spark, X)
+    model = PQ.pq_fit(df, vec_col="embedding", dim=8, m=2, k=4, iterations=1)
+    enc = PQ.pq_encode(df, model)
+    with pytest.raises(ValueError, match="_lut"):
+        PQ.pq_adc_scores(
+            enc.withColumn("_lut", F.lit(1)), model, list(X[0]), lut_mode="broadcast"
+        )
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    cents = S.seeded_centroids(8, 4, seed=7, scale=1.0)
+    renc, rmodel = _residual_enc(df, cents, 8, 2, 4, 1)
+    with pytest.raises(ValueError, match="_cconst"):
+        PQ.ivf_pq_residual_rescored_topk(
+            renc.withColumn("_cconst", F.lit(1.0)),
+            cents, rmodel, list(X[0]), 5, nprobe=1, lut_mode="broadcast",
+        )
