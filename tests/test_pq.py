@@ -402,3 +402,34 @@ def test_bcast_lut_rejects_reserved_columns(spark):
             renc.withColumn("_cconst", F.lit(1.0)),
             cents, rmodel, list(X[0]), 5, nprobe=1, lut_mode="broadcast",
         )
+
+
+def test_bcast_lut_production_dims_bit_equal(spark):
+    """The claim the broadcast path exists for: at production-scale
+    codebooks (m=32 subspaces × k=256 codes — 8192 LUT doubles, the
+    regime where the literal chain carries ~64 KB of plan constants)
+    both paths still agree bitwise and the broadcast plan keeps the
+    KB-scale LUT out of the generated code.  Codebooks are synthetic
+    (scoring never consults the float vectors), so the test is fast."""
+    rng = np.random.default_rng(83)
+    m, k, sub = 32, 256, 4
+    model = {
+        "m": m, "k": k, "sub": sub, "dim": m * sub,
+        "codebooks": [
+            [[float(x) for x in rng.normal(0, 1, sub)] for _ in range(k)]
+            for _ in range(m)
+        ],
+    }
+    rows = [(i, [int(c) for c in rng.integers(0, k, m)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, pq_code array<int>").cache()
+    q = [float(x) for x in rng.normal(0, 1, m * sub)]
+    lit_rows = PQ.pq_adc_scores(df, model, q).orderBy("vec_id").collect()
+    bc = PQ.pq_adc_scores(df, model, q, lut_mode="broadcast")
+    bc_rows = bc.orderBy("vec_id").collect()
+    assert [(r.vec_id, r.adc_dist) for r in lit_rows] == [
+        (r.vec_id, r.adc_dist) for r in bc_rows
+    ]
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    # the LUT rides as data (a broadcast join), not as plan literals
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("-0.") + plan.count("0.") < k  # no k-scale constant spill
