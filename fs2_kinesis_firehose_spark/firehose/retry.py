@@ -61,7 +61,10 @@ def put_batch_with_retry(
             delay = retry.delay_s(attempts - 1)
             if delay is None:  # schedule exhausted (GiveUp)
                 raise
-            sleep(delay)
+            # clamp: a custom schedule_fn returning a negative float would
+            # otherwise raise from time.sleep INSIDE the loop, losing the
+            # merged partial result and the original call error
+            sleep(max(0.0, delay))
             continue
 
         responses = resp["RequestResponses"]
@@ -77,7 +80,7 @@ def put_batch_with_retry(
         delay = retry.delay_s(attempts - 1)
         if delay is None:  # schedule exhausted: return the partial result
             break
-        sleep(delay)
+        sleep(max(0.0, delay))  # clamp negative custom-schedule delays
 
     failed = sum(1 for entry in final if not (entry or {}).get("RecordId"))
     return {

@@ -116,6 +116,21 @@ def test_custom_schedule_fn_whole_call_giveup_raises():
     assert client.put_batch_calls == 2  # initial + the single scheduled retry
 
 
+def test_custom_schedule_fn_negative_delay_clamped():
+    """A schedule returning a negative float must not blow up time.sleep
+    mid-loop (which would lose the merged partial result): negative delays
+    are clamped to 0 and the retry proceeds (r9 ADVICE)."""
+    import time
+
+    client = FakeFirehose(fail_record_times=1)
+    policy = RetryPolicy(schedule_fn=lambda a: -1.5 if a < 5 else None)
+    # real time.sleep: the clamp is what keeps this from raising ValueError
+    resp = put_batch_with_retry(client, "s", recs(b"a", b"b"), policy, sleep=time.sleep)
+    assert resp["FailedPutCount"] == 0
+    assert resp["Attempts"] == 2
+    assert sorted(client.delivered["s"]) == [b"a", b"b"]
+
+
 def test_custom_schedule_fn_recovers_partial_failures():
     """The schedule interacts correctly with shrink-to-failed: records that
     succeed on their second submission are delivered once, under a custom
