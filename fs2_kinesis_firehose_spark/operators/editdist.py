@@ -360,6 +360,7 @@ def editdist_pair_counts(
     *,
     k: int = 1,
     boundaries: list[tuple[int, int]] | None = None,
+    check_keys: bool = True,
 ) -> DataFrame:
     """Pair counts per exact edit distance ∈ [0, k] — the bounded-output
     accounting view (the full pair set at sf0.1 is ~10⁵ rows; the counts
@@ -393,12 +394,22 @@ def editdist_pair_counts(
     volume by r² (measured on the 10×-replica sf1 smoke: the row-level
     join's 92 s collapsed to distinct-value scale); on duplicate-free
     data the extra groupBy costs one map-side-combined shuffle.  ``key_col``
-    is not consulted — value pairs are oriented by the string itself —
-    so counts equal the pairs view's aggregate exactly when ``key_col``
-    is unique per row (the operators' shared contract: with duplicated
-    keys, ``editdist_selfjoin_pairs``'s key1 < key2 drops same-key pairs
-    and its distinct collapses repeat key pairs, while row-level counting
-    keeps them).
+    is not consulted for counting — value pairs are oriented by the string
+    itself — so counts equal the pairs view's aggregate exactly when
+    ``key_col`` is unique per row (the operators' shared contract: with
+    duplicated keys, ``editdist_selfjoin_pairs``'s key1 < key2 drops
+    same-key pairs and its distinct collapses repeat key pairs, while
+    row-level counting keeps them).  ``check_keys=True`` (default)
+    ENFORCES that contract in-plan: a one-row key-uniqueness aggregate
+    (``count(*) == count(distinct key)`` over the non-null-text rows —
+    one narrow map-side-combined shuffle) rides the result as a broadcast
+    1-row cross join and ``assert_true`` fails the job loudly instead of
+    returning numbers that silently don't reconcile with the pairs view.
+    Pass ``check_keys=False`` only when key uniqueness is already
+    guaranteed upstream (e.g. the key IS a primary key of the scan) —
+    or when the value-level semantics are what you actually want.
+    (When the result is empty — no qualifying pairs at any distance —
+    the assert has no row to evaluate on; divergence is moot there.)
 
     Even-mode coverage splits exactly-once by the LEXICALLY-SMALLER value:
     indexable (≥ k+1 chars) pairs come from the segment join (the
@@ -414,6 +425,10 @@ def editdist_pair_counts(
         df.where(s.isNotNull())
         .groupBy(text_col)
         .agg(F.count(F.lit(1)).alias("_cnt"))
+        # consumed by up to 3 union legs (zero-ed closed form, segment join
+        # index+probe, short-string fallback): checkpoint so the value-
+        # collapse aggregate runs ONCE instead of once per leg
+        .localCheckpoint(eager=False)
     )
     # the value string itself is the orientation key; multiplicity rides in
     # the struct so the join helpers stay unchanged
@@ -458,8 +473,29 @@ def editdist_pair_counts(
             .agg(F.sum("_w").alias("n_pairs"))
         )
         parts = parts.unionByName(short_part)
-    return (
-        parts.groupBy("edit_dist")
-        .agg(F.sum("n_pairs").alias("n_pairs"))
-        .orderBy("edit_dist")
-    )
+    out = parts.groupBy("edit_dist").agg(F.sum("n_pairs").alias("n_pairs"))
+    if check_keys:
+        chk = (
+            df.where(s.isNotNull())
+            .agg(
+                (F.count(F.lit(1)) == F.count_distinct(F.col(key_col))).alias(
+                    "_keys_ok"
+                )
+            )
+        )
+        out = (
+            out.crossJoin(F.broadcast(chk))  # 1-row BNLJ idiom
+            .where(
+                F.assert_true(
+                    F.col("_keys_ok"),
+                    F.lit(
+                        "editdist_pair_counts: duplicated key_col values — "
+                        "value-level counts would diverge from "
+                        "editdist_selfjoin_pairs (pass check_keys=False to "
+                        "accept value-level semantics)"
+                    ),
+                ).isNull()
+            )
+            .drop("_keys_ok")
+        )
+    return out.orderBy("edit_dist")

@@ -153,6 +153,46 @@ def test_bounded_counts_match_bruteforce_and_pairs_path(spark, k):
     assert got0 == {0: 6}  # C(4,2) unordered pairs, each counted once
 
 
+def test_counts_duplicated_keys_fail_loudly(spark):
+    """The counts/pairs key contract (r9 verdict finding): value-level
+    counting never consults key_col, so with NON-unique keys its numbers
+    silently diverge from editdist_selfjoin_pairs' aggregate.  Default
+    check_keys=True must fail the job instead."""
+    rows = [Row(key=i, s=f"unit#{i:09d}") for i in range(20)]
+    rows.append(Row(key=3, s="unit#000000004"))  # duplicated key, near-dup text
+    df = spark.createDataFrame(rows)
+    with pytest.raises(Exception, match="duplicated key_col"):
+        editdist_pair_counts(df, "s", "key", k=1).collect()
+    # opt-out: value-level semantics accepted explicitly
+    got = {
+        r.edit_dist: r.n_pairs
+        for r in editdist_pair_counts(df, "s", "key", k=1, check_keys=False).collect()
+    }
+    # value-level: every consecutive serial pair is at distance 1, plus the
+    # duplicated-text row pairs with its twin at distance 0 and neighbors
+    expect: dict[int, int] = {}
+    strings = {i: r.s for i, r in enumerate(rows)}
+    for _, _, d in _brute(strings, 1):
+        expect[d] = expect.get(d, 0) + 1
+    assert got == expect
+
+
+def test_counts_unique_keys_pass_check(spark):
+    """check_keys=True is transparent on contract-respecting input (same
+    counts as check_keys=False on unique keys)."""
+    strings = {i: f"unit#{i % 30:09d}" for i in range(60)}
+    df = spark.createDataFrame([Row(key=i, s=s) for i, s in strings.items()])
+    a = {
+        r.edit_dist: r.n_pairs
+        for r in editdist_pair_counts(df, "s", "key", k=1).collect()
+    }
+    b = {
+        r.edit_dist: r.n_pairs
+        for r in editdist_pair_counts(df, "s", "key", k=1, check_keys=False).collect()
+    }
+    assert a == b and a[0] == 30  # 30 duplicated values, C(2,2)=1 pair each
+
+
 def test_bounded_counts_plan_has_no_pair_distinct(spark):
     """Plan pin for the 100-TB shape: boundaries-mode counts shuffle the
     segment join and the (k+1)-row count aggregate — never the pair set.
