@@ -7,10 +7,12 @@ Execution-model mapping (SURVEY.md §1.3, §3 EP1):
   TIME bound; the 500-record COUNT bound is re-imposed inside the sink by
   slicing each partition iterator (Spark triggers are time-only — SURVEY.md §7
   hard-part 1).
-- ``mapAsync(parallelism)``                   → partition count of the batch:
-  ``repartition(parallelism)`` bounds in-flight requests.  Ordering is
-  preserved only *within* a partition, not globally (documented semantic
-  delta, SURVEY.md §4).
+- ``mapAsync(parallelism)``                   → the put-stage task count
+  bounds in-flight requests; ordered mode (the default at the reference's
+  parallelism=1, available at ANY parallelism) reproduces mapAsync's
+  order-preserving ack stream exactly — coalesce(1) at parallelism 1,
+  pre-shuffle (src_part, req_idx) request stamps + a stamp sort at
+  parallelism > 1.  ``ordered=False`` keeps only within-partition order.
 - blocking-pool isolation (Firehose.scala:65) → puts run inside partition
   functions on executors; the driver never blocks on AWS I/O.
 - ack stream (``Pipe[F, T, PutRecordBatchResult]``) → ``produce_acks`` returns
@@ -29,6 +31,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -127,35 +131,45 @@ def produce_acks(
     globally sequential and order-preserving), so a user porting default
     settings gets identical ack ordering with zero extra cost (the
     unordered path would funnel through one partition anyway; the ordered
-    path does the same WITHOUT a shuffle).  Ordered mode uses an
-    order-preserving ``coalesce(parallelism)`` instead of the round-robin
-    ``repartition`` (which would scramble arrival order) — in-flight puts
-    stay bounded by ``parallelism`` AND each task consumes its input
-    partitions in source-index order — and the ack DataFrame is globally
-    sorted by ``(partition_id, request_index)``, so the ack sequence equals
-    the order requests were cut from the input stream.  Cost vs unordered:
-    one sort over the (request-count-sized, tiny) ack rows and no
-    re-balance of skewed inputs; pass ``ordered=False`` with
-    ``parallelism=1`` to get the old repartition-funnel behavior.
+    path does the same WITHOUT a shuffle).
 
-    Two documented caveats of the coalesce construction:
-    (1) source-order equality relies on coalesce grouping source
-    partitions in contiguous index ranges, which holds for inputs without
-    preferred locations (local/file-backed scans — the tested
-    environments); a locality-aware scheduler (HDFS blocks) may group
-    non-contiguously, making the ack order deterministic-per-grouping
-    but not globally source-ordered at parallelism > 1.
-    (2) at parallelism=1 the upstream projection (serialization/framing)
-    runs inside the single coalesced task rather than parallel behind a
-    repartition shuffle; measured NET-FASTER here (sf1: 5.2 s → 4.0 s —
-    skipping the payload-bytes shuffle outweighs the lost framing
-    parallelism), but CPU-heavy serializers on many-partition inputs may
-    prefer ``ordered=False``.
+    Ordered at ``parallelism == 1`` uses an order-preserving
+    ``coalesce(1)``: the single task consumes input partitions in
+    source-index order, so requests are cut from the globally sequential
+    record stream exactly as the reference's ``groupWithin`` does, and the
+    ack rows come out already ordered.  (At parallelism=1 the upstream
+    projection — serialization/framing — runs inside that single task
+    rather than parallel behind a repartition shuffle; measured NET-FASTER
+    here (sf1: 5.2 s → 4.0 s — skipping the payload-bytes shuffle outweighs
+    the lost framing parallelism), but CPU-heavy serializers on
+    many-partition inputs may prefer ``ordered=False``.)
+
+    Ordered at ``parallelism > 1`` (exact at ANY parallelism, matching
+    ``mapAsync(n)``): requests are cut PER SOURCE PARTITION at framing
+    time — a first ``mapInPandas`` over the un-shuffled input slices each
+    source partition into requests and stamps every request with
+    ``(source_partition_id, request_index)`` — then the request rows
+    round-robin-shuffle into exactly ``parallelism`` put tasks (the
+    in-flight bound), and the ack DataFrame is globally sorted by the
+    stamp.  Because the stamp is captured BEFORE any shuffle, the ack
+    sequence equals request-formation order regardless of how the
+    scheduler groups or scrambles partitions — no reliance on coalesce
+    contiguity (the r9 locality caveat is gone).  Like ``mapAsync``, puts
+    COMPLETE concurrently; it is the ack STREAM that is ordered.  Framing
+    runs at full source parallelism.  Semantic note: request boundaries
+    never span source partitions (each source partition flushes its
+    remainder as a partial request — the same partial batches
+    ``groupWithin``'s time bound produces), so ``n_requests`` is
+    Σ_p ceil(rows_p / batch_size) rather than the single-stream
+    ceil(Σ rows / batch_size); at parallelism=1 the single-stream cut is
+    preserved exactly.
     """
     if "value" not in framed.columns:
         raise ValueError("produce expects a framed DataFrame with a 'value' column")
     if ordered is None:
         ordered = settings.parallelism == 1  # ProducerSettings.scala:80 default
+    if ordered and settings.parallelism > 1:
+        return _produce_acks_stamped(framed, settings, client_factory)
     if ordered:
         # order-preserving concurrency bound: coalesce merges whole input
         # partitions in index order, never splits or interleaves them
@@ -209,6 +223,97 @@ def produce_acks(
             "partition_id", "request_index"
         )
     return acks_df
+
+
+# request rows between the cut stage and the put stage of the stamped path
+_REQUEST_SCHEMA = StructType(
+    [
+        StructField("src_part", IntegerType(), False),
+        StructField("req_idx", LongType(), False),
+        StructField("payloads", ArrayType(BinaryType(), False), False),
+        StructField("request_bytes", LongType(), False),
+    ]
+)
+
+
+def _produce_acks_stamped(
+    framed: DataFrame,
+    settings: ProducerSettings,
+    client_factory: ClientFactory,
+) -> DataFrame:
+    """Exact-order produce at parallelism > 1 (see ``produce_acks``).
+
+    Stage 1 (source parallelism): slice each SOURCE partition into
+    requests, stamping ``(src_part, req_idx)`` — the stamp is captured in
+    the pre-shuffle stage, so it reflects true source order no matter how
+    later stages schedule.  Stage 2 (``parallelism`` tasks, the in-flight
+    bound): round-robin shuffle of the request rows, then the actual puts.
+    Stage 3: one request-count-sized shuffle to sort acks by stamp.  The
+    payload bytes cross one shuffle (same as the unordered repartition
+    path); framing stays fully parallel."""
+
+    def cut(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        src_part = ctx.partitionId() if ctx is not None else -1
+        payloads = (bytes(v) for pdf in batches for v in pdf["value"])
+        rows = [
+            {
+                "src_part": src_part,
+                "req_idx": req_idx,
+                "payloads": list(buf),
+                "request_bytes": buf_bytes,
+            }
+            for req_idx, (buf, buf_bytes) in enumerate(
+                slice_requests(
+                    payloads,
+                    batch_size=settings.batch_size,
+                    max_batch_bytes=settings.max_batch_bytes,
+                    max_record_bytes=settings.max_record_bytes,
+                )
+            )
+        ]
+        yield pd.DataFrame(rows, columns=[f.name for f in _REQUEST_SCHEMA.fields])
+
+    requests = (
+        framed.select("value")
+        .mapInPandas(cut, _REQUEST_SCHEMA)
+        .repartition(settings.parallelism)
+    )
+
+    def put(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        client = _executor_client(client_factory)
+        acks: list[dict] = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                records = [{"Data": bytes(p)} for p in row.payloads]
+                resp = put_batch_with_retry(
+                    client, settings.stream_name, records, settings.retry
+                )
+                acks.append(
+                    {
+                        "partition_id": int(row.src_part),
+                        "request_index": int(row.req_idx),
+                        "n_records": len(records),
+                        "failed_records": int(resp.get("FailedPutCount", 0)),
+                        "attempts": int(resp.get("Attempts", 1)),
+                        "request_bytes": int(row.request_bytes),
+                        "stream_name": settings.stream_name,
+                    }
+                )
+        yield pd.DataFrame(acks, columns=[f.name for f in ACK_SCHEMA.fields])
+
+    # same no-orderBy rationale as produce_acks: a global sort would
+    # range-sample (and so re-run) the put pipeline
+    return (
+        requests.mapInPandas(put, ACK_SCHEMA)
+        .repartition(1)
+        .sortWithinPartitions("partition_id", "request_index")
+    )
 
 
 def write_batch(

@@ -153,12 +153,13 @@ def test_streaming_produce_delivers_all_events(spark, sf_smoke, tmp_path):
 
 
 def test_ordered_acks_follow_input_order(spark, tmp_path):
-    """ordered=True (A5 delta closure): the ack sequence must equal the
-    order requests were cut from the input — and in-flight puts stay
-    bounded by ``parallelism`` via an ORDER-PRESERVING coalesce (the
-    reference's mapAsync bounds concurrency AND preserves order,
-    firehose.scala:41): 4 source partitions of 300 ids coalesce into 2
-    tasks of contiguous source partitions, 6 requests each."""
+    """ordered=True at parallelism > 1 (A5 exact closure, r9 verdict ask
+    #2): the ack sequence must equal request-formation order at ANY
+    parallelism, like the reference's order-preserving ``mapAsync``
+    (firehose.scala:41).  Requests are cut per SOURCE partition and
+    stamped (src_part, req_idx) BEFORE any shuffle, so the sorted ack
+    stream is exact source order regardless of scheduler grouping: 4
+    source partitions of 300 ids → 3 requests each → 12 stamped acks."""
     spool = str(tmp_path / "spool")
     df = spark.range(0, 1200, 1, 4).selectExpr(
         "CAST(lpad(string(id), 6, '0') AS BINARY) AS value"
@@ -168,13 +169,51 @@ def test_ordered_acks_follow_input_order(spark, tmp_path):
         df, settings, fake_client_factory(spool_dir=spool), ordered=True
     ).collect()
     order = [(a.partition_id, a.request_index) for a in acks]
-    assert order == sorted(order), "acks not in (partition, request) order"
-    # coalesce(2) over 4 equal partitions: tasks 0 and 1, 6 requests each —
-    # the concurrency bound holds (only partition ids 0..1 appear)
-    assert [p for p, _ in order] == [0] * 6 + [1] * 6
-    assert [r for _, r in order] == [0, 1, 2, 3, 4, 5] * 2
+    # exact: source partitions 0..3, requests 0..2 within each — source
+    # order, NOT put-task order (puts complete concurrently, like mapAsync)
+    assert order == [(p, i) for p in range(4) for i in range(3)]
     assert all(a.n_records == 100 for a in acks)
     assert len(read_spool(spool, "t")) == 1200
+    # every payload delivered exactly once
+    delivered = sorted(p.decode() for p in read_spool(spool, "t"))
+    assert delivered == [f"{i:06d}" for i in range(1200)]
+
+
+def test_ordered_acks_exact_under_noncontiguous_grouping(spark, tmp_path):
+    """Non-contiguous grouping simulation: 5 source partitions (uneven
+    sizes) over parallelism=3 — coalesce-style contiguity assumptions
+    CANNOT hold here (5 partitions don't split into 3 contiguous equal
+    groups), and the round-robin request shuffle scrambles which put task
+    serves which request.  The stamp, captured pre-shuffle, still yields
+    exact source order."""
+    spool = str(tmp_path / "spool")
+    # partition p holds ids [200p, 200p+150+10p): uneven row counts
+    df = (
+        spark.range(0, 1000, 1, 5)
+        .filter("id % 200 < 150 + 10 * CAST(id / 200 AS INT)")
+        .selectExpr("CAST(lpad(string(id), 6, '0') AS BINARY) AS value")
+    )
+    settings = ProducerSettings(stream_name="t", parallelism=3, batch_size=64)
+    acks = produce_acks(
+        df, settings, fake_client_factory(spool_dir=spool), ordered=True
+    ).collect()
+    order = [(a.partition_id, a.request_index) for a in acks]
+    # exact source order: per partition p, ceil(rows_p / 64) requests
+    rows_per_part = [150 + 10 * p for p in range(5)]
+    expect = [
+        (p, i)
+        for p in range(5)
+        for i in range((rows_per_part[p] + 63) // 64)
+    ]
+    assert order == expect
+    # per-partition remainder requests match the per-source-partition cut
+    by_part: dict[int, list] = {}
+    for a in acks:
+        by_part.setdefault(a.partition_id, []).append(a.n_records)
+    for p, counts in by_part.items():
+        n = rows_per_part[p]
+        assert counts == [64] * (n // 64) + ([n % 64] if n % 64 else [])
+    assert len(read_spool(spool, "t")) == sum(rows_per_part)
 
 
 def test_default_is_ordered_at_parallelism_1(spark, tmp_path):
