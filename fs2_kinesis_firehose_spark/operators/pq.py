@@ -59,6 +59,8 @@ __all__ = [
     "ivf_pq_rescored_topk",
     "ivf_residual",
     "ivf_pq_residual_rescored_topk",
+    "write_pq_index",
+    "read_pq_index",
 ]
 
 
@@ -355,6 +357,95 @@ def ivf_pq_rescored_topk(
         round_to=round_to,
         lut_mode=lut_mode,
     )
+
+
+_MODEL_SCHEMA = (
+    "m INT, k INT, sub INT, dim INT, "
+    "codebooks ARRAY<ARRAY<ARRAY<DOUBLE>>>, "
+    "centroids ARRAY<ARRAY<DOUBLE>>"
+)
+
+
+def write_pq_index(
+    path: str,
+    model: dict,
+    codes: DataFrame,
+    *,
+    cell_col: str | None = None,
+    centroids=None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a PQ (optionally IVF+PQ) index so queries stop refitting
+    per run — the amortized-infrastructure shape of the reference itself
+    (the delivery stream persists across puts, FirehoseOps.scala:32-40) and
+    of this repo's materialized BM25 postings (retrieval.py): build ONCE,
+    serve many.
+
+    Layout:
+
+    - ``{path}/model`` — ONE parquet row: m/k/sub/dim, the m×k×(dim/m)
+      codebooks, and (when given) the coarse IVF ``centroids``.  All
+      doubles; parquet DOUBLE roundtrips Python floats bit-exactly, so a
+      reloaded model scores bit-identically to the in-session one.
+    - ``{path}/codes`` — ``codes`` as-is; when ``cell_col`` is given the
+      write is ``partitionBy(cell_col)`` — the INVERTED-LIST layout: each
+      coarse cell is its own partition directory, so a probe's
+      ``cell_col.isin(probed)`` filter prunes to nprobe/n_cells of the
+      files at planning time (PartitionFilters, no data read outside the
+      probed lists).  Pass the vector column through ``codes`` if exact
+      rescoring should be served from the index itself.
+
+    At 100 TB the model row is KB-scale driver metadata while the codes
+    write is a normal partitioned parquet job — no collect anywhere."""
+    spark = codes.sparkSession
+    cents = (
+        [[float(x) for x in c] for c in centroids]
+        if centroids is not None
+        else None
+    )
+    books = [[[float(x) for x in c] for c in book] for book in model["codebooks"]]
+    row = (
+        int(model["m"]),
+        int(model["k"]),
+        int(model["sub"]),
+        int(model["dim"]),
+        books,
+        cents,
+    )
+    spark.createDataFrame([row], _MODEL_SCHEMA).coalesce(1).write.mode(mode).parquet(
+        f"{path}/model"
+    )
+    writer = codes.write.mode(mode)
+    if cell_col is not None:
+        if cell_col not in codes.columns:
+            raise ValueError(f"cell_col {cell_col!r} not in codes columns")
+        writer = writer.partitionBy(cell_col)
+    writer.parquet(f"{path}/codes")
+
+
+def read_pq_index(spark, path: str):
+    """Load a persisted index: ``(model, codes_df, centroids)`` —
+    ``centroids`` is None for a flat (non-IVF) index.  The model dict is
+    drop-in for every scoring entry point (``pq_adc_scores`` /
+    ``pq_topk`` / ``pq_rescored_topk`` / ``ivf_pq_rescored_topk``), and
+    reloaded scores are bit-identical to in-session ones (parquet DOUBLE
+    roundtrip is exact).  The codes read is lazy — with a partitioned
+    (inverted-list) layout, downstream cell filters prune partitions."""
+    mrow = spark.read.schema(_MODEL_SCHEMA).parquet(f"{path}/model").collect()
+    if len(mrow) != 1:
+        raise ValueError(f"expected exactly one model row at {path}/model, got {len(mrow)}")
+    r = mrow[0]
+    model = {
+        "m": r["m"],
+        "k": r["k"],
+        "sub": r["sub"],
+        "dim": r["dim"],
+        "codebooks": [[list(c) for c in book] for book in r["codebooks"]],
+    }
+    cents = (
+        [list(c) for c in r["centroids"]] if r["centroids"] is not None else None
+    )
+    return model, spark.read.parquet(f"{path}/codes"), cents
 
 
 def ivf_residual(

@@ -433,3 +433,104 @@ def test_bcast_lut_production_dims_bit_equal(spark):
     # the LUT rides as data (a broadcast join), not as plan literals
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert plan.count("-0.") + plan.count("0.") < k  # no k-scale constant spill
+
+
+# ---------------------------------------------------------------------------
+# Persisted index lifecycle (write_pq_index / read_pq_index)
+# ---------------------------------------------------------------------------
+def test_persisted_index_roundtrips_bit_exact(spark, tmp_path):
+    """Build-persist-reload-query: the reloaded model must equal the
+    in-session one EXACTLY (parquet DOUBLE roundtrip), and the reloaded
+    IVFADC topk must be bit-identical to the in-session topk."""
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    rng = np.random.default_rng(101)
+    X = rng.normal(0, 1, (150, 16))
+    df = _emb_df(spark, X)
+    model = PQ.pq_fit(df, vec_col="embedding", dim=16, m=4, k=8, iterations=2)
+    cents = S.seeded_centroids(16, 4, seed=7, scale=1.0)
+    enc = S.ivf_assign(PQ.pq_encode(df, model), cents)
+    path = str(tmp_path / "idx")
+    PQ.write_pq_index(
+        path, model, enc.select("vec_id", "embedding", "pq_code", "ivf_cell"),
+        cell_col="ivf_cell", centroids=cents,
+    )
+    model2, codes2, cents2 = PQ.read_pq_index(spark, path)
+    # model roundtrip exact (floats unchanged through parquet DOUBLE)
+    assert model2["m"] == model["m"] and model2["k"] == model["k"]
+    assert model2["sub"] == model["sub"] and model2["dim"] == model["dim"]
+    assert model2["codebooks"] == [
+        [[float(x) for x in c] for c in book] for book in model["codebooks"]
+    ]
+    assert cents2 == [[float(x) for x in c] for c in cents]
+    q = list(X[3])
+    want = PQ.ivf_pq_rescored_topk(
+        enc, cents, model, q, 10, nprobe=2, candidates=40
+    ).collect()
+    got = PQ.ivf_pq_rescored_topk(
+        codes2, cents2, model2, q, 10, nprobe=2, candidates=40
+    ).collect()
+    assert [(r.vec_id, r.l2_dist) for r in got] == [
+        (r.vec_id, r.l2_dist) for r in want
+    ]
+    # codes roundtrip exact too
+    want_codes = {r.vec_id: list(r.pq_code) for r in enc.collect()}
+    got_codes = {r.vec_id: list(r.pq_code) for r in codes2.collect()}
+    assert got_codes == want_codes
+
+
+def test_persisted_index_partition_pruning(spark, tmp_path):
+    """The inverted-list layout earns its keep: a probe filter over the
+    partitionBy(ivf_cell) codes must prune at PLANNING time — the scan's
+    PartitionFilters carry the cell predicate and only the probed cells'
+    directories are read."""
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    rng = np.random.default_rng(103)
+    X = rng.normal(0, 1, (120, 8))
+    df = _emb_df(spark, X)
+    model = PQ.pq_fit(df, vec_col="embedding", dim=8, m=2, k=4, iterations=1)
+    cents = S.seeded_centroids(8, 4, seed=7, scale=1.0)
+    enc = S.ivf_assign(PQ.pq_encode(df, model), cents)
+    path = str(tmp_path / "idx")
+    PQ.write_pq_index(
+        path, model, enc.select("vec_id", "embedding", "pq_code", "ivf_cell"),
+        cell_col="ivf_cell", centroids=cents,
+    )
+    _, codes2, cents2 = PQ.read_pq_index(spark, path)
+    from pyspark.sql import functions as F
+
+    cells = S.ivf_probe_cells(cents2, list(X[0]), 2)
+    pool = codes2.filter(F.col("ivf_cell").isin([int(c) for c in cells]))
+    plan = pool._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_persisted_index_flat_no_centroids(spark, tmp_path):
+    """Flat (non-IVF) index: centroids omitted, reload returns None, and
+    the plain PQ query path serves from the reloaded artifacts."""
+    rng = np.random.default_rng(107)
+    X = rng.normal(0, 1, (80, 8))
+    df = _emb_df(spark, X)
+    model = PQ.pq_fit(df, vec_col="embedding", dim=8, m=2, k=4, iterations=1)
+    enc = PQ.pq_encode(df, model)
+    path = str(tmp_path / "idx")
+    PQ.write_pq_index(path, model, enc.select("vec_id", "embedding", "pq_code"))
+    model2, codes2, cents2 = PQ.read_pq_index(spark, path)
+    assert cents2 is None
+    q = list(X[1])
+    want = PQ.pq_topk(enc, model, q, 5).collect()
+    got = PQ.pq_topk(codes2, model2, q, 5).collect()
+    assert [(r.vec_id, r.adc_dist) for r in got] == [
+        (r.vec_id, r.adc_dist) for r in want
+    ]
+
+
+def test_write_pq_index_validates_cell_col(spark, tmp_path):
+    rng = np.random.default_rng(109)
+    X = rng.normal(0, 1, (10, 8))
+    df = _emb_df(spark, X)
+    model = PQ.pq_fit(df, vec_col="embedding", dim=8, m=2, k=4, iterations=1)
+    enc = PQ.pq_encode(df, model)
+    with pytest.raises(ValueError, match="cell_col"):
+        PQ.write_pq_index(str(tmp_path / "x"), model, enc, cell_col="nope")
