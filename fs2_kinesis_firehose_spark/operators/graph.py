@@ -210,10 +210,38 @@ def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+def _prune_low_degree(und: DataFrame, rounds: int = 2) -> DataFrame:
+    """Iteratively drop degree-< 2 nodes before triangle enumeration — a
+    degree-1 (or isolated) node closes no triangle, so removing its edges
+    is semantics-free; each removal can demote a neighbor to degree 1, so
+    a couple of peel rounds trim sparse fringes (the partial 2-core).
+    Each round is one degree aggregate + two semi-joins — cheap relative
+    to the wedge join whose input it shrinks.  Rounds are FIXED (no
+    driver-side convergence count): the fringe that matters is shallow,
+    and a fixpoint loop would serialize actions."""
+    for _ in range(rounds):
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .union(und.select("v"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= 2).select("node")
+        und = (
+            und.join(keep.withColumnRenamed("node", "u"), "u", "leftsemi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "leftsemi")
+            .localCheckpoint(eager=False)  # consumed by next round / 3 legs
+        )
+    return und
+
+
 def _oriented_triangles(und: DataFrame) -> DataFrame:
     """Enumerate each triangle of the canonical graph exactly once as
     ``(apex, bn, cn)`` via the degree-ordered orientation (see
-    ``triangle_counts`` docstring for the O(m^{3/2}) wedge bound)."""
+    ``triangle_counts`` docstring for the O(m^{3/2}) wedge bound).
+    Degree-< 2 fringes are peeled first (``_prune_low_degree``) — zero
+    semantic change, smaller orientation degrees and wedge join."""
+    und = _prune_low_degree(und)
     deg = (
         und.select(F.col("u").alias("node"))
         .union(und.select("v"))

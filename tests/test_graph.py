@@ -123,6 +123,38 @@ def test_triangles_two_sharing_an_edge(spark):
     assert _tri(spark, edges) == {1: 1, 2: 2, 3: 2, 4: 1}
 
 
+def test_triangle_prune_star_to_nothing_clique_untouched(spark):
+    """Degree-< 2 peeling (r9 verdict ask #6): a star collapses to ZERO
+    edges before orientation (every spoke is degree-1; removing them
+    leaves the hub isolated), while a clique survives intact."""
+    from fs2_kinesis_firehose_spark.operators.graph import (
+        _canonical_undirected,
+        _prune_low_degree,
+    )
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 8)], "src long, dst long")
+    assert _prune_low_degree(_canonical_undirected(star, "src", "dst")).count() == 0
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], "src long, dst long"
+    )
+    got = {
+        (r.u, r.v)
+        for r in _prune_low_degree(_canonical_undirected(k4, "src", "dst")).collect()
+    }
+    assert got == {(a, b) for a in range(4) for b in range(4) if a < b}
+
+
+def test_triangles_clique_with_pendant_tail(spark):
+    """Cascading fringe: K4 plus a 3-edge pendant path — the path peels
+    away round by round (4-5-6-7: 7 is deg 1, then 6, then 5) and the
+    counts equal plain K4's.  Two peel rounds trim most of it; any
+    remainder is handled by the (unchanged) wedge join, so counts stay
+    exact regardless of fringe depth."""
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges += [(3, 4), (4, 5), (5, 6), (6, 7)]
+    assert _tri(spark, edges) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
 def test_triangles_match_bruteforce_random(spark):
     import itertools
     import numpy as np
