@@ -1572,6 +1572,76 @@ def multimodal_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "image_dhash_neardup_pairs",
+    # Integer-exact perceptual hashing makes image near-dup oracle-checkable:
+    # pixels come from a restatable integer formula (base image keyed by
+    # doc_id % 40 — 5 perturbed copies per base; per-doc uniform brightness
+    # doc_id % 7 — which dHash must IGNORE; one +97 pixel spike at position
+    # doc_id % 72 — flips ≤ 2 horizontal comparisons), the Spark side routes
+    # them through REAL PNG bytes (encode→decode), and the oracle restates
+    # the dHash bit definition (gray(y,x) > gray(y,x+1)) plus the full
+    # Hamming-≤3 pair set.  Pigeonhole (4 bands, ≤3 differing bits → ≥1
+    # equal band) makes the banded join lossless, so both sides compute the
+    # identical pair set with exact distances.
+    oracle="""
+    WITH g AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    px AS (
+        SELECT doc_id, CAST(t.i AS INT) AS i,
+               ((doc_id % 40) * 7 + t.i * 13) % 151 + (doc_id % 7)
+               + CASE WHEN t.i = doc_id % 72 THEN 97 ELSE 0 END AS v
+        FROM g, UNNEST(range(0, 72)) AS t(i)
+    ),
+    bits AS (
+        SELECT a.doc_id, (a.i / 9) * 8 + (a.i % 9) AS pos,
+               CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+        FROM px a JOIN px b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE a.i % 9 < 8
+    ),
+    ham AS (
+        SELECT a.doc_id AS key1, b.doc_id AS key2,
+               CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT)
+                   AS hamming
+        FROM bits a JOIN bits b ON a.pos = b.pos AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT key1, key2, hamming FROM ham WHERE hamming <= 3
+    """,
+)
+def image_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash near-dup (operators/phash.py — r9 verdict ask
+    #7, the image-side dedup step text already has 8 paths for): per doc a
+    deterministic 8×9 RGB image (5 brightness/spike-perturbed copies per
+    base) → encode_png → REAL decode → 64-bit dHash (block means,
+    cross-multiplied integer compares) → banded Hamming join (4×16-bit
+    bands, first-match keep, bit_count verify) → all pairs at Hamming ≤ 3.
+    Brightness shifts hash identically (dHash invariance); the pixel spike
+    moves ≤ 2 bits — both behaviors land in the verified pair set."""
+    import numpy as np
+    import pandas as pd
+
+    from fs2_kinesis_firehose_spark.operators import phash as PH
+    from fs2_kinesis_firehose_spark.operators.png import encode_png
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+
+    def make_png(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                i = np.arange(72)
+                v = ((d % 40) * 7 + i * 13) % 151 + (d % 7)
+                v[d % 72] += 97
+                arr = np.repeat(v.astype(np.uint8).reshape(8, 9, 1), 3, axis=2)
+                rows.append((d, bytearray(encode_png(arr))))
+            yield pd.DataFrame(rows, columns=["doc_id", "png"])
+
+    pngs = docs.mapInPandas(make_png, "doc_id bigint, png binary")
+    hashed = PH.image_dhash(pngs, "png").drop("png")
+    return PH.phash_neardup_pairs(hashed, "dhash", "doc_id", max_hamming=3, bands=4)
+
+
 _CCNET_P1 = 1.0 / 3.0
 _CCNET_P2 = 2.0 / 3.0
 
