@@ -258,24 +258,30 @@ def _produce_acks_stamped(
 
         ctx = TaskContext.get()
         src_part = ctx.partitionId() if ctx is not None else -1
+        cols = [f.name for f in _REQUEST_SCHEMA.fields]
         payloads = (bytes(v) for pdf in batches for v in pdf["value"])
-        rows = [
-            {
-                "src_part": src_part,
-                "req_idx": req_idx,
-                "payloads": list(buf),
-                "request_bytes": buf_bytes,
-            }
-            for req_idx, (buf, buf_bytes) in enumerate(
-                slice_requests(
-                    payloads,
-                    batch_size=settings.batch_size,
-                    max_batch_bytes=settings.max_batch_bytes,
-                    max_record_bytes=settings.max_record_bytes,
-                )
+        # yield ONE frame per request: peak task memory stays proportional
+        # to max_batch_bytes, never to the source partition size (the
+        # streaming contract slice_requests gives the other paths)
+        for req_idx, (buf, buf_bytes) in enumerate(
+            slice_requests(
+                payloads,
+                batch_size=settings.batch_size,
+                max_batch_bytes=settings.max_batch_bytes,
+                max_record_bytes=settings.max_record_bytes,
             )
-        ]
-        yield pd.DataFrame(rows, columns=[f.name for f in _REQUEST_SCHEMA.fields])
+        ):
+            yield pd.DataFrame(
+                [
+                    {
+                        "src_part": src_part,
+                        "req_idx": req_idx,
+                        "payloads": list(buf),
+                        "request_bytes": buf_bytes,
+                    }
+                ],
+                columns=cols,
+            )
 
     requests = (
         framed.select("value")

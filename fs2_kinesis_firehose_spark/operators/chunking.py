@@ -80,3 +80,95 @@ def chunk_documents(
         )
     )
     return out
+
+
+def concat_chunk_pack(
+    df: DataFrame,
+    *,
+    token_col: str,
+    key_col: str,
+    seq_len: int,
+    shards: int = 16,
+    salt: str = "pack",
+) -> DataFrame:
+    """Cross-document sequence packing, GPT-pretraining style
+    (concat-and-chunk — the complement of ``curation.pack_sequences``'s
+    next-fit bin packing, which never splits a document): documents are
+    concatenated in ``key_col`` order
+    into one token stream per SHARD and the stream is cut every
+    ``seq_len`` tokens; each document lands at a deterministic token
+    offset and may span a sequence boundary.  The reference has no
+    analog (its unit is an opaque byte record, `RecordOps.scala:26`);
+    this is the step that turns a curated corpus into fixed-length
+    training sequences.
+
+    Sharding is the scale lever: a single global concatenation order
+    would serialize the cumulative sum, so documents are first assigned
+    to ``shards`` streams by the engine-portable md5 hash of the key
+    (same uniform as ``curation.hash_fraction`` — any SQL engine
+    restates it), and the prefix sum runs per shard: ONE hash shuffle +
+    an in-partition sort, both fully parallel.  Real pipelines use one
+    shard per output file; at 100 TB set ``shards`` ~ total_tokens /
+    (tokens per output file).
+
+    Appends to every input row:
+
+    - ``shard``       — md5-bucket of the key (0..shards-1);
+    - ``tok_start``   — this document's token offset in its shard stream;
+    - ``first_seq`` / ``last_seq`` — indexes of the fixed-length
+      sequences the document's tokens fall into (empty documents get
+      ``last_seq = first_seq``);
+    - ``spans_boundary`` — true when the document straddles ≥ 1 sequence
+      cut (its tokens are split across training sequences).
+    """
+    if seq_len <= 0 or shards <= 0:
+        raise ValueError(f"need positive seq_len/shards, got {seq_len=} {shards=}")
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % shards
+    )
+    toks = F.col(token_col).cast("long")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        df.withColumn("shard", shard)
+        .withColumn("tok_start", F.coalesce(F.sum(toks).over(w), F.lit(0)))
+        .withColumn("first_seq", F.floor(F.col("tok_start") / seq_len))
+        .withColumn(
+            "last_seq",
+            F.when(toks > 0, F.floor((F.col("tok_start") + toks - 1) / seq_len))
+            .otherwise(F.col("first_seq")),
+        )
+        .withColumn("spans_boundary", F.col("last_seq") != F.col("first_seq"))
+    )
+    return out
+
+
+def pack_stats(packed: DataFrame, *, token_col: str, seq_len: int) -> DataFrame:
+    """Per-shard packing accounting over ``concat_chunk_pack`` output:
+    document/token totals, emitted sequence count (``ceil(total /
+    seq_len)`` — the final partial sequence is padded), pad tokens, and
+    how many documents straddle a sequence cut.  One k-row aggregate."""
+    toks = F.col(token_col).cast("long")
+    n_seq = F.ceil(F.sum(toks) / F.lit(float(seq_len))).cast("long")
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("total_tokens"),
+            n_seq.alias("n_sequences"),
+            (n_seq * seq_len - F.sum(toks)).alias("pad_tokens"),
+            F.sum(F.col("spans_boundary").cast("long")).alias("boundary_docs"),
+        )
+        .orderBy("shard")
+    )

@@ -420,3 +420,47 @@ def normalize_text(
     norm = F.regexp_replace(norm, r"[^a-z0-9\s]", "")
     norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
     return df.withColumn(out_col, norm)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    *,
+    budget: int,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Per-group token-budget sampling: keep a deterministic uniform subset
+    of each group's documents whose running token total stays within
+    ``budget`` — the "give me ~1B tokens per source" cut every mixture
+    recipe needs once per training run.
+
+    Order within a group is the engine-portable md5 ``hash_fraction`` of
+    the key (ties broken by the key itself), so the kept set is a seeded
+    uniform sample WITHOUT replacement that any SQL engine restates and
+    that is stable under repartitioning, retries, and incremental re-runs.
+    A document is kept iff the cumulative token count INCLUDING it is
+    ≤ ``budget`` (a single over-size document is therefore dropped, not
+    truncated — truncation belongs to the packing stage).
+
+    Plan: one hash shuffle on ``group_col`` + an in-partition sort for the
+    window prefix sum, then a pure filter — no joins, no second scan.  At
+    100 TB the parallelism axis is groups; if one group dwarfs the rest,
+    pre-shard it upstream and give each shard ``budget / k`` (the sum of
+    k independent uniform-sample budgets is the group budget).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(hash_fraction(key_col, salt).asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("_cum_tokens", F.sum(F.col(tokens_col).cast("long")).over(w))
+        .where(F.col("_cum_tokens") <= budget)
+        .drop("_cum_tokens")
+    )

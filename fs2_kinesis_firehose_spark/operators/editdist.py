@@ -489,7 +489,9 @@ def editdist_pair_counts(
                 F.assert_true(
                     F.col("_keys_ok"),
                     F.lit(
-                        "editdist_pair_counts: duplicated key_col values — "
+                        "editdist_pair_counts: duplicated or NULL key_col "
+                        "values (count_distinct skips NULLs, so a NULL key "
+                        "on a non-null-text row also trips this) — "
                         "value-level counts would diverge from "
                         "editdist_selfjoin_pairs (pass check_keys=False to "
                         "accept value-level semantics)"

@@ -210,44 +210,72 @@ def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def _prune_low_degree(und: DataFrame, rounds: int = 2) -> DataFrame:
-    """Iteratively drop degree-< 2 nodes before triangle enumeration — a
-    degree-1 (or isolated) node closes no triangle, so removing its edges
-    is semantics-free; each removal can demote a neighbor to degree 1, so
-    a couple of peel rounds trim sparse fringes (the partial 2-core).
-    Each round is one degree aggregate + two semi-joins — cheap relative
-    to the wedge join whose input it shrinks.  Rounds are FIXED (no
-    driver-side convergence count): the fringe that matters is shallow,
-    and a fixpoint loop would serialize actions."""
+def _degrees(und: DataFrame) -> DataFrame:
+    """Node degree table of the canonical undirected edge list."""
+    return (
+        und.select(F.col("u").alias("node"))
+        .union(und.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+# peel only when degree-<2 fringes are a meaningful share of the node set:
+# a peel round costs two edge-list semi-joins + a fresh degree aggregate,
+# so trimming a handful of pendant nodes is pure overhead (measured: the
+# unconditional 2-round peel regressed sf0.1 part_copurchase_triangles
+# 7.5 -> 12.4 s on a graph with almost no fringe — r10 verdict).
+_PEEL_MIN_FRINGE_FRAC = 0.02
+
+
+def _peel_fringes(
+    und: DataFrame, deg: DataFrame, rounds: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Gated degree-< 2 peel: each round first folds the (node-sized,
+    already-checkpointed) degree table down to ``(n_nodes, n_fringe)`` and
+    peels only when the fringe clears ``_PEEL_MIN_FRINGE_FRAC`` — so a
+    fringe-free graph pays one driver fold and ZERO extra joins.  Returns
+    the (possibly peeled) edge list AND its matching degree table so the
+    caller reuses the final degree aggregate instead of recomputing it."""
     for _ in range(rounds):
-        deg = (
-            und.select(F.col("u").alias("node"))
-            .union(und.select("v"))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
+        n_nodes, n_fringe = deg.agg(
+            F.count(F.lit(1)), F.count_if(F.col("deg") < 2)
+        ).first()
+        if n_nodes == 0 or n_fringe < _PEEL_MIN_FRINGE_FRAC * n_nodes:
+            break
         keep = deg.where(F.col("deg") >= 2).select("node")
         und = (
             und.join(keep.withColumnRenamed("node", "u"), "u", "leftsemi")
             .join(keep.withColumnRenamed("node", "v"), "v", "leftsemi")
             .localCheckpoint(eager=False)  # consumed by next round / 3 legs
         )
-    return und
+        deg = _degrees(und).localCheckpoint(eager=False)
+    return und, deg
+
+
+def _prune_low_degree(und: DataFrame, rounds: int = 2) -> DataFrame:
+    """Peeled edge list alone (test/utility view of ``_peel_fringes``)."""
+    und = und.localCheckpoint(eager=False)
+    deg = _degrees(und).localCheckpoint(eager=False)
+    return _peel_fringes(und, deg, rounds)[0]
 
 
 def _oriented_triangles(und: DataFrame) -> DataFrame:
     """Enumerate each triangle of the canonical graph exactly once as
     ``(apex, bn, cn)`` via the degree-ordered orientation (see
     ``triangle_counts`` docstring for the O(m^{3/2}) wedge bound).
-    Degree-< 2 fringes are peeled first (``_prune_low_degree``) — zero
-    semantic change, smaller orientation degrees and wedge join."""
-    und = _prune_low_degree(und)
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .union(und.select("v"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+
+    Degree-< 2 fringes are peeled first (semantics-free: a degree-1 or
+    isolated node closes no triangle), but ONLY while the fringe is a
+    measurable share of the nodes (``_PEEL_MIN_FRINGE_FRAC``, same
+    metadata-fold gating idiom as ``k_core``'s ``isEmpty``).  The degree
+    aggregate is lazily checkpointed and SHARED between the gate and the
+    orientation, so on a fringe-free graph the whole peel adds one
+    driver-side 2-long-row fold to the single degree aggregate the
+    orientation needs anyway — no extra joins, no extra scans."""
+    und = und.localCheckpoint(eager=False)  # shared: gate fold + 3 plan legs
+    deg = _degrees(und).localCheckpoint(eager=False)
+    und, deg = _peel_fringes(und, deg)
     # orient by (deg, id) total order; carry the dst rank for wedge ordering
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))

@@ -126,9 +126,15 @@ def _hash_column(df: DataFrame, bytes_col: str, out_col: str, fn, hash_size: int
         import pandas as pd
 
         for pdf in batches:
-            hashes = [
-                int(fn(decode_png(bytes(b)), hash_size)) for b in pdf[bytes_col]
-            ]
+            hashes = []
+            for b in pdf[bytes_col]:
+                if b is None:
+                    raise ValueError(
+                        f"NULL value in image bytes column {bytes_col!r} — "
+                        "filter NULLs out (or fill a placeholder) before "
+                        "perceptual hashing"
+                    )
+                hashes.append(int(fn(decode_png(bytes(b)), hash_size)))
             yield pdf.assign(**{out_col: pd.Series(hashes, dtype="int64", index=pdf.index)})
 
     return df.mapInPandas(run, out_schema)
@@ -184,7 +190,13 @@ def phash_neardup_pairs(
     self-join sees every qualifying pair.  Exactly-once: the join keeps a
     pair only at its smallest matching band (``∀ i < b: band_i(h1) ≠
     band_i(h2)`` — both hashes are on the joined row, so no distinct, no
-    pair-set shuffle).  64 must divide by ``bands``."""
+    pair-set shuffle).  64 must divide by ``bands``.
+
+    Contract: ``key_col`` must be UNIQUE per row (the same contract
+    ``editdist_pair_counts`` enforces via ``check_keys``): with duplicated
+    keys, ``key1 < key2`` drops same-key pairs and repeated pair rows can
+    be emitted.  The driver query feeds a primary key (``doc_id``), so the
+    guard stays upstream here."""
     if not 0 < bands <= 64 or 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
     if not 0 <= max_hamming < bands:

@@ -66,72 +66,68 @@ WINDOW_EXEMPT: dict[str, str] = {
 }
 
 _WINDOW_PRIORITY: list[str] = [
-    # --- r9 window (derived by scripts/window_rotation.py; r8 swept
-    # 50/50 green and its rows are folded into verified_green.json).
-    # (1) heads with 13 slots: the two NEW broadcast-LUT ANN queries
-    # (never driver-verified) + the ELEVEN queries whose implementation
-    # changed this round — the PQ/IVFADC family (lut_mode threading),
-    # the editdist counts (exactly-once + value-level counting replacing
-    # the pair-set distinct), the sink accounting trio (ordered-acks
-    # default + coalesce bound), the MV fold (column validation), the
-    # classifier (known-n training), and the streaming upsert (v_base
-    # removal); (2) fills the remaining 37 slots with oldest-evidence
-    # rotations (newest green row r5 — the TPC-H tail — then r6),
+    # --- r11 window (scripts/window_rotation.py; r9+r10 rows folded into
+    # verified_green.json — r10 swept 50/50 green).
+    # (1) heads with 8 slots: the FIVE never-driver-verified queries (the
+    # two r10 additions the un-rotated r10 window missed — persisted
+    # PQ/IVF index, image phash near-dup — plus this round's stamped-order
+    # sink accounting, concat-and-chunk packing, and token-budget sample)
+    # and the THREE whose implementation changed this round (gated
+    # triangle peel ×2, editdist check_keys NULL-message); (2) fills the
+    # remaining 42 slots with oldest-evidence rotations — ALL 25 r6-stale
+    # names (the whole streaming block among them) then r7 fill,
     # name-ascending.
     # ---------------------------------------------------------------
-    # (1a) never driver-verified (new this round)
-    "pq_adc_bcast_topk",
-    "ivf_pq_residual_bcast_topk",
-    # (1b) implementation changed this round -> re-verify
-    "pq_adc_topk",
-    "pq_rescored_topk",
-    "ivf_pq_rescored_topk",
-    "ivf_pq_residual_rescored_topk",
-    "editdist_neardup_counts",
-    "firehose_delivery_accounting",
-    "pipeline_dedup_delivery_accounting",
-    "kinesis_roundtrip_counts",
-    "incremental_mv_refresh_accounting",
-    "quality_classifier_accounting",
-    "streaming_upsert_accounting",
-    # (2) oldest-evidence rotations (newest green r5, then r6), name-asc
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "trailing_7d_customer_revenue",
-    "weighted_sample_docs",
-    "winnow_coverage_check",
-    "winnow_fingerprint_overlap",
-    "ann_recall_at_k",
+    "ivf_pq_persisted_topk",
+    "image_dhash_neardup_pairs",
+    "firehose_ordered_delivery_accounting",
+    "seq_concat_pack_stats",
+    "token_budget_sample_stats",
+    "part_copurchase_triangles",
     "approx_triangle_estimate",
-    "bloom_semijoin_revenue",
-    "cohort_retention_matrix",
-    "cosine_topk_bruteforce",
-    "count_min_bigram_estimates",
-    "curation_funnel_counts",
-    "customer_order_left_join",
-    "doc_chunk_stats",
-    "dsir_importance_weights",
-    "event_type_pivot",
-    "events_props_functions",
-    "exactly_once_replay_counts",
-    "heavy_hitter_bigrams",
-    "hourly_daily_event_rollup",
-    "hybrid_rrf_topk",
-    "interval_join_incident_counts",
-    "kll_doclen_quantiles",
-    "lm_perplexity_scores",
-    "minhash_lsh_pairs",
+    "editdist_neardup_counts",
+    "multimodal_png_roundtrip_stats",
+    "nation_balance_unpivot",
+    "near_dedup_clusters_distributed",
+    "normalized_dedup_stats",
+    "part_copurchase_kcore",
+    "pca_embedding_variance",
+    "ppr_seed_sources",
+    "prefix_jaccard_pairs",
+    "pricing_summary",
+    "repeated_chunk_stats",
+    "salted_join_priority_revenue",
+    "scalar_string_date_math",
+    "scd2_multi_tick_accounting",
+    "semantic_dedup_survivors",
+    "simhash_neardup_pairs",
+    "span_dedup_stats",
+    "streaming_dedup_counts",
+    "streaming_incremental_neardup",
+    "streaming_session_counts",
+    "streaming_sliding_stats",
+    "streaming_stateful_user_stats",
+    "streaming_static_join_revenue",
+    "streaming_stream_stream_join",
+    "tpch_q18_bloom_prefilter",
+    "user_session_stats",
+    "ann_lsh_topk",
+    "applyinpandas_zscore",
+    "approx_distinct_users",
+    "asof_join_latest_order",
+    "benchmark_contamination",
+    "binary_quant_rescored_topk",
+    "bpe_learned_token_counts",
+    "classifier_auc_calibration",
+    "customer_order_window_stats",
+    "dedup_exact",
+    "distinct_segments",
+    "doc_fingerprints",
+    "doc_length_histogram",
+    "embedding_neardup_blocked",
+    "embedding_neardup_pairs",
+    "global_top10_orders",
+    "gopher_quality_flags",
 ]
 
 

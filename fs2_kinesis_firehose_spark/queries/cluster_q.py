@@ -398,9 +398,13 @@ def ivf_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exactly (parquet DOUBLE/INT roundtrips are exact), and pytest
     additionally pins reloaded-topk == in-session-topk bit-for-bit plus
     partition pruning on the probe filter (tests/test_pq.py).  Eager
-    build like the spool queries: the read side needs the index written;
-    the path is deterministic per sf_dir and wiped first."""
+    build like the spool queries: the read side needs the index written.
+    The path is PER-PROCESS unique (PID suffix) so two concurrent runs on
+    the same sf_dir never race on a shared build-read lifecycle; each
+    process reuses (after a wipe) its own slot across repeated sweeps
+    instead of leaking a fresh mkdtemp per invocation."""
     import hashlib
+    import os
     import shutil
     import tempfile
     from pathlib import Path
@@ -411,7 +415,7 @@ def ivf_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = (
         Path(tempfile.gettempdir())
         / "fs2spark-pq-index"
-        / hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+        / f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}-{os.getpid()}"
     )
     if root.exists():
         shutil.rmtree(root)

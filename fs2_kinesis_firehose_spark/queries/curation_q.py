@@ -579,3 +579,127 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.weighted_sample(docs, "n_chars", 100, key_col="doc_id").select(
         "doc_id", "sample_key"
     )
+
+
+@query(
+    "seq_concat_pack_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(trim(text), ' ')) AS n_tokens,
+               CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(CAST(doc_id AS VARCHAR),
+                    'pack')), 1, 8)) AS BIGINT) % 8 AS shard
+        FROM documents
+    ),
+    c AS (
+        SELECT shard, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS tok_start
+        FROM t
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CEIL(SUM(n_tokens) / 512.0) AS BIGINT) AS n_sequences,
+           CAST(CEIL(SUM(n_tokens) / 512.0) AS BIGINT) * 512
+               - CAST(SUM(n_tokens) AS BIGINT) AS pad_tokens,
+           CAST(SUM(CASE WHEN n_tokens > 0
+                    AND FLOOR(tok_start / 512.0)
+                        <> FLOOR((tok_start + n_tokens - 1) / 512.0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs
+    FROM c
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def seq_concat_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing (operators/chunking.py
+    ``concat_chunk_pack``): 8 md5 shards, documents concatenated in
+    doc_id order, 512-token training sequences.  Unlike the next-fit
+    ``packed_sequence_stats`` this pipeline is PURE window SQL (no
+    Python, no recursive walk): one shard shuffle + a prefix sum; docs
+    may straddle a cut (``boundary_docs``) and the final partial
+    sequence per shard is padded (``pad_tokens``)."""
+    from fs2_kinesis_firehose_spark.operators.chunking import (
+        concat_chunk_pack,
+        pack_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    packed = concat_chunk_pack(
+        toks, token_col="n_tokens", key_col="doc_id", seq_len=512, shards=8
+    )
+    return pack_stats(packed, token_col="n_tokens", seq_len=512)
+
+
+@query(
+    "token_budget_sample_stats",
+    oracle="""
+    WITH t AS (
+        SELECT source, doc_id,
+               len(string_split(trim(text), ' ')) AS n_tokens,
+               CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(CAST(doc_id AS VARCHAR),
+                    'budget')), 1, 8)) AS BIGINT) AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT source, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM t
+    ),
+    kept AS (SELECT source, n_tokens FROM c WHERE cum <= 800)
+    SELECT t.source,
+           COUNT(*) AS docs_total,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_total,
+           (SELECT COUNT(*) FROM kept k WHERE k.source = t.source)
+               AS docs_kept,
+           CAST(COALESCE((SELECT SUM(k.n_tokens) FROM kept k
+                     WHERE k.source = t.source), 0) AS BIGINT) AS tokens_kept
+    FROM t
+    GROUP BY t.source
+    ORDER BY t.source
+    """,
+)
+def token_budget_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget sampling (``token_budget_sample``): an
+    800-token deterministic uniform cut per source (small enough to bite
+    at every test SF), with kept-vs-total
+    accounting.  One window prefix sum + filter; the oracle replays the
+    identical md5 order and inclusive-cumsum rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    kept = C.token_budget_sample(
+        toks, budget=800, group_col="source", tokens_col="n_tokens",
+        key_col="doc_id", salt="budget",
+    )
+    totals = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_total"),
+        F.sum("n_tokens").alias("tokens_total"),
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+    return (
+        totals.join(kept_agg, "source", "left")
+        .select(
+            "source",
+            "docs_total",
+            "tokens_total",
+            F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )

@@ -43,6 +43,94 @@ def firehose_delivery_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "firehose_ordered_delivery_accounting",
+    oracle="""
+    SELECT COUNT(*) AS n_records,
+           CAST(SUM(LENGTH('{"event_id":' || event_id
+                           || ',"event_type":"' || event_type || '"}') + 1)
+                AS BIGINT) AS delivered_bytes,
+           CAST(0 AS BIGINT) AS failed_records,
+           CAST(0 AS BIGINT) AS order_violations,
+           CAST(0 AS BIGINT) AS sparse_stamp_partitions
+    FROM events
+    """,
+)
+def firehose_ordered_delivery_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-order ack contract at parallelism > 1 (the stamped path,
+    ``_produce_acks_stamped`` — firehose.scala:41's order-preserving
+    ``mapAsync(n)``) under oracle check.
+
+    ``ordered=True`` at parallelism=3 cuts requests per SOURCE partition
+    with ``(src_part, req_idx)`` stamps, round-robins the puts across 3
+    tasks, and sorts the ack stream by stamp.  Request COUNT depends on the
+    physical partition layout (Σ_p ceil(rows_p/500)), so the oracle pins the
+    partition-independent invariants instead, each computed from the REAL
+    ack stream:
+
+    - ``n_records`` / ``delivered_bytes`` / ``failed_records`` — conservation
+      through both shuffles (byte-exact framed lengths);
+    - ``order_violations`` = 0 — the returned stream is strictly increasing
+      in (partition_id, request_index), i.e. ack order == request-formation
+      order (checked against ARRIVAL order via monotonically_increasing_id
+      on the single output partition, not by re-sorting);
+    - ``sparse_stamp_partitions`` = 0 — every source partition's stamps are
+      dense 0..k-1: the shuffle neither lost nor duplicated a request.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    framed = serialize_and_frame(events.select("event_id", "event_type"), "json", b"\n")
+    settings = ProducerSettings(stream_name="ordered", parallelism=3)
+    acks = produce_acks(framed, settings, fake_client_factory(), ordered=True)
+    # one materialization shared by the three aggregate branches (puts are
+    # side effects — they must run exactly once)
+    arr = acks.withColumn("_arr", F.monotonically_increasing_id()).localCheckpoint(
+        eager=False
+    )
+    w = Window.orderBy("_arr")
+    viol = (
+        arr.select(F.struct("partition_id", "request_index").alias("s"), "_arr")
+        .withColumn("_prev", F.lag("s").over(w))
+        .agg(
+            F.sum(
+                F.when(F.col("_prev") >= F.col("s"), 1).otherwise(0)
+            ).alias("order_violations")
+        )
+    )
+    dense = (
+        arr.groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("request_index").alias("mx"),
+            F.min("request_index").alias("mn"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("n") != F.col("mx") + 1) | (F.col("mn") != 0), 1
+                ).otherwise(0)
+            ).alias("sparse_stamp_partitions")
+        )
+    )
+    totals = arr.agg(
+        F.sum("n_records").alias("n_records"),
+        F.sum("request_bytes").alias("delivered_bytes"),
+        F.sum("failed_records").alias("failed_records"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(viol))
+        .crossJoin(F.broadcast(dense))
+        .select(
+            "n_records",
+            "delivered_bytes",
+            "failed_records",
+            "order_violations",
+            "sparse_stamp_partitions",
+        )
+    )
+
+
+@query(
     "kinesis_roundtrip_counts",
     oracle="""
     SELECT event_type, COUNT(*) AS n_events

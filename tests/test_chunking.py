@@ -78,3 +78,70 @@ def test_bad_overlap_rejected(spark):
     df = spark.createDataFrame([(1, "x")], "id int, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_size=4, overlap=4)
+
+
+# --- concat-and-chunk packing (concat_chunk_pack / pack_stats) ---------------
+
+
+def _packed(spark, rows, seq_len=10, shards=1):
+    from fs2_kinesis_firehose_spark.operators.chunking import concat_chunk_pack
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    return concat_chunk_pack(
+        df, token_col="n_tokens", key_col="doc_id", seq_len=seq_len, shards=shards
+    )
+
+
+def test_concat_pack_offsets_and_boundaries(spark):
+    """Single shard: offsets are the exact prefix sums in key order and
+    boundary flags fire exactly when a doc straddles a seq_len cut."""
+    rows = [(1, 4), (2, 3), (3, 6), (4, 7), (5, 0)]
+    got = {
+        r.doc_id: (r.tok_start, r.first_seq, r.last_seq, r.spans_boundary)
+        for r in _packed(spark, rows).collect()
+    }
+    # stream: d1 [0,4) d2 [4,7) d3 [7,13) d4 [13,20) d5 [20,20)
+    assert got[1] == (0, 0, 0, False)
+    assert got[2] == (4, 0, 0, False)
+    assert got[3] == (7, 0, 1, True)     # straddles the 10-token cut
+    assert got[4] == (13, 1, 1, False)
+    assert got[5] == (20, 2, 2, False)   # empty doc: last == first
+
+
+def test_concat_pack_sharding_is_md5_stable_and_partitioned(spark):
+    """Shard assignment is the portable md5 bucket: re-running and
+    repartitioning give identical shards, and per-shard offsets are
+    independent prefix sums."""
+    rows = [(i, 5) for i in range(40)]
+    a = {r.doc_id: (r.shard, r.tok_start) for r in _packed(spark, rows, shards=4).collect()}
+    b = {
+        r.doc_id: (r.shard, r.tok_start)
+        for r in _packed(spark, list(reversed(rows)), shards=4).collect()
+    }
+    assert a == b
+    for s in {v[0] for v in a.values()}:
+        offs = sorted(v[1] for v in a.values() if v[0] == s)
+        assert offs == [5 * i for i in range(len(offs))]
+
+
+def test_pack_stats_accounting(spark):
+    from fs2_kinesis_firehose_spark.operators.chunking import pack_stats
+
+    rows = [(1, 4), (2, 3), (3, 6), (4, 7), (5, 0)]
+    st = pack_stats(
+        _packed(spark, rows), token_col="n_tokens", seq_len=10
+    ).collect()
+    assert len(st) == 1
+    r = st[0]
+    assert (r.n_docs, r.total_tokens, r.n_sequences, r.pad_tokens, r.boundary_docs) == (
+        5, 20, 2, 0, 1,
+    )
+
+
+def test_concat_pack_validates_args(spark):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        _packed(spark, [(1, 1)], seq_len=0)
+    with _pt.raises(ValueError):
+        _packed(spark, [(1, 1)], shards=0)

@@ -337,3 +337,65 @@ def test_leakage_safe_split_null_groups_split_independently(spark):
             for r in C.deterministic_split(df, "doc_id").collect()}
     assert got == want
     assert len(set(got.values())) == 3  # not one split for everyone
+
+
+# --- token_budget_sample ------------------------------------------------------
+
+
+def test_token_budget_sample_inclusive_cut_and_determinism(spark):
+    """The kept set is the md5-ordered prefix whose INCLUSIVE token cumsum
+    fits the budget, per group; the cut is deterministic under re-run and
+    input order."""
+    from fs2_kinesis_firehose_spark.operators.curation import (
+        hash_fraction,
+        token_budget_sample,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(g, i, 10) for g in ("a", "b") for i in range(20)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens int")
+    kept = token_budget_sample(
+        df, budget=55, group_col="source", tokens_col="n_tokens", key_col="doc_id"
+    )
+    got = {(r.source, r.doc_id) for r in kept.collect()}
+    # 10-token docs, budget 55 -> exactly 5 kept per group (inclusive rule)
+    assert sum(1 for s, _ in got if s == "a") == 5
+    assert sum(1 for s, _ in got if s == "b") == 5
+    # kept = the 5 smallest md5 fractions per group (python replay)
+    ordered = (
+        df.select("source", "doc_id", hash_fraction("doc_id", "budget").alias("h"))
+        .orderBy("source", F.col("h"), "doc_id")
+        .collect()
+    )
+    expect = set()
+    for s in ("a", "b"):
+        grp = sorted(
+            (x for x in ordered if x.source == s), key=lambda x: (x.h, x.doc_id)
+        )
+        expect |= {(r.source, r.doc_id) for r in grp[:5]}
+    assert got == expect
+    # order-of-input invariance
+    kept2 = token_budget_sample(
+        spark.createDataFrame(list(reversed(rows)), "source string, doc_id long, n_tokens int"),
+        budget=55, group_col="source", tokens_col="n_tokens", key_col="doc_id",
+    )
+    assert {(r.source, r.doc_id) for r in kept2.collect()} == got
+
+
+def test_token_budget_sample_oversize_doc_dropped_not_truncated(spark):
+    from fs2_kinesis_firehose_spark.operators.curation import token_budget_sample
+
+    df = spark.createDataFrame(
+        [("a", 1, 100)], "source string, doc_id long, n_tokens int"
+    )
+    assert token_budget_sample(df, budget=50).count() == 0
+
+
+def test_token_budget_sample_validates_budget(spark):
+    import pytest as _pt
+
+    from fs2_kinesis_firehose_spark.operators.curation import token_budget_sample
+
+    df = spark.createDataFrame([("a", 1, 1)], "source string, doc_id long, n_tokens int")
+    with _pt.raises(ValueError):
+        token_budget_sample(df, budget=0)

@@ -337,8 +337,19 @@ def test_editdist_verify_before_distinct_no_cartesian(spark, sf_smoke):
     plan = explain_str(df)
     assert "levenshtein" in plan, plan
     assert_plan_lacks(df, "CartesianProduct")
-    # boundary mode has no short-string fallback bucket -> no BNLJ either
-    assert_plan_lacks(df, "BroadcastNestedLoopJoin")
+    # boundary mode has no short-string fallback bucket; the ONLY permitted
+    # nested-loop join is the check_keys guard (editdist.py) — a broadcast
+    # cross join whose build side is a single-row key-uniqueness aggregate.
+    # The segment join itself must stay an equi-join.
+    import re
+
+    bnlj_ops = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert len(bnlj_ops) <= 1, plan
+    if bnlj_ops:
+        bnlj = plan.find("BroadcastNestedLoopJoin")
+        assert "_keys_ok" in plan[bnlj:], (
+            "the sole BNLJ must be the 1-row check_keys guard:\n" + plan
+        )
     # top-down formatted plan: the verify Filter is a descendant of the
     # dedup HashAggregate, so it prints after the FIRST aggregate block
     assert plan.find("levenshtein") > plan.find("HashAggregate"), plan
