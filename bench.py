@@ -246,6 +246,20 @@ HEADLINE = [
     # oracles)
     "pq_adc_bcast_topk",
     "ivf_pq_residual_bcast_topk",
+    # round-10 additions: the persisted IVF+PQ index lifecycle (write +
+    # reload + serve — the production ANN path) and the image
+    # perceptual-hash near-dup (real PNG decode + banded Hamming join)
+    "ivf_pq_persisted_topk",
+    "image_dhash_neardup_pairs",
+    # round-11 additions: exact-order sink accounting at parallelism=3
+    # (the stamped mapAsync path), GPT-style concat-and-chunk packing,
+    # token-budget sampling, the cross-source chunk-overlap matrix, and
+    # the Zipf corpus-health fit
+    "firehose_ordered_delivery_accounting",
+    "seq_concat_pack_stats",
+    "token_budget_sample_stats",
+    "source_chunk_overlap_matrix",
+    "zipf_fit_stats",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -68,14 +68,15 @@ WINDOW_EXEMPT: dict[str, str] = {
 _WINDOW_PRIORITY: list[str] = [
     # --- r11 window (scripts/window_rotation.py; r9+r10 rows folded into
     # verified_green.json — r10 swept 50/50 green).
-    # (1) heads with 8 slots: the FIVE never-driver-verified queries (the
+    # (1) heads with 11 slots: SEVEN never-driver-verified queries (the
     # two r10 additions the un-rotated r10 window missed — persisted
     # PQ/IVF index, image phash near-dup — plus this round's stamped-order
-    # sink accounting, concat-and-chunk packing, and token-budget sample)
-    # and the THREE whose implementation changed this round (gated
-    # triangle peel ×2, editdist check_keys NULL-message); (2) fills the
-    # remaining 42 slots with oldest-evidence rotations — ALL 25 r6-stale
-    # names (the whole streaming block among them) then r7 fill,
+    # sink accounting, concat-and-chunk packing, token-budget sample,
+    # source chunk-overlap matrix, and Zipf fit) and FOUR whose
+    # implementation changed this round (gated triangle peel ×2, editdist
+    # check_keys NULL-message, pipeline_dedup unordered funnel); (2) fills
+    # the remaining 39 slots with oldest-evidence rotations — ALL 25
+    # r6-stale names (the whole streaming block among them) then r7 fill,
     # name-ascending.
     # ---------------------------------------------------------------
     "ivf_pq_persisted_topk",
@@ -83,9 +84,12 @@ _WINDOW_PRIORITY: list[str] = [
     "firehose_ordered_delivery_accounting",
     "seq_concat_pack_stats",
     "token_budget_sample_stats",
+    "source_chunk_overlap_matrix",
+    "zipf_fit_stats",
     "part_copurchase_triangles",
     "approx_triangle_estimate",
     "editdist_neardup_counts",
+    "pipeline_dedup_delivery_accounting",
     "multimodal_png_roundtrip_stats",
     "nation_balance_unpivot",
     "near_dedup_clusters_distributed",
@@ -125,9 +129,6 @@ _WINDOW_PRIORITY: list[str] = [
     "doc_fingerprints",
     "doc_length_histogram",
     "embedding_neardup_blocked",
-    "embedding_neardup_pairs",
-    "global_top10_orders",
-    "gopher_quality_flags",
 ]
 
 

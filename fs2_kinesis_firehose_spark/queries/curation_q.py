@@ -703,3 +703,56 @@ def token_budget_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "source_chunk_overlap_matrix",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    chunks AS (
+        SELECT source,
+               md5(array_to_string(
+                   t[CAST(s.start AS INT) + 1 : CAST(s.start AS INT) + 64],
+                   ' ')) AS h
+        FROM toks,
+             UNNEST(range(0, greatest(len(t) - 17, 0) + 1, 48)) AS s(start)
+    ),
+    d AS (SELECT DISTINCT h, source FROM chunks)
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS shared_chunks
+    FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY a.source, b.source
+    """,
+)
+def source_chunk_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination diagnostic: for every source pair, how
+    many DISTINCT 64-token chunk identities they share — the "which feeds
+    copy which" matrix a curation run reads before picking dedup keys
+    (document-level exact dedup finds nothing here; the overlap is
+    chunk-level boilerplate).
+
+    Plan: chunk explode (narrow, scan speed) → distinct (chunk_hash,
+    source) — ONE shuffle keyed on the hash — → self-join on the hash
+    (reuses that partitioning, no second exchange on the big side) →
+    pair aggregate (output ≤ |sources|² rows).  Per-hash fan-out is
+    bounded by |sources|, so the join can't quadratic-blow-up on a hot
+    chunk the way a doc-level pair join could."""
+    from fs2_kinesis_firehose_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    chunks = chunk_documents(docs, text_col="text", chunk_size=64, overlap=16)
+    d = chunks.select(F.col("chunk_hash").alias("h"), "source").distinct()
+    a = d.select("h", F.col("source").alias("source_a"))
+    b = d.select("h", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+        .orderBy("source_a", "source_b")
+    )

@@ -266,10 +266,17 @@ def pipeline_dedup_delivery_accounting(spark: SparkSession, sf_dir: str) -> Data
         text_col="payload_str",
         key_col="row_key",
     )
+    # ordered=False (r10 Audit A, PLANS.md): the default ordered coalesce(1)
+    # drags the WHOLE upstream (double spool read + dedup) into the single
+    # delivery task; the unordered repartition(1) funnel keeps dedup at full
+    # parallelism and funnels only the put loop — sf1 17.7 s -> 15.2 s.
+    # Accounting is order-invariant (counts/bytes; byte bound never splits
+    # these tiny records), so n_requests stays exactly ceil(n/500).
     acks = produce_acks(
         deduped.select("value"),
         ProducerSettings(stream_name="delivered", parallelism=1),
         fake_client_factory(spool_dir=deliver_spool),
+        ordered=False,
     )
     return acks.agg(
         F.count(F.lit(1)).alias("n_requests"),

@@ -9,6 +9,7 @@ restates aggregate-for-aggregate.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from fs2_kinesis_firehose_spark.operators.stats import column_stats
 from fs2_kinesis_firehose_spark.queries import query
@@ -48,3 +49,100 @@ from fs2_kinesis_firehose_spark.tables import load_table
 def analyze_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return column_stats(orders)
+
+
+@query(
+    "zipf_fit_stats",
+    oracle=r"""
+    WITH words AS (
+        SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    freq AS (SELECT w, COUNT(*) AS f FROM words GROUP BY w),
+    ranked AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w ASC) AS rn
+        FROM freq
+    ),
+    top AS (
+        SELECT ln(CAST(rn AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+        FROM ranked WHERE rn <= 1000
+    ),
+    s AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM top
+    ),
+    v AS (SELECT COUNT(*) AS n_vocab, CAST(SUM(f) AS BIGINT) AS n_tokens
+          FROM freq)
+    SELECT ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS zipf_intercept,
+           ROUND(POW(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+           n AS n_ranked,
+           n_vocab,
+           n_tokens
+    FROM s, v
+    """,
+)
+def zipf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health Zipf diagnostic: OLS fit of ln(freq) ~ ln(rank) over
+    the top-1000 word ranks — natural corpora sit near slope −1; synthetic
+    / template-heavy / deduplication-damaged corpora drift (the standard
+    quick check before training on a new feed).
+
+    Plan: one word-count aggregate (vocab-sized output), a deliberate
+    single-partition ROW_NUMBER window over the VOCAB (bounded by rank
+    cutoff semantics, never corpus-sized — the AUC-histogram idiom), and
+    one 6-number closed-form OLS aggregate; the corpus itself is scanned
+    once.  Results rounded to 6 dp for cross-engine float stability."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), F.col("w").asc()))
+        .alias("rn"),
+    )
+    top = ranked.where(F.col("rn") <= 1000).select(
+        F.log(F.col("rn").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    s = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    v = freq.agg(
+        F.count(F.lit(1)).alias("n_vocab"), F.sum("f").alias("n_tokens")
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.crossJoin(F.broadcast(v)).select(
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+        F.round(
+            F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), F.lit(2))
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+        F.col("n").alias("n_ranked"),
+        "n_vocab",
+        "n_tokens",
+    )
