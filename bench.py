@@ -260,6 +260,11 @@ HEADLINE = [
     "token_budget_sample_stats",
     "source_chunk_overlap_matrix",
     "zipf_fit_stats",
+    # round-11 additions: the adapted partsupp-free TPC-H completions
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_parts",
+    "tpch_q16_supplier_part_count",
+    "tpch_q20_excess_suppliers",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -8,6 +8,15 @@ items), Q14 (promotion effect), Q19 (discounted revenue, bracket
 predicates).  Q1 and Q18 shapes already exist as ``pricing_summary`` and
 ``top_orders_per_customer``.
 
+Partsupp-centric queries run as ADAPTED shapes that keep each query's
+signature plan element: Q9 (5-table star + year extract; profit elides
+supplycost), Q11 (fraction-of-global HAVING, exact integer-cents
+compare), Q16 (NOT IN exclusion + COUNT DISTINCT; supplier-part pairs
+from lineitem), Q20 (nested semi-join chain; fixed shipped-qty bar
+instead of availqty).  Q2 is the one classic with no faithful
+restatement on this schema (it IS a partsupp min-cost lookup) and is
+deliberately absent.
+
 All plans follow the scale rules: dimension sides broadcast, predicates
 before joins (pushed to scans), aggregates map-side partial first.
 """
@@ -786,4 +795,208 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    oracle="""
+    SELECT nation, o_year,
+           ROUND(SUM(amount) * 100, 0) / 100 AS sum_profit,
+           COUNT(*) AS n_lines
+    FROM (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS amount
+        FROM part, supplier, lineitem, orders, nation
+        WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+          AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 adapted (no partsupp in the fixture, so profit elides the
+    ``ps_supplycost * l_quantity`` term and is gross revenue): per
+    supplier-nation per order-year revenue on name-filtered parts.
+    Keeps Q9's plan shape — a 5-table star with the part name LIKE
+    pushed to the dimension scan, supplier+nation broadcast, and the
+    year extracted AFTER the fact joins."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            (F.round(F.sum(_rev()) * 100, 0) / 100).alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0)
+                    AS BIGINT) AS value_cents
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_3'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, value_cents
+    FROM pr
+    WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM pr)
+    ORDER BY value_cents DESC, p_partkey
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 adapted (partsupp value -> shipped revenue): parts whose
+    NATION_3-supplied revenue exceeds 0.1 % of that nation's total — the
+    fraction-of-GLOBAL-aggregate HAVING that makes Q11 interesting.  The
+    per-part aggregate is computed ONCE (lazy-checkpointed), the global
+    total folds from the per-part rows (part-count-sized, not a second
+    corpus scan) and rides back as a broadcast 1-row cross join.  The
+    share comparison is exact INTEGER arithmetic on cents (value_cents *
+    1000 > total_cents) — no float-boundary flakiness between engines."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    l = load_table(spark, sf_dir, "lineitem")
+    pr = (
+        l.join(
+            F.broadcast(
+                s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+                .select("s_suppkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(_rev()) * 100, 0).cast("bigint").alias("value_cents")
+        )
+        .localCheckpoint(eager=False)  # consumed by the filter AND the total
+    )
+    tot = pr.agg(F.sum("value_cents").alias("_total_cents"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .where(F.col("value_cents") * 1000 > F.col("_total_cents"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+        .orderBy(F.desc("value_cents"), "p_partkey")
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#3'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 28, 35)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0009%'
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 adapted (supplier-part relationships from lineitem instead of
+    partsupp): distinct supplier counts per (brand, type, size) bucket
+    excluding complaint-pattern suppliers.  Keeps Q16's two signature
+    pieces — the NOT IN exclusion (a broadcast ANTI join here; key is
+    non-null so the semantics coincide) and the COUNT(DISTINCT) over a
+    many-to-many fact."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 35))
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%0009%"))
+        .select("s_suppkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q20_excess_suppliers",
+    oracle="""
+    SELECT s_name, n_name
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey
+      AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem
+          WHERE l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+          )
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(l_quantity) > 30
+      )
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 adapted (no partsupp availqty, so the "excess stock" bar is a
+    fixed shipped-quantity threshold): suppliers in three nations who
+    moved > 30 units of some red part in 1996.  Keeps Q20's NESTED
+    SEMI-JOIN shape: part-name IN (innermost, broadcast) -> grouped
+    HAVING on (supplier, part) -> supplier IN (semi join).  The HAVING
+    sum is integer-valued quantities, so the threshold compare is exact
+    in any engine.  At 100 TB every join here is either broadcast (part
+    names, nation) or a semi join that only carries supplier keys."""
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    heavy = (
+        l.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "leftsemi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 30)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "leftsemi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
     )
