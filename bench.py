@@ -265,6 +265,8 @@ HEADLINE = [
     "tpch_q11_important_parts",
     "tpch_q16_supplier_part_count",
     "tpch_q20_excess_suppliers",
+    # round-11 addition: streaming serving loop over the persisted ANN index
+    "streaming_ann_serving_topk",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -617,3 +617,163 @@ def ivf_pq_residual_bcast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject twice) is pinned in tests/test_pq.py and
     tests/test_plans.py."""
     return _residual_ivfadc(spark, sf_dir, "broadcast")
+
+
+def _ivf_pq_multi_oracle(nq: int = 3) -> str:
+    """Multi-query IVFADC replay: the corpus-side fits (per-subspace kmeans
+    chains, cell assignment) are built ONCE and marked MATERIALIZED (they
+    are referenced once per query; DuckDB's default inlining would re-run
+    every kmeans chain nq times — the classifier-oracle lesson), then each
+    query rank r gets its own probe/LUT/candidate/rescore chain tagged
+    ``query_id``, UNION ALL'd."""
+    fin = _PQ_ITERS + 1
+    probe_expr, cellpos_expr = _ivf_cell_sql()
+    ctes = [
+        "pts AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)"
+    ]
+    for j in range(_PQ_M):
+        for cte in _pq_subspace_kmeans_ctes(j, _PQ_K, _PQ_ITERS, _PQ_SUB):
+            # the final codes (a{fin}_j) and codebook (c{iters}_j) are read
+            # once per query — materialize them; intermediate iterations
+            # stay inline (single reference each)
+            for name in (f"a{fin}_{j} AS (", f"c{_PQ_ITERS}_{j} AS ("):
+                cte = cte.replace(name, name.replace(" AS (", " AS MATERIALIZED ("))
+            ctes.append(cte)
+    ctes.append(
+        f"cellv AS MATERIALIZED (SELECT p.vec_id, {cellpos_expr} AS cellpos "
+        "FROM pts p)"
+    )
+    finals = []
+    for r in range(nq):
+        qn = f"q{r}"
+        ctes.append(
+            f"{qn} AS MATERIALIZED (SELECT vec_id AS qid, v FROM pts "
+            f"ORDER BY vec_id LIMIT 1 OFFSET {r})"
+        )
+        ctes.append(
+            f"probe{r} AS (SELECT {probe_expr.replace('q.v', f'{qn}.v')} AS cells "
+            f"FROM {qn})"
+        )
+        for j in range(_PQ_M):
+            lo, hi = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
+            ctes.append(f"""lut{r}_{j} AS (
+        SELECT c.cluster,
+               list_inner_product(c.c, c.c)
+               - 2.0 * list_inner_product({qn}.v[{lo}:{hi}], c.c) AS dist
+        FROM c{_PQ_ITERS}_{j} c CROSS JOIN {qn}
+    )""")
+        joins = "\n        ".join(
+            f"JOIN a{fin}_{j} a{j} ON a{j}.vec_id = a0.vec_id\n        "
+            f"JOIN lut{r}_{j} l{j} ON l{j}.cluster = a{j}.cluster"
+            if j else f"JOIN lut{r}_0 l0 ON l0.cluster = a0.cluster"
+            for j in range(_PQ_M)
+        )
+        est_sum = " + ".join(f"l{j}.dist" for j in range(_PQ_M))
+        ctes.append(f"""cand{r} AS (
+        SELECT a0.vec_id
+        FROM a{fin}_0 a0
+        {joins}
+        JOIN cellv cv ON cv.vec_id = a0.vec_id
+        CROSS JOIN probe{r}
+        WHERE list_contains(probe{r}.cells, cv.cellpos)
+        ORDER BY ROUND({est_sum}, 6), a0.vec_id
+        LIMIT {_PQ_CAND}
+    )""")
+        finals.append(f"""(
+    SELECT {qn}.qid AS query_id, c.vec_id,
+           ROUND(list_inner_product(p.v, p.v)
+                 - 2.0 * list_inner_product(p.v, {qn}.v)
+                 + list_inner_product({qn}.v, {qn}.v), 6) AS l2_dist
+    FROM cand{r} c JOIN pts p ON p.vec_id = c.vec_id CROSS JOIN {qn}
+    ORDER BY ROUND(list_inner_product(p.v, p.v)
+                   - 2.0 * list_inner_product(p.v, {qn}.v)
+                   + list_inner_product({qn}.v, {qn}.v), 6), c.vec_id
+    LIMIT 10
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"WITH {joined}\n" + "\n    UNION ALL\n".join(finals)
+
+
+@query("streaming_ann_serving_topk", oracle=_ivf_pq_multi_oracle(3))
+def streaming_ann_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted index's SERVING story end-to-end: fit + encode +
+    ``write_pq_index`` once, then a Structured Streaming query feed (one
+    query vector per micro-batch, 3 batches via maxFilesPerTrigger=1)
+    probes the RELOADED index in ``foreachBatch`` and appends each
+    query's IVFADC top-10 to an idempotent parquet sink.  The oracle is
+    the 3-query full replay (shared corpus fits, per-query probe/LUT
+    chains) — a hash match proves the streamed, reloaded-index answers
+    equal the from-scratch batch computation for every query.
+
+    100 TB shape: the index build is one-time batch; each serving batch
+    touches only the probed cells (PartitionFilters pruning on the
+    persisted codes — pinned in tests/test_pq.py) and the per-batch
+    driver fold is the ≤batch-size query rows, never corpus data."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from fs2_kinesis_firehose_spark.operators import pq as PQ
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    root = (
+        Path(tempfile.gettempdir())
+        / "fs2spark-ann-serving"
+        / f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}-{os.getpid()}"
+    )
+    if root.exists():
+        shutil.rmtree(root)
+    idx_dir, q_dir, out_dir, ckpt = (
+        str(root / "index"), str(root / "queries"), str(root / "served"),
+        str(root / "ckpt"),
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.seeded_centroids(_DIM, _IVF_CELLS, seed=7, scale=0.125)
+    model = PQ.pq_fit(
+        emb, vec_col="embedding", key_col="vec_id",
+        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS,
+    )
+    enc = S.ivf_assign(PQ.pq_encode(emb, model), cents)
+    PQ.write_pq_index(
+        idx_dir, model,
+        enc.select("vec_id", "embedding", "pq_code", "ivf_cell"),
+        cell_col="ivf_cell", centroids=cents,
+    )
+    model2, codes2, cents2 = PQ.read_pq_index(spark, idx_dir)
+
+    # the query feed: 3 lowest-vec_id embeddings, ONE FILE EACH so
+    # maxFilesPerTrigger=1 serves them in 3 separate micro-batches
+    qrows = emb.orderBy("vec_id").limit(3).select("vec_id", "embedding").collect()
+    qschema = emb.select("vec_id", "embedding").schema
+    for row in qrows:
+        spark.createDataFrame([row], qschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(q_dir)
+
+    def serve(batch: DataFrame, batch_id: int) -> None:
+        for row in batch.collect():  # ≤ batch-size query rows (bounded)
+            res = PQ.ivf_pq_rescored_topk(
+                codes2, cents2, model2,
+                [float(x) for x in row["embedding"]],
+                10, nprobe=_IVF_NPROBE, candidates=_PQ_CAND,
+            ).select(
+                F.lit(row["vec_id"]).cast("long").alias("query_id"),
+                "vec_id", "l2_dist",
+            )
+            res.write.mode("append").parquet(out_dir)
+
+    (
+        spark.readStream.schema(qschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(q_dir)
+        .writeStream.foreachBatch(serve)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out_dir).select("query_id", "vec_id", "l2_dist")
