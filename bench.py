@@ -267,6 +267,8 @@ HEADLINE = [
     "tpch_q20_excess_suppliers",
     # round-11 addition: streaming serving loop over the persisted ANN index
     "streaming_ann_serving_topk",
+    # round-11 addition: Hilbert-curve clustered write + footer pruning
+    "hilbert_pruning_stats",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -214,3 +214,111 @@ def files_overlapping_box(
                 break
         n += int(hit)
     return n
+
+
+def hilbert_key_2d(
+    df: DataFrame, xgrid: str, ygrid: str, *, bits: int = 8, out: str = "_hkey"
+) -> DataFrame:
+    """Append the 2-D Hilbert-curve address of pre-gridded coordinates
+    (each in [0, 2^bits)) — the locality-preserving alternative to the
+    Morton key: consecutive addresses are ALWAYS grid neighbors (no Z-curve
+    long jumps), so per-file min/max boxes are tighter for the same file
+    count (public: Hilbert 1891; the curve Delta Lake's OPTIMIZE offers
+    beside Z-order).
+
+    The address is the classic xy2d recurrence (the rot(n,·) orientation,
+    whose intermediates stay in [0, n) — the s-variant goes negative, and
+    negative ``>>``/``&`` are not engine-portable).  Each of the ``bits``
+    levels is ONE chained projection materializing (x, y, d) as real
+    columns, so expression size stays linear in ``bits`` (a naive Column
+    fold doubles the tree per level) and the whole key is codegen — no
+    Python, no UDF.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    n = 1 << bits
+    keep = df.columns
+    cur = (
+        df.withColumn("_hx", F.col(xgrid).cast("long"))
+        .withColumn("_hy", F.col(ygrid).cast("long"))
+        .withColumn(out, F.lit(0).cast("long"))
+    )
+    for lev in range(bits - 1, -1, -1):
+        rx = F.shiftright(F.col("_hx"), lev).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("_hy"), lev).bitwiseAND(F.lit(1))
+        # quadrant rank ((3*rx) XOR ry): (0,0)->0 (0,1)->1 (1,1)->2 (1,0)->3
+        quad = (
+            F.when((rx == 1) & (ry == 1), 2)
+            .when(rx == 1, 3)
+            .when(ry == 1, 1)
+            .otherwise(0)
+        )
+        d = (F.col(out) + F.shiftleft(F.lit(1).cast("long"), 2 * lev) * quad).alias(out)
+        # rot(n): ry==1 -> unchanged; ry==0,rx==1 -> reflect then swap;
+        # ry==0,rx==0 -> swap
+        nx = (
+            F.when(ry == 1, F.col("_hx"))
+            .when(rx == 1, F.lit(n - 1) - F.col("_hy"))
+            .otherwise(F.col("_hy"))
+            .alias("_hx")
+        )
+        ny = (
+            F.when(ry == 1, F.col("_hy"))
+            .when(rx == 1, F.lit(n - 1) - F.col("_hx"))
+            .otherwise(F.col("_hx"))
+            .alias("_hy")
+        )
+        cur = cur.select(*keep, d, nx, ny)
+    return cur.select(*keep, F.col(out))
+
+
+def hilbert_write_bucketed(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    n_buckets: int = 16,
+) -> None:
+    """Write ``df`` clustered by FIXED Hilbert-grid buckets (file = top
+    ``log2(n_buckets)`` bits of the Hilbert address) — same pure-function
+    row→file contract as ``zorder_write_bucketed`` (an external checker can
+    recompute exact file membership), with the Hilbert curve's tighter
+    per-file boxes.  2-D only: the rotation recurrence is
+    dimension-specific (the Morton key generalizes to any d; the curve is
+    the 2-D specialist)."""
+    if len(cols) != 2:
+        raise ValueError(f"hilbert_write_bucketed is 2-D only, got {cols}")
+    bucket_bits = (n_buckets - 1).bit_length()
+    if n_buckets != 1 << bucket_bits:
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    agg = df.agg(
+        *[
+            m
+            for c in cols
+            for m in (
+                F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
+            )
+        ]
+    )
+    keyed = df.crossJoin(F.broadcast(agg))
+    gx, gy = (
+        _scale_to_grid(F.col(c), F.col(f"_lo_{c}"), F.col(f"_hi_{c}"), bits)
+        for c in cols
+    )
+    out_cols = df.columns
+    gridded = keyed.withColumn("_gx", gx).withColumn("_gy", gy).select(
+        *out_cols, "_gx", "_gy"
+    )
+    hk = hilbert_key_2d(gridded, "_gx", "_gy", bits=bits, out="_hkey")
+    (
+        hk.withColumn(
+            "_hbucket", F.shiftright(F.col("_hkey"), 2 * bits - bucket_bits)
+        )
+        .select(*out_cols, "_hbucket")
+        .repartition(n_buckets, "_hbucket")
+        .write.mode("overwrite")
+        .partitionBy("_hbucket")
+        .parquet(path)
+    )

@@ -248,3 +248,132 @@ def bucketed_colocated_join_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         return out.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# The oracle recomputes the Hilbert layout end-to-end: identical grid
+# scaling (8 bits), the xy2d recurrence replayed per row by a RECURSIVE
+# CTE (8 levels of quadrant-rank accumulation + rot(n) reflect/swap —
+# exactly the chained projections the Spark side compiles), the top-4-bit
+# bucket assignment, per-bucket min/max boxes, and the pruning decision.
+_HILBERT_ORACLE = """
+    WITH RECURSIVE b AS (
+        SELECT MIN(CAST(user_id AS DOUBLE)) AS lo_u, MAX(CAST(user_id AS DOUBLE)) AS hi_u,
+               MIN(CAST(value   AS DOUBLE)) AS lo_v, MAX(CAST(value   AS DOUBLE)) AS hi_v
+        FROM events
+    ),
+    g AS (
+        SELECT event_id, user_id, value,
+               CASE WHEN hi_u > lo_u THEN LEAST(255, GREATEST(0,
+                    CAST(FLOOR((CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) * 255) AS BIGINT)))
+                    ELSE 0 END AS ug,
+               CASE WHEN hi_v > lo_v THEN LEAST(255, GREATEST(0,
+                    CAST(FLOOR((CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) * 255) AS BIGINT)))
+                    ELSE 0 END AS vg
+        FROM events, b
+    ),
+    walk AS (
+        SELECT event_id, user_id, value, ug AS x, vg AS y,
+               CAST(0 AS BIGINT) AS d, 7 AS lev
+        FROM g
+        UNION ALL
+        SELECT event_id, user_id, value,
+               CASE WHEN ((y >> lev) & 1) = 1 THEN x
+                    WHEN ((x >> lev) & 1) = 1 THEN 255 - y
+                    ELSE y END,
+               CASE WHEN ((y >> lev) & 1) = 1 THEN y
+                    WHEN ((x >> lev) & 1) = 1 THEN 255 - x
+                    ELSE x END,
+               d + (CAST(1 AS BIGINT) << (2 * lev)) * CASE
+                    WHEN ((x >> lev) & 1) = 1 AND ((y >> lev) & 1) = 1 THEN 2
+                    WHEN ((x >> lev) & 1) = 1 THEN 3
+                    WHEN ((y >> lev) & 1) = 1 THEN 1
+                    ELSE 0 END,
+               lev - 1
+        FROM walk WHERE lev >= 0
+    ),
+    fk AS (
+        SELECT d >> 12 AS bucket,
+               MIN(user_id) AS flo_u, MAX(user_id) AS fhi_u,
+               MIN(value)   AS flo_v, MAX(value)   AS fhi_v,
+               COUNT(*) AS n
+        FROM walk WHERE lev = -1
+        GROUP BY 1
+    ),
+    op AS (
+        SELECT * FROM fk
+        WHERE NOT (fhi_u < 20.0 OR flo_u > 50.0 OR fhi_v < 50.0 OR flo_v > 150.0)
+    )
+    SELECT (SELECT COUNT(*) FROM fk)                     AS n_files_total,
+           (SELECT COUNT(*) FROM op)                     AS n_files_opened,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM fk)       AS n_rows_total,
+           (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM op) AS n_rows_scanned,
+           (SELECT COUNT(*) FROM events
+             WHERE user_id BETWEEN 20.0 AND 50.0
+               AND value   BETWEEN 50.0 AND 150.0)       AS n_rows_match
+"""
+
+
+@query("hilbert_pruning_stats", oracle=_HILBERT_ORACLE)
+def hilbert_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout under the correctness gate — the Z-order
+    query's locality-preserving sibling (operators/layout.py:
+    hilbert_write_bucketed): cluster events by the 2-D Hilbert address of
+    (user_id, value), read the REAL parquet footers back, and report the
+    min/max-pruning outcome for the same 2-D box.  The oracle replays the
+    full xy2d recurrence with a recursive CTE, so a single rotation or
+    reflection bug on either side breaks the hash.  Consecutive Hilbert
+    addresses are always grid neighbors (pytest-pinned adjacency), which
+    is why its per-file boxes measure tighter than Morton's on a uniform
+    grid (tests/test_layout.py)."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from fs2_kinesis_firehose_spark.operators.layout import hilbert_write_bucketed
+
+    out_dir = (
+        Path(tempfile.gettempdir())
+        / "fs2spark-hilbert"
+        / f"events-{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    hilbert_write_bucketed(
+        events, str(out_dir), ["user_id", "value"], bits=8, n_buckets=16
+    )
+
+    stats = file_stats(str(out_dir), ["user_id", "value"])
+
+    def hit(s: dict) -> bool:
+        for c, (qlo, qhi) in _BOX.items():
+            lo, hi = s[c]
+            if lo is None or hi is None:
+                continue
+            if hi < qlo or lo > qhi:
+                return False
+        return True
+
+    opened = [s for s in stats if hit(s)]
+    n_rows_match = (
+        spark.read.parquet(str(out_dir))
+        .filter(
+            F.col("user_id").between(*_BOX["user_id"])
+            & F.col("value").between(*_BOX["value"])
+        )
+        .count()
+    )
+    row = (
+        len(stats),
+        len(opened),
+        sum(s["n_rows"] for s in stats),
+        sum(s["n_rows"] for s in opened),
+        n_rows_match,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_files_total bigint, n_files_opened bigint, n_rows_total bigint, "
+        "n_rows_scanned bigint, n_rows_match bigint",
+    )

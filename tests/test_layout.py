@@ -74,3 +74,102 @@ def test_zorder_explicit_bounds_skip_extra_aggregate(spark, sf_oracle):
             bounds={"o_custkey": (0, 20000), "o_totalprice": (0.0, 600000.0)},
         )
         assert spark.read.parquet(f"{tmp}/z").count() == orders.count()
+
+
+# --- Hilbert curve ------------------------------------------------------------
+
+
+def _xy2d_ref(n: int, x: int, y: int) -> int:
+    """Plain-python reference (Wikipedia xy2d, rot(n) orientation)."""
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_and_is_a_true_hilbert_curve(spark):
+    """Full 32x32 grid: (1) Spark == python reference everywhere,
+    (2) bijective onto [0, n²), (3) THE Hilbert property — consecutive
+    addresses are always grid NEIGHBORS (manhattan distance exactly 1),
+    which no Z/Morton layout satisfies (Z has long diagonal jumps)."""
+    from fs2_kinesis_firehose_spark.operators.layout import hilbert_key_2d
+
+    bits, n = 5, 32
+    pts = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x int, y int"
+    )
+    got = {
+        (r.x, r.y): r._hkey
+        for r in hilbert_key_2d(pts, "x", "y", bits=bits).collect()
+    }
+    assert all(got[(x, y)] == _xy2d_ref(n, x, y) for x in range(n) for y in range(n))
+    inv = {d: xy for xy, d in got.items()}
+    assert sorted(inv) == list(range(n * n))  # bijective
+    assert all(
+        abs(inv[i][0] - inv[i + 1][0]) + abs(inv[i][1] - inv[i + 1][1]) == 1
+        for i in range(n * n - 1)
+    )
+
+
+def test_hilbert_key_is_codegen_no_python(spark):
+    from fs2_kinesis_firehose_spark.operators.layout import hilbert_key_2d
+    from fs2_kinesis_firehose_spark.plans import assert_plan_lacks
+
+    pts = spark.range(10).selectExpr("CAST(id % 4 AS INT) x", "CAST(id % 3 AS INT) y")
+    df = hilbert_key_2d(pts, "x", "y", bits=4)
+    assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_hilbert_boxes_tighter_than_zorder_on_uniform_grid(spark, tmp_path):
+    """The locality payoff, measured: bucketing a uniform 2-D grid into 16
+    files by Hilbert vs Morton top-bits, Hilbert's per-file min/max boxes
+    cover no more total area (strictly less on this grid) — tighter boxes
+    = more pruning for the same file count."""
+    from fs2_kinesis_firehose_spark.operators.layout import (
+        file_stats,
+        hilbert_write_bucketed,
+        zorder_write_bucketed,
+    )
+
+    n = 64
+    pts = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "px int, py int"
+    )
+
+    def total_box_area(stats):
+        return sum(
+            (s["px"][1] - s["px"][0] + 1) * (s["py"][1] - s["py"][0] + 1)
+            for s in stats
+        )
+
+    hdir, zdir = str(tmp_path / "h"), str(tmp_path / "z")
+    hilbert_write_bucketed(pts, hdir, ["px", "py"], bits=6, n_buckets=16)
+    zorder_write_bucketed(pts, zdir, ["px", "py"], bits=6, n_buckets=16)
+    h_area = total_box_area(file_stats(hdir, ["px", "py"]))
+    z_area = total_box_area(file_stats(zdir, ["px", "py"]))
+    assert h_area <= z_area, (h_area, z_area)
+
+
+def test_hilbert_write_validates_args(spark):
+    import pytest as _pt
+
+    from fs2_kinesis_firehose_spark.operators.layout import (
+        hilbert_key_2d,
+        hilbert_write_bucketed,
+    )
+
+    pts = spark.range(4).selectExpr("CAST(id AS INT) a", "CAST(id AS INT) b", "id c")
+    with _pt.raises(ValueError):
+        hilbert_write_bucketed(pts, "/tmp/x", ["a", "b", "c"])
+    with _pt.raises(ValueError):
+        hilbert_write_bucketed(pts, "/tmp/x", ["a", "b"], n_buckets=3)
+    with _pt.raises(ValueError):
+        hilbert_key_2d(pts, "a", "b", bits=0)

@@ -382,3 +382,77 @@ def test_analyze_stats_single_scan_expand_distinct(spark, sf_smoke):
     assert plan.count("orders.parquet") == 1, plan
     assert "Expand" in plan, plan
     assert_plan_lacks(df, "CartesianProduct")
+
+
+def test_concat_pack_single_exchange_no_python(spark, sf_smoke):
+    """concat_chunk_pack is pure window SQL: exactly ONE exchange (the
+    shard hash shuffle feeding the prefix-sum sort) and zero Python
+    evaluation — the property that distinguishes it from the next-fit
+    applyInPandas packer."""
+    import re
+
+    df = q.QUERIES["seq_concat_pack_stats"](spark, sf_smoke)
+    plan = explain_str(df)
+    assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas")
+    assert "Window" in plan, plan
+    # shard shuffle + final stats aggregate exchange + orderBy: bounded
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex <= 3, plan
+
+
+def test_token_budget_sample_no_join_single_window(spark, sf_smoke):
+    """token_budget_sample is shuffle-on-group + window + filter on the
+    kept side; the stats query adds only aggregates and the kept-vs-total
+    join on the ≤|groups| rows."""
+    df = q.QUERIES["token_budget_sample_stats"](spark, sf_smoke)
+    plan = explain_str(df)
+    assert "Window" in plan, plan
+    assert_plan_lacks(df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_source_overlap_no_cartesian_reuses_hash_partitioning(spark, sf_smoke):
+    """The chunk-hash self-join must be an equi-join (never cartesian)
+    and Python-free (the chunker is codegen explode)."""
+    df = q.QUERIES["source_chunk_overlap_matrix"](spark, sf_smoke)
+    assert_plan_lacks(
+        df, "CartesianProduct", "BroadcastNestedLoopJoin",
+        "BatchEvalPython", "ArrowEvalPython",
+    )
+
+
+def test_zipf_windows_vocab_not_corpus(spark, sf_smoke):
+    """The ROW_NUMBER rank runs over the VOCAB aggregate (HashAggregate
+    below the Window), never raw token rows, and the final OLS is a
+    1-row closed-form aggregate."""
+    df = q.QUERIES["zipf_fit_stats"](spark, sf_smoke)
+    plan = explain_str(df)
+    w = plan.find("Window")
+    assert w != -1, plan
+    assert "HashAggregate" in plan[w:], plan
+    assert_plan_lacks(df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_tpch_q11_single_scan_broadcast_total(spark, sf_smoke):
+    """Q11's global-share HAVING must fold the total from the per-part
+    aggregate (lazy checkpoint read twice), not re-scan lineitem — the
+    plan shows a 1-row broadcast guard join and exactly one parquet-or-
+    checkpoint source feeding both sides."""
+    df = q.QUERIES["tpch_q11_important_parts"](spark, sf_smoke)
+    plan = explain_str(df)
+    # the total rides back as a broadcast join (BNLJ cross or BHJ)
+    assert "Broadcast" in plan, plan
+    assert_plan_lacks(df, "CartesianProduct")
+
+
+def test_tpch_q16_anti_join_and_distinct_count(spark, sf_smoke):
+    df = q.QUERIES["tpch_q16_supplier_part_count"](spark, sf_smoke)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan, plan
+    assert_plan_lacks(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_tpch_q20_semi_join_chain(spark, sf_smoke):
+    df = q.QUERIES["tpch_q20_excess_suppliers"](spark, sf_smoke)
+    plan = explain_str(df)
+    assert plan.count("LeftSemi") >= 2, plan
+    assert_plan_lacks(df, "CartesianProduct", "BroadcastNestedLoopJoin")
