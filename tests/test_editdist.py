@@ -161,7 +161,7 @@ def test_counts_duplicated_keys_fail_loudly(spark):
     rows = [Row(key=i, s=f"unit#{i:09d}") for i in range(20)]
     rows.append(Row(key=3, s="unit#000000004"))  # duplicated key, near-dup text
     df = spark.createDataFrame(rows)
-    with pytest.raises(Exception, match="duplicated key_col"):
+    with pytest.raises(Exception, match="duplicated or NULL key_col"):
         editdist_pair_counts(df, "s", "key", k=1).collect()
     # opt-out: value-level semantics accepted explicitly
     got = {
@@ -278,3 +278,15 @@ def test_first_match_mirror_tracks_probe_emissions(spark, k):
                 f"mirror drift: slot {j} of key {r.k1} vs key {r.k2}: "
                 f"mirror={r[f'm{j}']} probe={want}"
             )
+
+
+def test_counts_null_key_also_fails_loudly(spark):
+    """count_distinct skips NULLs, so a NULL key on a non-null-text row is
+    caught by the same guard (r10 ADVICE: the message must say so rather
+    than claim a duplicate)."""
+    rows = [Row(key=i, s=f"unit#{i:09d}") for i in range(5)]
+    df = spark.createDataFrame(rows).unionByName(
+        spark.createDataFrame([(None, "unit#000000009")], "key bigint, s string")
+    )
+    with pytest.raises(Exception, match="duplicated or NULL key_col"):
+        editdist_pair_counts(df, "s", "key", k=1).collect()
