@@ -269,6 +269,8 @@ HEADLINE = [
     "streaming_ann_serving_topk",
     # round-11 addition: Hilbert-curve clustered write + footer pruning
     "hilbert_pruning_stats",
+    # round-11 addition: graded ANN ranking eval (MRR/NDCG@10)
+    "ann_ranking_metrics_at_k",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

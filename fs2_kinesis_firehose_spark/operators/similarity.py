@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -302,6 +304,76 @@ def ann_recall_eval(
             F.coalesce("n_common", F.lit(0)).alias("n_common"),
             F.round(F.coalesce("n_common", F.lit(0)) / F.lit(float(k)), 2).alias("recall_at_k"),
         )
+    )
+
+
+def ann_ranking_metrics(
+    df_bucketed: DataFrame,
+    dim: int,
+    *,
+    n_queries: int = 8,
+    k: int = 10,
+    multiprobe_hamming: int = 2,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Graded companions to ``ann_recall_eval``: per-query **MRR@k** and
+    binary-relevance **NDCG@k** of the sign-LSH probe ranking against the
+    exact-cosine top-k relevance set (the standard IR quality pair —
+    recall says WHETHER the truth was found, MRR/NDCG say WHERE in the
+    ranking it landed).
+
+    Same one-plan shape as the recall harness (broadcast query set,
+    windowed top-k per side, hit join); the metric fold adds one k-row-per-
+    query aggregate.  Binary gains with |relevant| = k make IDCG the
+    constant Σ_{i=1..k} 1/log2(i+1), emitted as an identical repr literal
+    on both engines.  Output: (query_id, n_ann, mrr_at_k, ndcg_at_k),
+    rounded to 6 dp."""
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(
+        df_bucketed.filter(F.col(key_col) < n_queries).select(
+            F.col(key_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col("bucket").alias("_qbucket"),
+        )
+    )
+    cos = F.round(
+        V.dot(F.col(vec_col), F.col("_qv"), dim)
+        / (V.norm(F.col(vec_col), dim) * V.norm(F.col("_qv"), dim)),
+        6,
+    )
+    scored = df_bucketed.crossJoin(q).select(
+        "query_id",
+        F.col(key_col),
+        cos.alias("cos_sim"),
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("_qbucket"))).alias("_ham"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(key_col))
+    exact = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", key_col)
+    )
+    ann = (
+        scored.filter(F.col("_ham") <= multiprobe_hamming)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", key_col, F.col("_rn").alias("_rank"))
+    )
+    hits = ann.join(exact, ["query_id", key_col])
+    idcg = sum(1.0 / math.log2(i + 1) for i in range(1, k + 1))
+    gain = F.lit(1.0) / F.log2(F.col("_rank") + 1)
+    metrics = hits.groupBy("query_id").agg(
+        (F.lit(1.0) / F.min("_rank")).alias("_mrr"),
+        (F.sum(gain) / F.lit(idcg)).alias("_ndcg"),
+    )
+    n_ann = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    return n_ann.join(metrics, "query_id", "left").select(
+        "query_id",
+        "n_ann",
+        F.round(F.coalesce("_mrr", F.lit(0.0)), 6).alias("mrr_at_k"),
+        F.round(F.coalesce("_ndcg", F.lit(0.0)), 6).alias("ndcg_at_k"),
     )
 
 

@@ -1171,6 +1171,83 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_recall_eval(bucketed, dim=64, n_queries=8, k=10, multiprobe_hamming=2)
 
 
+def _ann_ranking_oracle() -> str:
+    """MRR@10 / binary-NDCG@10 of the LSH probe ranking vs the exact top-10
+    relevance set — the graded companions to _ann_recall_oracle, sharing
+    its literal-hyperplane scored CTE.  IDCG is the shared repr literal
+    Σ 1/log2(i+1), i=1..10 (identical constant on both engines)."""
+    planes = S._hyperplanes(64, 6, seed=42)
+    plane_sql = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+
+    def bucket_expr(vec: str) -> str:
+        return " + ".join(
+            f"{1 << i} * (CASE WHEN list_inner_product({vec}, {plane_sql[i]}) > 0 "
+            f"THEN 1 ELSE 0 END)"
+            for i in range(6)
+        )
+
+    return f"""
+    WITH b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               ({bucket_expr('CAST(embedding AS DOUBLE[])')}) AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM b WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, b.vec_id,
+               ROUND(list_inner_product(b.v, q.qv)
+                     / (SQRT(list_inner_product(b.v, b.v))
+                        * SQRT(list_inner_product(q.qv, q.qv))), 6) AS cos_sim,
+               bit_count(xor(b.bucket, q.qbucket)) AS ham
+        FROM b, q
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 10
+    ),
+    ann AS (
+        SELECT query_id, vec_id, rn AS rank FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id ASC) AS rn
+            FROM scored WHERE ham <= 2
+        ) WHERE rn <= 10
+    ),
+    hits AS (
+        SELECT a.query_id, a.rank
+        FROM ann a JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    ),
+    m AS (
+        SELECT query_id,
+               1.0 / MIN(rank) AS mrr,
+               SUM(1.0 / log2(rank + 1)) / 4.543559338088346 AS ndcg
+        FROM hits GROUP BY query_id
+    ),
+    annc AS (SELECT query_id, COUNT(*) AS n_ann FROM ann GROUP BY query_id)
+    SELECT annc.query_id, annc.n_ann,
+           ROUND(COALESCE(m.mrr, 0.0), 6) AS mrr_at_k,
+           ROUND(COALESCE(m.ndcg, 0.0), 6) AS ndcg_at_k
+    FROM annc LEFT JOIN m USING (query_id)
+    """
+
+
+@query("ann_ranking_metrics_at_k", oracle=_ann_ranking_oracle())
+def ann_ranking_metrics_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 and binary-relevance NDCG@10 of the sign-LSH probe ranking
+    vs exact cosine ground truth, 8 queries in one plan — the graded
+    quality pair beside ann_recall_at_k (recall says WHETHER the truth
+    was found; MRR/NDCG say WHERE it ranked).  Same broadcast-query /
+    windowed-top-k harness; oracle replays bucketing, both rankings, the
+    hit join, and the metric folds with the identical IDCG literal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = S.random_hyperplane_lsh(emb, dim=64, n_planes=6)
+    return S.ann_ranking_metrics(bucketed, dim=64, n_queries=8, k=10, multiprobe_hamming=2)
+
+
 @query(
     "gopher_repetition_flags",
     oracle=r"""
