@@ -158,17 +158,22 @@ def pack_stats(packed: DataFrame, *, token_col: str, seq_len: int) -> DataFrame:
     """Per-shard packing accounting over ``concat_chunk_pack`` output:
     document/token totals, emitted sequence count (``ceil(total /
     seq_len)`` — the final partial sequence is padded), pad tokens, and
-    how many documents straddle a sequence cut.  One k-row aggregate."""
+    how many documents straddle a sequence cut.  One k-row aggregate.
+    The ceil-division is exact INTEGER arithmetic (``div``), never a
+    float quotient — float ceil can round a just-under-a-multiple total
+    up once sums approach 2^52 (real at 100 TB token counts)."""
     toks = F.col(token_col).cast("long")
-    n_seq = F.ceil(F.sum(toks) / F.lit(float(seq_len))).cast("long")
-    return (
-        packed.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(toks).alias("total_tokens"),
-            n_seq.alias("n_sequences"),
-            (n_seq * seq_len - F.sum(toks)).alias("pad_tokens"),
-            F.sum(F.col("spans_boundary").cast("long")).alias("boundary_docs"),
-        )
-        .orderBy("shard")
+    agg = packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.sum(F.col("spans_boundary").cast("long")).alias("boundary_docs"),
     )
+    n_seq = F.expr(f"(total_tokens + {seq_len - 1}) div {seq_len}")
+    return agg.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        n_seq.alias("n_sequences"),
+        (n_seq * seq_len - F.col("total_tokens")).alias("pad_tokens"),
+        "boundary_docs",
+    ).orderBy("shard")

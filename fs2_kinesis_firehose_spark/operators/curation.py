@@ -441,8 +441,11 @@ def token_budget_sample(
     uniform sample WITHOUT replacement that any SQL engine restates and
     that is stable under repartitioning, retries, and incremental re-runs.
     A document is kept iff the cumulative token count INCLUDING it is
-    ≤ ``budget`` (a single over-size document is therefore dropped, not
-    truncated — truncation belongs to the packing stage).
+    ≤ ``budget`` — a PREFIX cut of the hash order, not a knapsack: once
+    the running total crosses the budget every later document in the
+    group is excluded too (deterministic and SQL-restatable, unlike
+    skip-and-continue filling), and an over-size document is dropped,
+    never truncated (truncation belongs to the packing stage).
 
     Plan: one hash shuffle on ``group_col`` + an in-partition sort for the
     window prefix sum, then a pure filter — no joins, no second scan.  At

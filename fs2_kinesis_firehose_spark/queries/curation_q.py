@@ -602,8 +602,8 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT shard,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           CAST(CEIL(SUM(n_tokens) / 512.0) AS BIGINT) AS n_sequences,
-           CAST(CEIL(SUM(n_tokens) / 512.0) AS BIGINT) * 512
+           (CAST(SUM(n_tokens) AS BIGINT) + 511) // 512 AS n_sequences,
+           ((CAST(SUM(n_tokens) AS BIGINT) + 511) // 512) * 512
                - CAST(SUM(n_tokens) AS BIGINT) AS pad_tokens,
            CAST(SUM(CASE WHEN n_tokens > 0
                     AND FLOOR(tok_start / 512.0)
