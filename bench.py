@@ -271,6 +271,8 @@ HEADLINE = [
     "hilbert_pruning_stats",
     # round-11 addition: graded ANN ranking eval (MRR/NDCG@10)
     "ann_ranking_metrics_at_k",
+    # round-11 addition: HITS over the customer->part purchase bipartite
+    "hits_copurchase_scores",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "pagerank",
+    "hits",
     "triangle_counts",
     "triangle_count_estimate",
     "label_propagation",
@@ -481,4 +482,79 @@ def k_core(
     raise RuntimeError(
         f"k_core did not converge within max_rounds={max_rounds}; "
         "raise max_rounds (each extra round is one aggregate + two anti-joins)"
+    )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 9,
+) -> DataFrame:
+    """Kleinberg HITS (hubs & authorities, SIAM JACM 1999) over a directed
+    edge list, fixed iterations: ``a(v) ← Σ_{(u,v)} h(u)`` then
+    ``h(u) ← Σ_{(u,v)} a(v)``, each vector max-normalized and ROUNDED to
+    ``round_to`` decimals per iteration — the kmeans-oracle trick that
+    makes every iteration's values bit-identical across engines, so the
+    whole loop restates as unrolled SQL CTEs.
+
+    Returns ``(node, hub, authority)`` for every vertex.  Plan per
+    iteration: two edge joins keyed on the endpoint + two 1-row max
+    aggregates riding back as broadcast cross joins (the repo's guard
+    idiom) — no driver collect anywhere; the deduplicated edge list and
+    vertex set are lazily checkpointed (consumed every iteration).
+    Fixed iterations (not a convergence test) keep the result
+    deterministic and the oracle finite."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = nodes.withColumn("h", F.lit(1.0))
+    a = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(h, e["src"] == h["node"])
+            .groupBy(e["dst"].alias("node"))
+            .agg(F.sum("h").alias("_raw"))
+        )
+        a_max = a_raw.agg(F.coalesce(F.max("_raw"), F.lit(1.0)).alias("_m"))
+        a = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "node",
+                F.round(F.coalesce("_raw", F.lit(0.0)) / F.col("_m"), round_to).alias("a"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            e.join(a, e["dst"] == a["node"])
+            .groupBy(e["src"].alias("node"))
+            .agg(F.sum("a").alias("_raw"))
+        )
+        h_max = h_raw.agg(F.coalesce(F.max("_raw"), F.lit(1.0)).alias("_m"))
+        h = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_max))
+            .select(
+                "node",
+                F.round(F.coalesce("_raw", F.lit(0.0)) / F.col("_m"), round_to).alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        nodes.join(h, "node")
+        .join(a, "node")
+        .select("node", F.col("h").alias("hub"), F.col("a").alias("authority"))
     )

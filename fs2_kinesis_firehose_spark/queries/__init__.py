@@ -68,17 +68,17 @@ WINDOW_EXEMPT: dict[str, str] = {
 _WINDOW_PRIORITY: list[str] = [
     # --- r11 window (scripts/window_rotation.py; r9+r10 rows folded into
     # verified_green.json — r10 swept 50/50 green).
-    # (1) heads with 18 slots: FOURTEEN never-driver-verified queries (the
+    # (1) heads with 19 slots: FIFTEEN never-driver-verified queries (the
     # two r10 additions the un-rotated r10 window missed — persisted
     # PQ/IVF index, image phash near-dup — plus this round's stamped-order
     # sink accounting, concat-and-chunk packing, token-budget sample,
     # source chunk-overlap matrix, Zipf fit, streaming ANN serving,
-    # Hilbert pruning, MRR/NDCG ranking eval, and the four adapted TPC-H
-    # completions Q9/Q11/Q16/Q20) and FOUR whose implementation changed
-    # this round (gated triangle peel ×2, editdist check_keys NULL-
-    # message, pipeline_dedup unordered funnel); (2) fills the remaining
-    # 32 slots with oldest-evidence rotations — ALL 25 r6-stale names
-    # (the whole streaming block among them) then r7 fill, name-asc.
+    # Hilbert pruning, MRR/NDCG ranking eval, HITS, and the four adapted
+    # TPC-H completions Q9/Q11/Q16/Q20) and FOUR whose implementation
+    # changed this round (gated triangle peel ×2, editdist check_keys
+    # NULL-message, pipeline_dedup unordered funnel); (2) fills the
+    # remaining 31 slots with oldest-evidence rotations — ALL 25 r6-stale
+    # names (the whole streaming block among them) then r7 fill, name-asc.
     # ---------------------------------------------------------------
     "ivf_pq_persisted_topk",
     "image_dhash_neardup_pairs",
@@ -94,6 +94,7 @@ _WINDOW_PRIORITY: list[str] = [
     "streaming_ann_serving_topk",
     "hilbert_pruning_stats",
     "ann_ranking_metrics_at_k",
+    "hits_copurchase_scores",
     "part_copurchase_triangles",
     "approx_triangle_estimate",
     "editdist_neardup_counts",
@@ -129,7 +130,6 @@ _WINDOW_PRIORITY: list[str] = [
     "asof_join_latest_order",
     "benchmark_contamination",
     "binary_quant_rescored_topk",
-    "bpe_learned_token_counts",
 ]
 
 

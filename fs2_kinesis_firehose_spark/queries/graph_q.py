@@ -454,3 +454,78 @@ def ppr_seed_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("source"), F.round("rank", 6).alias("rank")
     )
+
+
+def _unrolled_hits_sql(iterations: int, round_to: int = 9) -> str:
+    """CTE chain mirroring operators/graph.py:hits term-for-term: per
+    iteration, authority raw = Σ hub over in-edges, max-normalize, ROUND;
+    then hub raw = Σ authority over out-edges, max-normalize, ROUND."""
+    ctes = ["h0 AS (SELECT node, 1.0 AS s FROM nodes)"]
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        ctes.append(f"""ar{i} AS (
+        SELECT e.dst AS node, SUM(h.s) AS raw
+        FROM edges e JOIN {prev_h} h ON e.src = h.node GROUP BY e.dst
+    )""")
+        ctes.append(f"am{i} AS (SELECT COALESCE(MAX(raw), 1.0) AS m FROM ar{i})")
+        ctes.append(f"""a{i} AS (
+        SELECT v.node, ROUND(COALESCE(r.raw, 0.0) / am{i}.m, {round_to}) AS s
+        FROM nodes v LEFT JOIN ar{i} r ON v.node = r.node CROSS JOIN am{i}
+    )""")
+        ctes.append(f"""hr{i} AS (
+        SELECT e.src AS node, SUM(a.s) AS raw
+        FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+    )""")
+        ctes.append(f"hm{i} AS (SELECT COALESCE(MAX(raw), 1.0) AS m FROM hr{i})")
+        ctes.append(f"""h{i} AS (
+        SELECT v.node, ROUND(COALESCE(r.raw, 0.0) / hm{i}.m, {round_to}) AS s
+        FROM nodes v LEFT JOIN hr{i} r ON v.node = r.node CROSS JOIN hm{i}
+    )""")
+        prev_h = f"h{i}"
+    return ",\n    ".join(ctes)
+
+
+_HITS_ITER = 3
+
+
+@query(
+    "hits_copurchase_scores",
+    oracle=f"""
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                        'p:' || CAST(l_partkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nodes AS MATERIALIZED (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    {_unrolled_hits_sql(_HITS_ITER)}
+    SELECT h{_HITS_ITER}.node,
+           ROUND(h{_HITS_ITER}.s, 6) AS hub,
+           ROUND(a{_HITS_ITER}.s, 6) AS authority
+    FROM h{_HITS_ITER} JOIN a{_HITS_ITER} USING (node)
+    """,
+)
+def hits_copurchase_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS over the customer→part purchase BIPARTITE graph —
+    the mutual-reinforcement pair PageRank can't express: hub(customer) =
+    "buys many authoritative parts", authority(part) = "bought by strong
+    hubs".  Node ids are 'c:'/'p:'-prefixed strings (the key spaces
+    overlap numerically).  3 iterations, max-normalized + rounded to 9 dp
+    per iteration so the oracle's unrolled CTE chain matches bit-for-bit
+    (the kmeans idiom); edges/nodes MATERIALIZED (each is read every
+    iteration — default inlining would re-run the fact join 2k times)."""
+    from fs2_kinesis_firehose_spark.operators.graph import hits
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = o.join(l, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    scores = hits(edges, iterations=_HITS_ITER)
+    return scores.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )

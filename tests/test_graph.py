@@ -434,3 +434,48 @@ def test_ppr_none_seeds_is_classic_pagerank(spark):
     want = _reference_pagerank(pairs, iterations=3)
     for v in want:
         assert classic[v] == pytest.approx(want[v], abs=1e-12)
+
+
+# --- HITS ----------------------------------------------------------------------
+
+
+def test_hits_one_iteration_hand_computed(spark):
+    """edges 1->3, 2->3, 2->4; after ONE iteration: a_raw(3)=2, a_raw(4)=1
+    -> max-norm a = {3:1.0, 4:0.5, sources 0}; h_raw(1)=a(3)=1,
+    h_raw(2)=a(3)+a(4)=1.5 -> h = {1: 2/3, 2: 1.0, sinks 0}."""
+    from fs2_kinesis_firehose_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([(1, 3), (2, 3), (2, 4)], "src long, dst long")
+    got = {r.node: (r.hub, r.authority) for r in hits(edges, iterations=1).collect()}
+    assert got[3] == (0.0, 1.0)
+    assert got[4] == (0.0, 0.5)
+    assert got[2] == (1.0, 0.0)
+    assert got[1] == (round(1 / 1.5, 9), 0.0)
+
+
+def test_hits_bipartite_symmetry_and_bounds(spark):
+    """Complete bipartite K_{2,3}: both hubs tie at 1.0, all three
+    authorities tie at 1.0 (max-normalized); scores always in [0, 1];
+    iteration count fixed -> deterministic under re-run."""
+    from fs2_kinesis_firehose_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(h, a) for h in (1, 2) for a in (10, 20, 30)], "src long, dst long"
+    )
+    rows = hits(edges, iterations=3).collect()
+    got = {r.node: (r.hub, r.authority) for r in rows}
+    assert got[1] == got[2] == (1.0, 0.0)
+    assert got[10] == got[20] == got[30] == (0.0, 1.0)
+    assert all(0.0 <= r.hub <= 1.0 and 0.0 <= r.authority <= 1.0 for r in rows)
+    again = {r.node: (r.hub, r.authority) for r in hits(edges, iterations=3).collect()}
+    assert got == again
+
+
+def test_hits_validates_iterations(spark):
+    import pytest as _pt
+
+    from fs2_kinesis_firehose_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pt.raises(ValueError):
+        hits(edges, iterations=0)
