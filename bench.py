@@ -273,6 +273,9 @@ HEADLINE = [
     "ann_ranking_metrics_at_k",
     # round-11 addition: HITS over the customer->part purchase bipartite
     "hits_copurchase_scores",
+    # round-11 additions: rank-family window pass + as-of tolerance
+    "order_rank_family_stats",
+    "asof_tolerance_accounting",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

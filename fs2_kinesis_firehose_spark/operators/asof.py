@@ -26,12 +26,21 @@ def asof_join(
     right_time: str,
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    tolerance=None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the most recent right row at or
     before its timestamp (nulls when no prior right row exists).
 
     Ties on equal timestamps resolve to the right row (right sorts first at
     the same instant — matching ``<=`` semantics).
+
+    ``tolerance`` (pandas ``merge_asof`` parity): a Column/expression
+    bounding how STALE the match may be — a match with
+    ``left_time - right_time > tolerance`` is nulled out (the left row is
+    KEPT, its as-of values become NULL; it is not dropped).  Pass an
+    interval for timestamps (``F.expr("INTERVAL 30 DAYS")``) or a numeric
+    for numeric time axes.  Implemented by carrying the matched right
+    time through the same window — zero extra shuffles.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, right_time)
@@ -42,6 +51,7 @@ def asof_join(
         F.lit(1).alias("_side"),  # left sorts AFTER right at equal times (<=)
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("_rt"),
     )
     rt = right.select(
         F.col(key),
@@ -49,6 +59,7 @@ def asof_join(
         F.lit(0).alias("_side"),
         F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(right_time).alias("_rt"),
     )
     unioned = lt.unionByName(rt)
     w = (
@@ -59,8 +70,22 @@ def asof_join(
     carried = unioned.select(
         "_side",
         "_lrow",
+        F.col("_t"),
         *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in value_cols],
+        F.last("_rt", ignorenulls=True).over(w).alias("_rt"),
     ).filter(F.col("_side") == 1)
+    if tolerance is not None:
+        fresh = F.col("_rt").isNotNull() & (
+            (F.col("_t") - F.col("_rt")) <= tolerance
+        )
+        carried = carried.select(
+            "_side",
+            "_lrow",
+            *[
+                F.when(fresh, F.col(f"_r_{c}")).alias(f"_r_{c}")
+                for c in value_cols
+            ],
+        )
     return carried.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
         *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in value_cols],

@@ -68,17 +68,19 @@ WINDOW_EXEMPT: dict[str, str] = {
 _WINDOW_PRIORITY: list[str] = [
     # --- r11 window (scripts/window_rotation.py; r9+r10 rows folded into
     # verified_green.json — r10 swept 50/50 green).
-    # (1) heads with 19 slots: FIFTEEN never-driver-verified queries (the
-    # two r10 additions the un-rotated r10 window missed — persisted
+    # (1) heads with 22 slots: SEVENTEEN never-driver-verified queries
+    # (the two r10 additions the un-rotated r10 window missed — persisted
     # PQ/IVF index, image phash near-dup — plus this round's stamped-order
     # sink accounting, concat-and-chunk packing, token-budget sample,
     # source chunk-overlap matrix, Zipf fit, streaming ANN serving,
-    # Hilbert pruning, MRR/NDCG ranking eval, HITS, and the four adapted
-    # TPC-H completions Q9/Q11/Q16/Q20) and FOUR whose implementation
-    # changed this round (gated triangle peel ×2, editdist check_keys
-    # NULL-message, pipeline_dedup unordered funnel); (2) fills the
-    # remaining 31 slots with oldest-evidence rotations — ALL 25 r6-stale
-    # names (the whole streaming block among them) then r7 fill, name-asc.
+    # Hilbert pruning, MRR/NDCG ranking eval, HITS, rank-family window
+    # pass, as-of tolerance, and the four adapted TPC-H completions
+    # Q9/Q11/Q16/Q20) and FIVE whose implementation changed this round
+    # (gated triangle peel ×2, editdist check_keys NULL-message,
+    # pipeline_dedup unordered funnel, asof_join tolerance plumbing);
+    # (2) fills the remaining 28 slots with oldest-evidence rotations —
+    # ALL 25 r6-stale names (the whole streaming block among them) then
+    # r7 fill, name-ascending.
     # ---------------------------------------------------------------
     "ivf_pq_persisted_topk",
     "image_dhash_neardup_pairs",
@@ -95,10 +97,13 @@ _WINDOW_PRIORITY: list[str] = [
     "hilbert_pruning_stats",
     "ann_ranking_metrics_at_k",
     "hits_copurchase_scores",
+    "order_rank_family_stats",
+    "asof_tolerance_accounting",
     "part_copurchase_triangles",
     "approx_triangle_estimate",
     "editdist_neardup_counts",
     "pipeline_dedup_delivery_accounting",
+    "asof_join_latest_order",
     "multimodal_png_roundtrip_stats",
     "nation_balance_unpivot",
     "near_dedup_clusters_distributed",
@@ -127,9 +132,6 @@ _WINDOW_PRIORITY: list[str] = [
     "ann_lsh_topk",
     "applyinpandas_zscore",
     "approx_distinct_users",
-    "asof_join_latest_order",
-    "benchmark_contamination",
-    "binary_quant_rescored_topk",
 ]
 
 

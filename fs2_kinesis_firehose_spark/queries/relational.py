@@ -980,3 +980,138 @@ def bloom_semijoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
     )
+
+
+@query(
+    "order_rank_family_stats",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderpriority,
+               NTILE(4)       OVER w AS quartile,
+               PERCENT_RANK() OVER w AS pr,
+               CUME_DIST()    OVER w AS cd,
+               DENSE_RANK()   OVER w AS dr,
+               o_totalprice
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)
+    )
+    SELECT o_orderpriority, quartile,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(pr), 6) AS sum_percent_rank,
+           ROUND(SUM(cd), 6) AS sum_cume_dist,
+           MAX(dr) AS max_dense_rank,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM r
+    GROUP BY o_orderpriority, quartile
+    ORDER BY o_orderpriority, quartile
+    """,
+)
+def order_rank_family_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-function window family in one oracle-checked pass: NTILE
+    quartiles, PERCENT_RANK, CUME_DIST, DENSE_RANK per order-priority
+    partition (deterministic compound ordering), folded to per-quartile
+    stats so the output is priority×4 rows.  One window shuffle + one
+    aggregate; completes Tier B's window-function row alongside the
+    rank/lag/lead and RANGE-frame queries."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.select(
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.dense_rank().over(w).alias("dr"),
+        "o_totalprice",
+    )
+    return (
+        r.groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("pr"), 6).alias("sum_percent_rank"),
+            F.round(F.sum("cd"), 6).alias("sum_cume_dist"),
+            F.max("dr").alias("max_dense_rank"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
+@query(
+    "asof_tolerance_accounting",
+    oracle="""
+    WITH uniq_orders AS (
+        SELECT o_custkey,
+               o_orderdate,
+               MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+        FROM orders
+        GROUP BY o_custkey, o_orderdate
+    ),
+    m AS (
+        SELECT e.event_id, e.ts, o.o_orderdate, o.o_totalprice
+        FROM events e
+        ASOF LEFT JOIN uniq_orders o
+          ON e.user_id % 1500 = o.o_custkey AND e.ts >= o.o_orderdate
+        WHERE e.event_id % 10 = 0
+    )
+    SELECT COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_matched_any,
+           CAST(SUM(CASE WHEN o_orderdate IS NOT NULL
+                    AND ts - o_orderdate <= INTERVAL 8300 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_fresh,
+           ROUND(SUM(CASE WHEN o_orderdate IS NOT NULL
+                          AND ts - o_orderdate <= INTERVAL 8300 DAY
+                          THEN o_totalprice ELSE 0 END), 2) AS fresh_spend
+    FROM m
+    """,
+)
+def asof_tolerance_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join's ``tolerance`` contract (pandas merge_asof parity)
+    under oracle check: same event→latest-order join as
+    ``asof_join_latest_order`` but matches staler than 8300 days are
+    NULLed (events sit decades after the order history, so a
+    ~median-staleness bar splits the matches non-trivially at every SF)
+    while the event row survives.  The oracle counts any-match vs
+    fresh-match independently from DuckDB's native ASOF join, so a
+    tolerance bug in either direction (dropping rows, keeping stale
+    values) breaks the hash.  Zero extra shuffles vs the plain as-of —
+    the matched right time rides the same carry-forward window."""
+    from fs2_kinesis_firehose_spark.operators.asof import asof_join
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", (F.col("user_id") % 1500).alias("custkey"), "ts")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"), "o_orderdate")
+        .agg(F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"))
+    )
+    any_match = asof_join(
+        e, o, key="custkey", left_time="ts", right_time="o_orderdate",
+        value_cols=["o_totalprice"],
+    )
+    fresh = asof_join(
+        e, o, key="custkey", left_time="ts", right_time="o_orderdate",
+        value_cols=["o_totalprice"],
+        tolerance=F.expr("INTERVAL 8300 DAYS"),
+    )
+    a = any_match.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("o_totalprice_asof").alias("n_matched_any"),
+    )
+    f = fresh.agg(
+        F.count("o_totalprice_asof").alias("n_matched_fresh"),
+        F.round(
+            F.coalesce(F.sum("o_totalprice_asof"), F.lit(0.0)), 2
+        ).alias("fresh_spend"),
+    )
+    return a.crossJoin(F.broadcast(f))

@@ -47,3 +47,46 @@ def test_asof_preserves_left_rowcount(spark, sf_smoke):
         e, o, key="custkey", left_time="ts", right_time="o_orderdate", value_cols=["o_totalprice"]
     )
     assert joined.count() == e.count()  # left join: every left row exactly once
+
+
+def test_asof_tolerance_nulls_stale_matches_keeps_rows(spark):
+    """Numeric axis: matches older than the tolerance are NULLed, the left
+    row survives; fresh matches are untouched; rows with no prior match
+    stay NULL as before."""
+    from pyspark.sql import functions as F
+
+    from fs2_kinesis_firehose_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 5), ("k", 50), ("k", 1)], "key string, t long"
+    )
+    right = spark.createDataFrame([("k", 3, 30.0)], "key string, rt long, v double")
+    out = asof_join(
+        left, right, key="key", left_time="t", right_time="rt",
+        value_cols=["v"], tolerance=F.lit(10),
+    )
+    got = {r.t: r.v_asof for r in out.collect()}
+    assert got == {5: 30.0, 50: None, 1: None}  # fresh / stale / no-prior
+
+
+def test_asof_tolerance_timestamp_interval(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from fs2_kinesis_firehose_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", datetime(2024, 1, 10)), ("k", datetime(2024, 3, 1))],
+        "key string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1), 7.0)], "key string, rt timestamp, v double"
+    )
+    out = asof_join(
+        left, right, key="key", left_time="t", right_time="rt",
+        value_cols=["v"], tolerance=F.expr("INTERVAL 30 DAYS"),
+    )
+    got = {r.t: r.v_asof for r in out.collect()}
+    assert got[datetime(2024, 1, 10)] == 7.0   # 9 days old: fresh
+    assert got[datetime(2024, 3, 1)] is None   # 60 days old: stale
