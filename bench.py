@@ -276,6 +276,8 @@ HEADLINE = [
     # round-11 additions: rank-family window pass + as-of tolerance
     "order_rank_family_stats",
     "asof_tolerance_accounting",
+    # round-11 addition: persisted Bloom index sidecar point-lookup skipping
+    "bloom_index_pruning_stats",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

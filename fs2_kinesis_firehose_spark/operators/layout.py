@@ -322,3 +322,149 @@ def hilbert_write_bucketed(
         .partitionBy("_hbucket")
         .parquet(path)
     )
+
+
+# --- persisted Bloom-filter index sidecars (Delta-style data skipping) -------
+
+_BLOOM_SIDECAR = "_bloomidx"
+_BLOOM_DATA = "data"
+
+
+def _md5_pos(value, j: int, n_bits: int, salt: str) -> int:
+    """Python twin of the engine-portable md5 bit position (same formula
+    as the Column/SQL forms below — first 32 md5 bits mod n_bits)."""
+    import hashlib
+
+    h = hashlib.md5(f"{value}:{j}{salt}".encode()).hexdigest()[:8]
+    return int(h, 16) % n_bits
+
+
+def _md5_pos_col(col: Column, j: int, n_bits: int, salt: str) -> Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(f":{j}{salt}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_bits
+    )
+
+
+def bloom_index_write(
+    df: DataFrame,
+    path: str,
+    layout_cols: list[str],
+    bloom_col: str,
+    *,
+    bits: int = 16,
+    n_buckets: int = 16,
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+    salt: str = "bloomidx",
+) -> None:
+    """Write ``df`` Z-order-bucketed by ``layout_cols`` (the fixed-grid
+    pure-function layout of ``zorder_write_bucketed``) PLUS a persisted
+    per-file Bloom-filter sidecar over ``bloom_col`` — the Delta-style
+    index that lets point lookups on a column the LAYOUT does not cluster
+    skip files anyway (footer min/max on a uniform high-cardinality
+    column covers every file; the Bloom sidecar does not).
+
+    Sidecar layout: ``<path>/_bloomidx`` holds the DISTINCT
+    ``(_zbucket, pos)`` set-bit rows (≤ n_buckets·n_bits rows — index
+    metadata, thousands of times smaller than the data).  Bit positions
+    are the engine-portable md5 formula (first 32 bits of
+    ``md5(value || ':' || j || salt)`` mod ``n_bits``), so an external
+    SQL checker can replay the whole index; no false negatives by
+    construction.  At 100 TB: the sidecar build is one extra distinct
+    over (bucket, k positions) — map-side combined, output bounded by
+    the index size, not the data."""
+    bucket_bits = (n_buckets - 1).bit_length()
+    if n_buckets != 1 << bucket_bits:
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    agg = df.agg(
+        *[
+            m
+            for c in layout_cols
+            for m in (
+                F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
+            )
+        ]
+    )
+    keyed = df.crossJoin(F.broadcast(agg))
+    grid = [
+        _scale_to_grid(F.col(c), F.col(f"_lo_{c}"), F.col(f"_hi_{c}"), bits)
+        for c in layout_cols
+    ]
+    z = morton_key(grid, bits)
+    total_bits = len(layout_cols) * bits
+    out_cols = df.columns
+    bucketed = keyed.withColumn(
+        "_zbucket", F.shiftright(z, total_bits - bucket_bits)
+    ).select(*out_cols, "_zbucket")
+    (
+        bucketed.repartition(n_buckets, "_zbucket")
+        .write.mode("overwrite")
+        .partitionBy("_zbucket")
+        .parquet(f"{path}/{_BLOOM_DATA}")
+    )
+    positions = bucketed.select(
+        "_zbucket",
+        F.explode(
+            F.array(
+                *[
+                    _md5_pos_col(F.col(bloom_col), j, n_bits, salt)
+                    for j in range(n_hashes)
+                ]
+            )
+        ).alias("pos"),
+    ).distinct()
+    positions.repartition(1).write.mode("overwrite").parquet(
+        f"{path}/{_BLOOM_SIDECAR}"
+    )
+
+
+def bloom_index_prune_stats(
+    spark,
+    path: str,
+    bloom_col: str,
+    probe_value,
+    *,
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+    salt: str = "bloomidx",
+) -> dict:
+    """Point-lookup through the persisted Bloom sidecar: compute the probe
+    value's bit positions (driver-side, same md5 formula), find the
+    buckets whose sidecar contains ALL of them (≤ n_buckets rows
+    collected — index metadata), and read ONLY those bucket partitions
+    (``isin`` filter → planning-time partition pruning on the
+    ``_zbucket`` directory column).  Returns the pruning accounting a
+    reader cares about; no false negatives, so ``n_rows_match`` equals
+    the unindexed scan's answer exactly."""
+    probe_pos = sorted({_md5_pos(probe_value, j, n_bits, salt) for j in range(n_hashes)})
+    sidecar = spark.read.parquet(f"{path}/{_BLOOM_SIDECAR}")
+    hit_rows = (
+        sidecar.where(F.col("pos").isin(probe_pos))
+        .groupBy("_zbucket")
+        .agg(F.count_distinct("pos").alias("_n"))
+        .where(F.col("_n") == len(probe_pos))
+        .select("_zbucket")
+        .collect()
+    )
+    hit_buckets = sorted(int(r["_zbucket"]) for r in hit_rows)
+    data = spark.read.parquet(f"{path}/{_BLOOM_DATA}")
+    n_files_total = data.select("_zbucket").distinct().count()
+    pruned = data.where(F.col("_zbucket").isin(hit_buckets))
+    n_scanned, n_match = pruned.agg(
+        F.count(F.lit(1)),
+        F.count_if(F.col(bloom_col) == F.lit(probe_value)),
+    ).first()
+    return {
+        "n_files_total": n_files_total,
+        "n_files_opened": len(hit_buckets),
+        "n_rows_scanned": int(n_scanned),
+        "n_rows_match": int(n_match),
+    }

@@ -377,3 +377,105 @@ def hilbert_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_files_total bigint, n_files_opened bigint, n_rows_total bigint, "
         "n_rows_scanned bigint, n_rows_match bigint",
     )
+
+
+# The oracle replays the ENTIRE index: the fixed Z-grid bucket of every
+# row (the _ZORDER_ORACLE chain), every bucket's Bloom set-bit set from
+# the identical md5 positions, the probe's positions, the all-bits-hit
+# bucket decision, and the resulting scan accounting.  A hash mismatch
+# catches a wrong bit formula, a dropped sidecar row, OR a false negative
+# (the probed event's own bucket failing the membership test).
+_BLOOM_IDX_ORACLE = """
+    WITH b AS (
+        SELECT MIN(CAST(user_id AS DOUBLE)) AS lo_u, MAX(CAST(user_id AS DOUBLE)) AS hi_u,
+               MIN(CAST(value   AS DOUBLE)) AS lo_v, MAX(CAST(value   AS DOUBLE)) AS hi_v
+        FROM events
+    ),
+    g AS (
+        SELECT event_id, user_id, value,
+               CASE WHEN hi_u > lo_u THEN LEAST(65535, GREATEST(0,
+                    CAST(FLOOR((CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) * 65535) AS BIGINT)))
+                    ELSE 0 END AS ug,
+               CASE WHEN hi_v > lo_v THEN LEAST(65535, GREATEST(0,
+                    CAST(FLOOR((CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) * 65535) AS BIGINT)))
+                    ELSE 0 END AS vg
+        FROM events, b
+    ),
+    z AS (
+        SELECT event_id,
+               CAST(SUM((((ug >> CAST(i AS INT)) & 1) << (2 * CAST(i AS INT)))
+                      + (((vg >> CAST(i AS INT)) & 1) << (2 * CAST(i AS INT) + 1))) AS BIGINT) >> 28 AS bucket
+        FROM g, UNNEST(range(16)) AS t(i)
+        GROUP BY event_id, ug, vg
+    ),
+    bloomrows AS (
+        SELECT DISTINCT bucket,
+               CAST(CONCAT('0x', SUBSTRING(md5(CAST(event_id AS VARCHAR)
+                    || ':' || CAST(j AS VARCHAR) || 'bloomidx'), 1, 8))
+                    AS BIGINT) % 4096 AS pos
+        FROM z, UNNEST(range(3)) AS t(j)
+    ),
+    probe AS (
+        SELECT DISTINCT CAST(CONCAT('0x', SUBSTRING(md5('421:'
+                    || CAST(j AS VARCHAR) || 'bloomidx'), 1, 8))
+                    AS BIGINT) % 4096 AS pos
+        FROM UNNEST(range(3)) AS t(j)
+    ),
+    hit AS (
+        SELECT br.bucket
+        FROM bloomrows br JOIN probe p ON br.pos = p.pos
+        GROUP BY br.bucket
+        HAVING COUNT(DISTINCT br.pos) = (SELECT COUNT(*) FROM probe)
+    )
+    SELECT (SELECT COUNT(DISTINCT bucket) FROM z)            AS n_files_total,
+           (SELECT COUNT(*) FROM hit)                        AS n_files_opened,
+           (SELECT COUNT(*) FROM z WHERE bucket IN (SELECT bucket FROM hit))
+                                                             AS n_rows_scanned,
+           (SELECT COUNT(*) FROM events WHERE event_id = 421) AS n_rows_match
+"""
+
+
+@query("bloom_index_pruning_stats", oracle=_BLOOM_IDX_ORACLE)
+def bloom_index_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted Bloom-filter index sidecar (operators/layout.py:
+    bloom_index_write) under the correctness gate — Delta-style data
+    skipping on a column the LAYOUT does not cluster: events are
+    Z-bucketed by (user_id, value), the sidecar indexes event_id, and a
+    point lookup (event_id = 421) opens only the buckets whose Bloom
+    bits all match.  Footer min/max can't skip anything here (a uniform
+    high-cardinality column covers every file's range); the Bloom
+    sidecar typically prunes to ~1 file + false positives, with zero
+    false negatives (the oracle's n_rows_match is computed from the raw
+    table).  Eager like the other layout queries; per-sf deterministic
+    tmp dir."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from fs2_kinesis_firehose_spark.operators.layout import (
+        bloom_index_prune_stats,
+        bloom_index_write,
+    )
+
+    out_dir = (
+        Path(tempfile.gettempdir())
+        / "fs2spark-bloomidx"
+        / f"events-{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    bloom_index_write(
+        events, str(out_dir), ["user_id", "value"], "event_id",
+        bits=16, n_buckets=16, n_bits=4096, n_hashes=3,
+    )
+    stats = bloom_index_prune_stats(spark, str(out_dir), "event_id", 421)
+    return spark.createDataFrame(
+        [tuple(stats[k] for k in (
+            "n_files_total", "n_files_opened", "n_rows_scanned", "n_rows_match"
+        ))],
+        "n_files_total bigint, n_files_opened bigint, n_rows_scanned bigint, "
+        "n_rows_match bigint",
+    )

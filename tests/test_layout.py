@@ -173,3 +173,33 @@ def test_hilbert_write_validates_args(spark):
         hilbert_write_bucketed(pts, "/tmp/x", ["a", "b"], n_buckets=3)
     with _pt.raises(ValueError):
         hilbert_key_2d(pts, "a", "b", bits=0)
+
+
+def test_bloom_index_prunes_and_never_false_negative(spark, tmp_path):
+    """The sidecar must actually skip files on a point lookup over the
+    non-layout column (uniform high-cardinality ids — footer min/max
+    can't), and membership must have zero false negatives: every probed
+    id's full row count survives the pruned read."""
+    from fs2_kinesis_firehose_spark.operators.layout import (
+        bloom_index_prune_stats,
+        bloom_index_write,
+    )
+
+    n = 4000
+    df = spark.range(n).selectExpr(
+        "id AS event_id", "CAST(id % 97 AS DOUBLE) AS user_id",
+        "CAST((id * 31) % 211 AS DOUBLE) AS value",
+    )
+    path = str(tmp_path / "bidx")
+    bloom_index_write(df, path, ["user_id", "value"], "event_id", n_buckets=16)
+    opened = []
+    for probe in (0, 17, 1234, 3999):
+        s = bloom_index_prune_stats(spark, path, "event_id", probe)
+        assert s["n_rows_match"] == 1, s          # no false negatives
+        assert s["n_files_opened"] >= 1
+        opened.append(s["n_files_opened"])
+    # across several probes the index must skip most files
+    assert sum(opened) < 4 * 16, opened
+    # absent value: usually zero files opened, never a match
+    s = bloom_index_prune_stats(spark, path, "event_id", 10**9)
+    assert s["n_rows_match"] == 0
