@@ -278,6 +278,8 @@ HEADLINE = [
     "asof_tolerance_accounting",
     # round-11 addition: persisted Bloom index sidecar point-lookup skipping
     "bloom_index_pruning_stats",
+    # round-11 addition: small-file compaction maintenance rewrite
+    "compaction_accounting",
 ]
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)

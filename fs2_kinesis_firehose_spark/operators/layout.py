@@ -468,3 +468,46 @@ def bloom_index_prune_stats(
         "n_rows_scanned": int(n_scanned),
         "n_rows_match": int(n_match),
     }
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    *,
+    n_files: int | None = None,
+    target_rows_per_file: int | None = None,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the table-maintenance job every long-lived
+    parquet dataset needs (streaming sinks and fine-grained partitionBy
+    writes fragment into thousands of KB-files; each costs a task + a
+    footer read + a namenode entry, so scan latency degrades linearly in
+    FILE COUNT long before data size matters).
+
+    Rewrites ``src_path`` into exactly ``n_files`` files (or
+    ``ceil(rows / target_rows_per_file)`` when sizing by rows), optionally
+    re-sorted within files by ``sort_cols`` to restore clustering that
+    fragmentation destroyed.  One round-robin shuffle of the data — the
+    floor for any rewrite; the row count needed to size the output is one
+    metadata-cheap aggregate.  Returns the accounting dict
+    (files/rows before and after).  Row conservation is the correctness
+    contract: compaction must be a pure physical rewrite."""
+    if (n_files is None) == (target_rows_per_file is None):
+        raise ValueError("pass exactly one of n_files / target_rows_per_file")
+    df = spark.read.parquet(src_path)
+    files_before = df.inputFiles()
+    rows_before = df.count()
+    if n_files is None:
+        n_files = max(1, -(-rows_before // target_rows_per_file))
+    out = df.repartition(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(dst_path)
+    back = spark.read.parquet(dst_path)
+    return {
+        "files_before": len(files_before),
+        "files_after": len(back.inputFiles()),
+        "rows_before": int(rows_before),
+        "rows_after": int(back.count()),
+    }

@@ -68,19 +68,19 @@ WINDOW_EXEMPT: dict[str, str] = {
 _WINDOW_PRIORITY: list[str] = [
     # --- r11 window (scripts/window_rotation.py; r9+r10 rows folded into
     # verified_green.json — r10 swept 50/50 green).
-    # (1) heads with 23 slots: EIGHTEEN never-driver-verified queries
+    # (1) heads with 24 slots: NINETEEN never-driver-verified queries
     # (the two r10 additions the un-rotated r10 window missed — persisted
     # PQ/IVF index, image phash near-dup — plus this round's stamped-order
     # sink accounting, concat-and-chunk packing, token-budget sample,
     # source chunk-overlap matrix, Zipf fit, streaming ANN serving,
     # Hilbert pruning, MRR/NDCG ranking eval, HITS, rank-family window
-    # pass, as-of tolerance, persisted Bloom index sidecar, and the four
-    # adapted TPC-H completions Q9/Q11/Q16/Q20) and FIVE whose
-    # implementation changed this round (gated triangle peel ×2, editdist
-    # check_keys NULL-message, pipeline_dedup unordered funnel, asof_join
-    # tolerance plumbing); (2) fills the remaining 27 slots with
-    # oldest-evidence rotations — ALL 25 r6-stale names (the whole
-    # streaming block among them) then r7 fill, name-ascending.
+    # pass, as-of tolerance, persisted Bloom index sidecar, small-file
+    # compaction, and the four adapted TPC-H completions Q9/Q11/Q16/Q20)
+    # and FIVE whose implementation changed this round (gated triangle
+    # peel ×2, editdist check_keys NULL-message, pipeline_dedup unordered
+    # funnel, asof_join tolerance plumbing); (2) fills the remaining 26
+    # slots with oldest-evidence rotations — ALL 25 r6-stale names (the
+    # whole streaming block among them) + 1 r7 name, name-ascending.
     # ---------------------------------------------------------------
     "ivf_pq_persisted_topk",
     "image_dhash_neardup_pairs",
@@ -100,6 +100,7 @@ _WINDOW_PRIORITY: list[str] = [
     "order_rank_family_stats",
     "asof_tolerance_accounting",
     "bloom_index_pruning_stats",
+    "compaction_accounting",
     "part_copurchase_triangles",
     "approx_triangle_estimate",
     "editdist_neardup_counts",
@@ -131,7 +132,6 @@ _WINDOW_PRIORITY: list[str] = [
     "tpch_q18_bloom_prefilter",
     "user_session_stats",
     "ann_lsh_topk",
-    "applyinpandas_zscore",
 ]
 
 

@@ -479,3 +479,64 @@ def bloom_index_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_files_total bigint, n_files_opened bigint, n_rows_scanned bigint, "
         "n_rows_match bigint",
     )
+
+
+@query(
+    "compaction_accounting",
+    oracle="""
+    SELECT CAST(64 AS BIGINT) AS files_before,
+           CAST(8 AS BIGINT) AS files_after,
+           COUNT(*) AS rows_before,
+           COUNT(*) AS rows_after,
+           (SELECT COUNT(*) FROM (
+               SELECT DISTINCT event_id, user_id, value FROM events
+           )) AS distinct_roundtrip
+    FROM events
+    """,
+)
+def compaction_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (operators/layout.py:compact_files) under
+    the correctness gate: events fragmented into 64 files (a streaming
+    sink's typical damage), compacted to exactly 8, with the layout
+    CONTRACT stated as oracle constants — file counts before/after — and
+    row conservation + content fidelity (distinct key roundtrip) computed
+    from the REAL rewritten files.  A dropped/duplicated row, a lost
+    file, or a partial rewrite breaks the hash.  Eager like the other
+    layout queries (the compaction is the thing being measured)."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from fs2_kinesis_firehose_spark.operators.layout import compact_files
+
+    root = (
+        Path(tempfile.gettempdir())
+        / "fs2spark-compact"
+        / f"events-{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    if root.exists():
+        shutil.rmtree(root)
+    src, dst = str(root / "fragmented"), str(root / "compacted")
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    events.repartition(64).write.parquet(src)
+    stats = compact_files(spark, src, dst, n_files=8)
+    distinct_roundtrip = (
+        spark.read.parquet(dst)
+        .select("event_id", "user_id", "value")
+        .distinct()
+        .count()
+    )
+    row = (
+        stats["files_before"],
+        stats["files_after"],
+        stats["rows_before"],
+        stats["rows_after"],
+        distinct_roundtrip,
+    )
+    return spark.createDataFrame(
+        [row],
+        "files_before bigint, files_after bigint, rows_before bigint, "
+        "rows_after bigint, distinct_roundtrip bigint",
+    )

@@ -203,3 +203,45 @@ def test_bloom_index_prunes_and_never_false_negative(spark, tmp_path):
     # absent value: usually zero files opened, never a match
     s = bloom_index_prune_stats(spark, path, "event_id", 10**9)
     assert s["n_rows_match"] == 0
+
+
+def test_compact_files_rows_conserved_and_sized(spark, tmp_path):
+    from fs2_kinesis_firehose_spark.operators.layout import compact_files
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "comp")
+    spark.range(1000).repartition(32).write.parquet(src)
+    s = compact_files(spark, src, dst, n_files=4)
+    assert s == {
+        "files_before": 32, "files_after": 4,
+        "rows_before": 1000, "rows_after": 1000,
+    }
+    # sizing by rows: ceil(1000/300) = 4 files
+    s2 = compact_files(spark, src, str(tmp_path / "c2"), target_rows_per_file=300)
+    assert s2["files_after"] == 4 and s2["rows_after"] == 1000
+    # sort restoration: each output file's ids are locally sorted
+    compact_files(spark, src, str(tmp_path / "c3"), n_files=4, sort_cols=["id"])
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(str(tmp_path / "c3"))
+    bad = (
+        df.withColumn("_f", F.input_file_name())
+        .withColumn("_prev", F.lag("id").over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .partitionBy("_f").orderBy(F.monotonically_increasing_id())))
+        .where(F.col("_prev") > F.col("id"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_compact_files_validates_args(spark, tmp_path):
+    import pytest as _pt
+
+    from fs2_kinesis_firehose_spark.operators.layout import compact_files
+
+    src = str(tmp_path / "x")
+    spark.range(10).write.parquet(src)
+    with _pt.raises(ValueError):
+        compact_files(spark, src, str(tmp_path / "y"))
+    with _pt.raises(ValueError):
+        compact_files(spark, src, str(tmp_path / "y"), n_files=2, target_rows_per_file=5)
