@@ -495,6 +495,20 @@ def compact_files(
     contract: compaction must be a pure physical rewrite."""
     if (n_files is None) == (target_rows_per_file is None):
         raise ValueError("pass exactly one of n_files / target_rows_per_file")
+    # Overwrite-mode write into the path being read would destroy the source
+    # before the rewrite completes; Spark's runtime check catches the literal
+    # same string but not a differently-spelled same location ("/a/../a").
+    import os
+
+    src_resolved = os.path.realpath(src_path)
+    dst_resolved = os.path.realpath(dst_path)
+    if src_resolved == dst_resolved or dst_resolved.startswith(
+        src_resolved + os.sep
+    ) or src_resolved.startswith(dst_resolved + os.sep):
+        raise ValueError(
+            f"compact_files: dst_path {dst_path!r} must not equal or overlap "
+            f"src_path {src_path!r}"
+        )
     df = spark.read.parquet(src_path)
     files_before = df.inputFiles()
     rows_before = df.count()

@@ -586,7 +586,7 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
         SELECT doc_id,
-               len(string_split(trim(text), ' ')) AS n_tokens,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
                CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(CAST(doc_id AS VARCHAR),
                     'pack')), 1, 8)) AS BIGINT) % 8 AS shard
         FROM documents
@@ -642,7 +642,7 @@ def seq_concat_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
         SELECT source, doc_id,
-               len(string_split(trim(text), ' ')) AS n_tokens,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
                CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(CAST(doc_id AS VARCHAR),
                     'budget')), 1, 8)) AS BIGINT) AS h
         FROM documents

@@ -326,6 +326,7 @@ def hilbert_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is why its per-file boxes measure tighter than Morton's on a uniform
     grid (tests/test_layout.py)."""
     import hashlib
+    import os
     import shutil
     import tempfile
     from pathlib import Path
@@ -335,7 +336,7 @@ def hilbert_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = (
         Path(tempfile.gettempdir())
         / "fs2spark-hilbert"
-        / f"events-{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+        / f"events-{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}-{os.getpid()}"
     )
     if out_dir.exists():
         shutil.rmtree(out_dir)
@@ -449,6 +450,7 @@ def bloom_index_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     table).  Eager like the other layout queries; per-sf deterministic
     tmp dir."""
     import hashlib
+    import os
     import shutil
     import tempfile
     from pathlib import Path
@@ -461,7 +463,7 @@ def bloom_index_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = (
         Path(tempfile.gettempdir())
         / "fs2spark-bloomidx"
-        / f"events-{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+        / f"events-{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}-{os.getpid()}"
     )
     if out_dir.exists():
         shutil.rmtree(out_dir)
@@ -504,6 +506,7 @@ def compaction_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     file, or a partial rewrite breaks the hash.  Eager like the other
     layout queries (the compaction is the thing being measured)."""
     import hashlib
+    import os
     import shutil
     import tempfile
     from pathlib import Path
@@ -513,7 +516,7 @@ def compaction_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = (
         Path(tempfile.gettempdir())
         / "fs2spark-compact"
-        / f"events-{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+        / f"events-{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}-{os.getpid()}"
     )
     if root.exists():
         shutil.rmtree(root)
