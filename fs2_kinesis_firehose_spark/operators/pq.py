@@ -57,6 +57,7 @@ __all__ = [
     "pq_topk",
     "pq_rescored_topk",
     "ivf_pq_rescored_topk",
+    "ivf_pq_rescored_topk_multi",
     "ivf_residual",
     "ivf_pq_residual_rescored_topk",
     "write_pq_index",
@@ -356,6 +357,118 @@ def ivf_pq_rescored_topk(
         code_col=code_col,
         round_to=round_to,
         lut_mode=lut_mode,
+    )
+
+
+def ivf_pq_rescored_topk_multi(
+    df: DataFrame,
+    centroids,
+    model: dict,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    candidates: int = 50,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    code_col: str = "pq_code",
+    cell_col: str = "ivf_cell",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVFADC for a SET of queries as ONE plan — the serving shape a
+    micro-batch of query vectors needs (r11 verdict "What's wrong" #2:
+    looping ``ivf_pq_rescored_topk`` per query row submits one Spark job
+    per query and serializes the driver at production rates).
+
+    ``queries`` is the bounded per-batch query set (``[(query_id, vector),
+    ...]`` — driver-side rows, never corpus data).  Per query the driver
+    computes the probe cells (``ivf_probe_cells``) and the m×k ADC LUT
+    (``_adc_lut``) exactly as the single-query path does; both ship as a
+    tiny BROADCAST relation with one row per (query, probed cell).
+
+    Plan shape (jobs per batch is CONSTANT in the number of queries —
+    pinned by tests/test_pq.py):
+
+    1. cell filter on the UNION of all probed cells — PartitionFilters
+       pruning on a persisted inverted-list layout, same as single-query;
+    2. BroadcastHashJoin codes ⋈ queries on the cell id — each corpus row
+       meets only the queries that probed its cell — then the identical
+       left-to-right ``element_at`` LUT chain (`_lut_chain_sum`) scores
+       ADC in whole-stage codegen;
+    3. per-query candidate cut: ONE window (``row_number`` over
+       ``query_id`` ordering by rounded ADC then key) over narrow
+       (query_id, key, adc) rows — the only shuffle, nq·|probed| skinny
+       rows instead of nq separate jobs;
+    4. exact rescore of the nq·candidates survivors: broadcast the
+       candidate ids back onto the pruned codes (no corpus shuffle), dot
+       products in codegen, final per-query top-k window over
+       candidate-scale rows.
+
+    Scoring arithmetic is shared with the single-query path (same LUT
+    builder, same fold order, same round/tie rules), so per-query results
+    are bit-identical to ``ivf_pq_rescored_topk`` — pinned in
+    tests/test_pq.py — and the multi-query SQL oracle restates them.
+    Returns ``(query_id, key_col, l2_dist)``, per-query top-k."""
+    from pyspark.sql import Window
+
+    from fs2_kinesis_firehose_spark.functions import vectors as V
+    from fs2_kinesis_firehose_spark.operators.similarity import ivf_probe_cells
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    _check_reserved(df, ("_qid", "_cell", "_lut", "_qv", "_qsq", "_adc", "_rn"))
+    spark = df.sparkSession
+    m, dim = model["m"], model["dim"]
+
+    probe_rows = []  # one row per (query, probed cell)
+    qvec_rows = []  # one row per query: vector + |q|² for the rescore
+    for qid, qv in queries:
+        qv = [float(x) for x in qv]
+        lut = _adc_lut(model, qv)
+        for cell in ivf_probe_cells(centroids, qv, nprobe):
+            probe_rows.append((int(qid), int(cell), lut))
+        qvec_rows.append((int(qid), qv, _seq_ip(qv, qv)))
+    probes = spark.createDataFrame(
+        probe_rows, "_qid BIGINT, _cell INT, _lut ARRAY<ARRAY<DOUBLE>>"
+    )
+    qvecs = spark.createDataFrame(
+        qvec_rows, "_qid BIGINT, _qv ARRAY<DOUBLE>, _qsq DOUBLE"
+    )
+
+    union_cells = sorted({c for _, c, _ in probe_rows})
+    pool = df.filter(F.col(cell_col).isin(union_cells))
+
+    scored = (
+        pool.select(key_col, code_col, cell_col)
+        .join(F.broadcast(probes), F.col(cell_col) == F.col("_cell"))
+        .select(
+            "_qid",
+            key_col,
+            F.round(_lut_chain_sum(F.col("_lut"), code_col, m), round_to).alias(
+                "_adc"
+            ),
+        )
+    )
+    w_cand = Window.partitionBy("_qid").orderBy(F.asc("_adc"), F.asc(key_col))
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w_cand))
+        .filter(F.col("_rn") <= candidates)
+        .select("_qid", key_col)
+    )
+
+    v = F.col(vec_col)
+    l2 = V.dot(v, v, dim) - F.lit(2.0) * V.dot(v, F.col("_qv"), dim) + F.col("_qsq")
+    rescored = (
+        pool.select(key_col, vec_col)
+        .join(F.broadcast(cand), key_col)
+        .join(F.broadcast(qvecs), "_qid")
+        .select("_qid", key_col, F.round(l2, round_to).alias("l2_dist"))
+    )
+    w_k = Window.partitionBy("_qid").orderBy(F.asc("l2_dist"), F.asc(key_col))
+    return (
+        rescored.withColumn("_rn", F.row_number().over(w_k))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("_qid").alias("query_id"), key_col, "l2_dist")
     )
 
 

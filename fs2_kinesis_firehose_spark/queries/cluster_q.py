@@ -700,16 +700,19 @@ def streaming_ann_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted index's SERVING story end-to-end: fit + encode +
     ``write_pq_index`` once, then a Structured Streaming query feed (one
     query vector per micro-batch, 3 batches via maxFilesPerTrigger=1)
-    probes the RELOADED index in ``foreachBatch`` and appends each
-    query's IVFADC top-10 to an idempotent parquet sink.  The oracle is
-    the 3-query full replay (shared corpus fits, per-query probe/LUT
-    chains) — a hash match proves the streamed, reloaded-index answers
-    equal the from-scratch batch computation for every query.
+    probes the RELOADED index in ``foreachBatch`` — the WHOLE batch's
+    query set answered by ONE ``ivf_pq_rescored_topk_multi`` plan and ONE
+    per-batch-id overwrite (replay-idempotent).  The oracle is the
+    3-query full replay (shared corpus fits, per-query probe/LUT chains)
+    — a hash match proves the streamed, reloaded-index answers equal the
+    from-scratch batch computation for every query.
 
     100 TB shape: the index build is one-time batch; each serving batch
-    touches only the probed cells (PartitionFilters pruning on the
-    persisted codes — pinned in tests/test_pq.py) and the per-batch
-    driver fold is the ≤batch-size query rows, never corpus data."""
+    touches only the UNION of the batch's probed cells (PartitionFilters
+    pruning on the persisted codes — pinned in tests/test_pq.py), jobs
+    per batch are constant in the query count (also pinned), and the
+    per-batch driver fold is the ≤batch-size query rows, never corpus
+    data."""
     import hashlib
     import os
     import shutil
@@ -755,16 +758,25 @@ def streaming_ann_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(q_dir)
 
     def serve(batch: DataFrame, batch_id: int) -> None:
-        for row in batch.collect():  # ≤ batch-size query rows (bounded)
-            res = PQ.ivf_pq_rescored_topk(
-                codes2, cents2, model2,
-                [float(x) for x in row["embedding"]],
-                10, nprobe=_IVF_NPROBE, candidates=_PQ_CAND,
-            ).select(
-                F.lit(row["vec_id"]).cast("long").alias("query_id"),
-                "vec_id", "l2_dist",
-            )
-            res.write.mode("append").parquet(out_dir)
+        # ≤ batch-size QUERY rows reach the driver (never corpus data);
+        # the whole batch is answered by ONE IVFADC plan + ONE write —
+        # jobs per batch constant in the query count (r11 verdict #2: a
+        # per-row ivf_pq_rescored_topk loop submits one job and one
+        # parquet commit PER QUERY and serializes the driver at
+        # production query rates).  The per-batch_id output path makes a
+        # replayed micro-batch overwrite its own result instead of
+        # appending duplicates — idempotent under retries.
+        qrows = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in batch.collect()
+        ]
+        if not qrows:
+            return
+        res = PQ.ivf_pq_rescored_topk_multi(
+            codes2, cents2, model2, qrows,
+            10, nprobe=_IVF_NPROBE, candidates=_PQ_CAND,
+        )
+        res.write.mode("overwrite").parquet(f"{out_dir}/batch-{batch_id}")
 
     (
         spark.readStream.schema(qschema)
@@ -776,4 +788,6 @@ def streaming_ann_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination()
     )
-    return spark.read.parquet(out_dir).select("query_id", "vec_id", "l2_dist")
+    return spark.read.parquet(f"{out_dir}/batch-*").select(
+        "query_id", "vec_id", "l2_dist"
+    )
