@@ -15,10 +15,11 @@ broadcast aggregate, so ranks always sum to 1 and the operator matches the
 textbook formulation (Page et al. 1999) for any edge set, not just regular
 ones.
 
-At 100 TB scale: each iteration is one shuffle on src (the join) and one on
-dst (the aggregate) over the edge table; the rank vector is |V| rows.  For a
-fixed-partitioner win, pre-``repartition`` edges by src so the per-iteration
-join reuses the exchange.
+At 100 TB scale: the static edge list (and vertex table) is hash-partitioned
+by its superstep join key ONCE and pinned through a lazy localCheckpoint
+(``_pinned_by_key``), so each iteration's edge-side join reuses that
+exchange and sort; per iteration only the |V|-row rank vector shuffles into
+the join plus the one irreducible message-delivery aggregate on dst.
 """
 
 from __future__ import annotations
@@ -36,6 +37,60 @@ __all__ = [
 ]
 
 
+# superstep exchange-reuse global override (A/B harness:
+# scripts/ab_graph_pin.py); False degrades every _pinned_by_key to the
+# plain lazy checkpoint (pre-r12 behavior: the superstep join replans the
+# edge side each iteration)
+_EXCHANGE_REUSE = True
+
+
+def _pinned_by_key(df: DataFrame, key: str, enabled: bool = True) -> DataFrame:
+    """Hash-partition ``df`` by ``key``, sort within partitions, and pin
+    BOTH through a lazy ``localCheckpoint`` — the one-time exchange every
+    iterative superstep then REUSES: each iteration's ``join``/``groupBy``
+    on ``key`` sees a side that already satisfies its required
+    distribution (and sort order, so sort-merge joins skip the per-
+    iteration sort too), instead of re-shuffling the static edge list
+    every round.  At 100× scale the per-iteration edge shuffle is the
+    dominant superstep cost (r11 verdict ask #4); this trades ONE extra
+    up-front shuffle for zero edge shuffles across all iterations.
+
+    AQE is disabled for this one plan compile: under AQE the checkpoint
+    captures the still-adaptive plan's UnknownPartitioning and the pin is
+    silently lost (measured in r12 — the checkpointed LogicalRDD then
+    re-shuffles every iteration exactly as before).  The conf flip only
+    affects the repartition job compiled here (a plain shuffle that AQE
+    could not improve anyway); it is restored before returning, so the
+    supersteps themselves keep AQE.
+
+    The pin pays exactly when the superstep join is SHUFFLE-bound (rank/
+    label vectors too big to broadcast — the 100-TB regime).  When the
+    vector side broadcasts (local test scale), the join never shuffled
+    the edges in the first place and the pin's up-front shuffle+sort is
+    pure cost — measured in the r12 sf1 A/B (PLANS.md Audit C), which is
+    why each operator carries its own measured ``reuse_exchange`` default
+    and ``enabled=False`` degrades to the plain lazy checkpoint."""
+    if not (enabled and _EXCHANGE_REUSE):
+        return df.localCheckpoint(eager=False)
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # two-step: first truncate the (possibly expensive) upstream lineage
+    # with a NORMAL checkpoint so its derivation keeps AQE, THEN compile
+    # just the repartition+sort with AQE off — the conf flip must cover
+    # only the plain pin shuffle, never the edge-derivation joins
+    base = df.localCheckpoint(eager=False)
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return (
+            base.repartition(n, key)
+            .sortWithinPartitions(key)
+            .localCheckpoint(eager=False)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
@@ -45,6 +100,7 @@ def pagerank(
     dst: str = "dst",
     checkpoint_every: int = 1,
     seeds: DataFrame | None = None,
+    reuse_exchange: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -77,10 +133,10 @@ def pagerank(
     # lineage may be an expensive pipeline (e.g. the near-dup pair join in
     # pagerank_top_sources — 3.5× the whole query's cost when re-evaluated
     # per iteration).
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
+    e = _pinned_by_key(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
+        "src",
+        reuse_exchange,
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -99,7 +155,10 @@ def pagerank(
             .withColumn("_seed", F.lit(True))
         )
         verts = verts.join(F.broadcast(sdf), "node", "left")
-    verts = verts.localCheckpoint(eager=False)
+    # pinned by node: the per-iteration left join against contribs (which
+    # arrives hash-partitioned by dst from its aggregate) is then exchange-
+    # free on BOTH sides
+    verts = _pinned_by_key(verts, "node", reuse_exchange)
     if seeds is None:
         n = verts.count()
         ns = None
@@ -358,6 +417,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 1,
+    reuse_exchange: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al., 2007) for community
     detection: ``(node, label)`` after a FIXED number of synchronous rounds.
@@ -384,11 +444,12 @@ def label_propagation(
         raise ValueError("iterations must be >= 1")
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    e = (
-        fwd.union(rev)
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)  # consumed every round
+    # pinned by src (consumed by every round's join): the edge-side
+    # exchange + sort happen once, not per round
+    e = _pinned_by_key(
+        fwd.union(rev).where(F.col("src") != F.col("dst")).distinct(),
+        "src",
+        reuse_exchange,
     )
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -420,6 +481,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 16,
+    reuse_exchange: bool = False,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling (Seidman 1983; the
     distributed peeling formulation of Montresor et al. 2013): repeatedly
@@ -450,10 +512,16 @@ def k_core(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     und = _canonical_undirected(edges, src, dst)
-    e = (
+    # pinned by the degree/anti-join key: round 1's degree aggregate (the
+    # FULL-graph round — the dominant one) reuses the exchange.  Later
+    # rounds re-derive e through the anti-join rebuild, whose lazy AQE
+    # checkpoint doesn't carry partitioning — but by then e is the
+    # shrinking survivor set, so the win is front-loaded where it matters
+    e = _pinned_by_key(
         und.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .union(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
-        .localCheckpoint(eager=False)
+        .union(und.select(F.col("v").alias("a"), F.col("u").alias("b"))),
+        "a",
+        reuse_exchange,
     )
     # max_rounds + 1 fixpoint checks bracket exactly max_rounds PEELS, so a
     # graph converging on the very last allowed peel still returns (the
@@ -492,6 +560,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     round_to: int = 9,
+    reuse_exchange: bool = True,
 ) -> DataFrame:
     """Kleinberg HITS (hubs & authorities, SIAM JACM 1999) over a directed
     edge list, fixed iterations: ``a(v) ← Σ_{(u,v)} h(u)`` then
@@ -514,18 +583,25 @@ def hits(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    nodes = (
+    # HITS alternates join keys (src for the authority step, dst for the
+    # hub step), so ONE partitioning can't serve both — pin two copies,
+    # each by its step's key; every iteration's edge-side exchange (and
+    # SMJ sort) is then reused instead of recomputed
+    e_src = _pinned_by_key(e, "src", reuse_exchange)
+    e_dst = _pinned_by_key(e, "dst", reuse_exchange)
+    nodes = _pinned_by_key(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        "node",
+        reuse_exchange,
     )
     h = nodes.withColumn("h", F.lit(1.0))
     a = None
     for _ in range(iterations):
         a_raw = (
-            e.join(h, e["src"] == h["node"])
-            .groupBy(e["dst"].alias("node"))
+            e_src.join(h, e_src["src"] == h["node"])
+            .groupBy(e_src["dst"].alias("node"))
             .agg(F.sum("h").alias("_raw"))
         )
         a_max = a_raw.agg(F.coalesce(F.max("_raw"), F.lit(1.0)).alias("_m"))
@@ -539,8 +615,8 @@ def hits(
             .localCheckpoint(eager=False)
         )
         h_raw = (
-            e.join(a, e["dst"] == a["node"])
-            .groupBy(e["src"].alias("node"))
+            e_dst.join(a, e_dst["dst"] == a["node"])
+            .groupBy(e_dst["src"].alias("node"))
             .agg(F.sum("a").alias("_raw"))
         )
         h_max = h_raw.agg(F.coalesce(F.max("_raw"), F.lit(1.0)).alias("_m"))

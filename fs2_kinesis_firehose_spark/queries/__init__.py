@@ -66,72 +66,74 @@ WINDOW_EXEMPT: dict[str, str] = {
 }
 
 _WINDOW_PRIORITY: list[str] = [
-    # --- r11 window (scripts/window_rotation.py; r9+r10 rows folded into
-    # verified_green.json — r10 swept 50/50 green).
-    # (1) heads with 24 slots: NINETEEN never-driver-verified queries
-    # (the two r10 additions the un-rotated r10 window missed — persisted
-    # PQ/IVF index, image phash near-dup — plus this round's stamped-order
-    # sink accounting, concat-and-chunk packing, token-budget sample,
-    # source chunk-overlap matrix, Zipf fit, streaming ANN serving,
-    # Hilbert pruning, MRR/NDCG ranking eval, HITS, rank-family window
-    # pass, as-of tolerance, persisted Bloom index sidecar, small-file
-    # compaction, and the four adapted TPC-H completions Q9/Q11/Q16/Q20)
-    # and FIVE whose implementation changed this round (gated triangle
-    # peel ×2, editdist check_keys NULL-message, pipeline_dedup unordered
-    # funnel, asof_join tolerance plumbing); (2) fills the remaining 26
-    # slots with oldest-evidence rotations — ALL 25 r6-stale names (the
-    # whole streaming block among them) + 1 r7 name, name-ascending.
+    # --- r12 window (scripts/window_rotation.py --changed streaming_ann_
+    # serving_topk,pipeline_dedup_delivery_accounting; r11 rows folded into
+    # verified_green.json — r11 swept 50/50 green).
+    # (1) heads with 5 slots: THREE round-12 additions (persisted-index
+    # append lifecycle, URL-canonicalization domain dedup stats, canonical-
+    # URL dedup accounting) and TWO whose implementation materially changed
+    # this round (streaming ANN serving batched to one plan per micro-batch
+    # + replay-idempotent per-batch sink; pipeline_dedup delivery funnel
+    # reverted to ordered after the Audit-B A/B).  The r12 plan-level graph
+    # changes (exchange-reuse pins) and oracle-text robustness fixes
+    # (seq_concat/token_budget regex split) were all re-verified against
+    # their oracles locally this round and alter no results, so they rotate
+    # on evidence age like everything else.
+    # (2) fills the remaining 45 slots with oldest-evidence rotations —
+    # ALL 43 r7-stale names (the ngram_jaccard/gopher/multimodal/TPC-H-r7
+    # block, last driver-verified 5 rounds of refactors ago) + 2 r8 names,
+    # name-ascending.
     # ---------------------------------------------------------------
-    "ivf_pq_persisted_topk",
-    "image_dhash_neardup_pairs",
-    "firehose_ordered_delivery_accounting",
-    "seq_concat_pack_stats",
-    "token_budget_sample_stats",
-    "source_chunk_overlap_matrix",
-    "zipf_fit_stats",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_parts",
-    "tpch_q16_supplier_part_count",
-    "tpch_q20_excess_suppliers",
+    "ivf_pq_append_serve_topk",
+    "domain_dedup_stats",
+    "canon_url_dedup_accounting",
     "streaming_ann_serving_topk",
-    "hilbert_pruning_stats",
-    "ann_ranking_metrics_at_k",
-    "hits_copurchase_scores",
-    "order_rank_family_stats",
-    "asof_tolerance_accounting",
-    "bloom_index_pruning_stats",
-    "compaction_accounting",
-    "part_copurchase_triangles",
-    "approx_triangle_estimate",
-    "editdist_neardup_counts",
     "pipeline_dedup_delivery_accounting",
-    "asof_join_latest_order",
-    "multimodal_png_roundtrip_stats",
-    "nation_balance_unpivot",
-    "near_dedup_clusters_distributed",
-    "normalized_dedup_stats",
-    "part_copurchase_kcore",
-    "pca_embedding_variance",
-    "ppr_seed_sources",
-    "prefix_jaccard_pairs",
-    "pricing_summary",
-    "repeated_chunk_stats",
-    "salted_join_priority_revenue",
-    "scalar_string_date_math",
-    "scd2_multi_tick_accounting",
-    "semantic_dedup_survivors",
-    "simhash_neardup_pairs",
-    "span_dedup_stats",
-    "streaming_dedup_counts",
-    "streaming_incremental_neardup",
-    "streaming_session_counts",
-    "streaming_sliding_stats",
-    "streaming_stateful_user_stats",
-    "streaming_static_join_revenue",
-    "streaming_stream_stream_join",
-    "tpch_q18_bloom_prefilter",
-    "user_session_stats",
-    "ann_lsh_topk",
+    "applyinpandas_zscore",
+    "approx_distinct_users",
+    "benchmark_contamination",
+    "binary_quant_rescored_topk",
+    "bpe_learned_token_counts",
+    "classifier_auc_calibration",
+    "customer_order_window_stats",
+    "dedup_exact",
+    "distinct_segments",
+    "doc_fingerprints",
+    "doc_length_histogram",
+    "embedding_neardup_blocked",
+    "embedding_neardup_pairs",
+    "global_top10_orders",
+    "gopher_quality_flags",
+    "gopher_repetition_flags",
+    "grouping_sets_order_stats",
+    "ivf_topk",
+    "lang_id_counts",
+    "multimodal_frame_sample_stats",
+    "multimodal_image_features",
+    "near_dedup_cluster_sizes",
+    "near_dedup_survivors",
+    "ngram_containment_pairs",
+    "ngram_jaccard_filtered",
+    "ngram_jaccard_pairs",
+    "order_price_percentiles",
+    "packed_sequence_stats",
+    "pandas_udaf_geomean",
+    "pii_redaction_stats",
+    "quality_scores",
+    "returnflag_cube",
+    "revenue_by_nation",
+    "scd2_version_accounting",
+    "source_mixture_counts",
+    "stratified_sample_docs",
+    "temperature_mixing_counts",
+    "token_stats",
+    "tpch_q12_shipmode_priority",
+    "tpch_q21_suppliers_kept_waiting",
+    "train_val_test_counts",
+    "udtf_bigram_counts",
+    "zorder_pruning_stats",
+    "all_party_names_union",
+    "ams_f2_bigram_estimate",
 ]
 
 
@@ -157,6 +159,7 @@ def load_all() -> None:
         temporal_q,
         tpch_q,
         upsert_q,
+        url_q,
     )
 
     ordered = {n: QUERIES[n] for n in _WINDOW_PRIORITY if n in QUERIES}

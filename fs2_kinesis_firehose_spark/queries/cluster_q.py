@@ -106,25 +106,38 @@ _PQ_ITERS = 2
 _PQ_SUB = _DIM // _PQ_M
 
 
-def _pq_subspace_kmeans_ctes(j: int, k: int, iters: int, sub: int) -> list[str]:
+def _pq_subspace_kmeans_ctes(
+    j: int, k: int, iters: int, sub: int, fit_where: str | None = None
+) -> list[str]:
     """Per-subspace replay of kmeans_lloyd (same template as
-    _kmeans_oracle, suffixed _{j}, over the sliced subvectors)."""
+    _kmeans_oracle, suffixed _{j}, over the sliced subvectors).
+
+    ``fit_where``: optional predicate restricting which points TRAIN the
+    codebooks (init + every Lloyd update) while the FINAL assignment
+    (t = iters+1, the persisted codes) still covers every point — the
+    append-path contract: a frozen model fit on the base batch encodes
+    the whole grown corpus."""
     lo, hi = j * sub + 1, (j + 1) * sub
-    ctes = [
-        f"pts_{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM pts)",
-        f"""c0_{j} AS (
+    ctes = [f"pts_{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM pts)"]
+    fit_src = f"pts_{j}"
+    if fit_where is not None:
+        fit_src = f"fpts_{j}"
+        ctes.append(
+            f"fpts_{j} AS (SELECT vec_id, v FROM pts_{j} WHERE {fit_where})"
+        )
+    ctes.append(f"""c0_{j} AS (
         SELECT CAST(rn - 1 AS INT) AS cluster, v AS c
-        FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM pts_{j})
+        FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM {fit_src})
         WHERE rn <= {k}
-    )""",
-    ]
+    )""")
     for t in range(1, iters + 2):  # iters updates + one final assignment
         prev = f"c{t - 1}_{j}"
+        src = fit_src if t <= iters else f"pts_{j}"
         ctes.append(f"""d{t}_{j} AS (
         SELECT p.vec_id, c.cluster,
                list_inner_product(c.c, c.c)
                - 2.0 * list_inner_product(p.v, c.c) AS dist
-        FROM pts_{j} p CROSS JOIN {prev} c
+        FROM {src} p CROSS JOIN {prev} c
     )""")
         ctes.append(f"""a{t}_{j} AS (
         SELECT vec_id, cluster FROM (
@@ -138,7 +151,7 @@ def _pq_subspace_kmeans_ctes(j: int, k: int, iters: int, sub: int) -> list[str]:
             ctes.append(f"""m{t}_{j} AS (
         SELECT cluster, list(m ORDER BY dim) AS c FROM (
             SELECT a.cluster, d.i AS dim, ROUND(AVG(p.v[d.i]), 9) AS m
-            FROM a{t}_{j} a JOIN pts_{j} p USING (vec_id),
+            FROM a{t}_{j} a JOIN {fit_src} p USING (vec_id),
                  UNNEST(range(1, {sub + 1})) AS d(i)
             GROUP BY a.cluster, d.i
         ) GROUP BY cluster
@@ -619,7 +632,7 @@ def ivf_pq_residual_bcast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _residual_ivfadc(spark, sf_dir, "broadcast")
 
 
-def _ivf_pq_multi_oracle(nq: int = 3) -> str:
+def _ivf_pq_multi_oracle(nq: int = 3, fit_where: str | None = None) -> str:
     """Multi-query IVFADC replay: the corpus-side fits (per-subspace kmeans
     chains, cell assignment) are built ONCE and marked MATERIALIZED (they
     are referenced once per query; DuckDB's default inlining would re-run
@@ -633,7 +646,9 @@ def _ivf_pq_multi_oracle(nq: int = 3) -> str:
         "FROM embeddings)"
     ]
     for j in range(_PQ_M):
-        for cte in _pq_subspace_kmeans_ctes(j, _PQ_K, _PQ_ITERS, _PQ_SUB):
+        for cte in _pq_subspace_kmeans_ctes(
+            j, _PQ_K, _PQ_ITERS, _PQ_SUB, fit_where=fit_where
+        ):
             # the final codes (a{fin}_j) and codebook (c{iters}_j) are read
             # once per query — materialize them; intermediate iterations
             # stay inline (single reference each)
@@ -693,6 +708,75 @@ def _ivf_pq_multi_oracle(nq: int = 3) -> str:
     )""")
     joined = ",\n    ".join(ctes)
     return f"WITH {joined}\n" + "\n    UNION ALL\n".join(finals)
+
+
+@query(
+    "ivf_pq_append_serve_topk",
+    oracle=_ivf_pq_multi_oracle(2, fit_where="vec_id % 2 = 0"),
+)
+def ivf_pq_append_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted index's GROWTH story (r11 verdict Missing #2): fit on
+    the BASE batch (even vec_ids), ``write_pq_index`` that half, then
+    ``append_pq_index`` the second batch (odd vec_ids) — the FROZEN
+    reloaded model encodes and cell-assigns the new rows, which land as
+    appended files inside the existing inverted-list partitions — and
+    finally serve TWO queries over the reloaded grown index in one
+    ``ivf_pq_rescored_topk_multi`` plan.
+
+    The oracle is the full replay with the fit restricted to the even
+    half (``fit_where``) while codes/cells/serving cover every point: a
+    hash match proves append ≡ rebuild-with-the-frozen-model bit-for-bit
+    end to end — model roundtrip, new-batch encode, partition layout, and
+    the served distances.  pytest additionally pins appended-index codes
+    == single-shot-encode codes exactly (tests/test_pq.py).  Eager build
+    + PID-suffixed path, same as ``ivf_pq_persisted_topk``."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from fs2_kinesis_firehose_spark.operators import pq as PQ
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    root = (
+        Path(tempfile.gettempdir())
+        / "fs2spark-pq-append"
+        / f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}-{os.getpid()}"
+    )
+    if root.exists():
+        shutil.rmtree(root)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    growth = emb.filter(F.col("vec_id") % 2 == 1)
+
+    cents = S.seeded_centroids(_DIM, _IVF_CELLS, seed=7, scale=0.125)
+    model = PQ.pq_fit(
+        base, vec_col="embedding", key_col="vec_id",
+        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS,
+    )
+    enc = S.ivf_assign(PQ.pq_encode(base, model), cents)
+    PQ.write_pq_index(
+        str(root),
+        model,
+        enc.select("vec_id", "embedding", "pq_code", "ivf_cell"),
+        cell_col="ivf_cell",
+        centroids=cents,
+    )
+    PQ.append_pq_index(
+        spark, str(root), growth.select("vec_id", "embedding")
+    )
+
+    model2, codes2, cents2 = PQ.read_pq_index(spark, str(root))
+    qrows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(2).select("vec_id", "embedding").collect()
+    ]
+    return PQ.ivf_pq_rescored_topk_multi(
+        codes2, cents2, model2, qrows, 10,
+        nprobe=_IVF_NPROBE, candidates=_PQ_CAND,
+    )
 
 
 @query("streaming_ann_serving_topk", oracle=_ivf_pq_multi_oracle(3))

@@ -479,3 +479,58 @@ def test_hits_validates_iterations(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with _pt.raises(ValueError):
         hits(edges, iterations=0)
+
+
+# ---------------------------------------------------------------------------
+def test_pagerank_superstep_reuses_edge_exchange(spark):
+    """The r11 verdict's shared graph ask: the static edge list (and vertex
+    table) is hash-partitioned ONCE (_pinned_by_key) so each iteration's
+    join reuses the exchange.  Pin: with broadcast disabled, a one-
+    iteration pagerank plan contains exactly ONE hash exchange — the
+    irreducible message-delivery aggregate on dst — and the superstep
+    join's edge side is a bare pinned scan (no Exchange, no Sort)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from fs2_kinesis_firehose_spark.operators.graph import pagerank
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = spark.range(500).select(
+            (F.col("id") % 53).alias("src"), ((F.col("id") * 7) % 61).alias("dst")
+        )
+        # checkpoint_every=2 keeps the single iteration's lineage visible
+        pr = pagerank(e, iterations=1, checkpoint_every=2)
+        plan = pr._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([a-zA-Z_]+)", plan)
+    assert hash_exchanges == ["dst"], (
+        "expected exactly the groupBy(dst) message-delivery exchange, got "
+        f"{hash_exchanges}:\n{plan}"
+    )
+
+
+def test_pinned_by_key_preserves_partitioning_and_order(spark):
+    """_pinned_by_key's contract: the lazy checkpoint must carry the hash
+    partitioning AND the within-partition sort through to consumers (under
+    AQE a plain repartition+localCheckpoint silently loses both)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from fs2_kinesis_firehose_spark.operators.graph import _pinned_by_key
+
+    e = spark.range(300).select(
+        (F.col("id") % 13).alias("src"), (F.col("id") % 7).alias("dst")
+    )
+    pinned = _pinned_by_key(e, "src")
+    agg = pinned.groupBy("src").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    # values unchanged by the pin
+    want = sorted((r.src, r["count"]) for r in e.groupBy("src").count().collect())
+    got = sorted((r.src, r["count"]) for r in agg.collect())
+    assert got == want

@@ -619,3 +619,73 @@ def test_multi_query_validation(spark):
         PQ.ivf_pq_rescored_topk_multi(
             enc.withColumn("_adc", enc.vec_id), cents, model, [(0, list(X[0]))], 5
         )
+
+
+# ---------------------------------------------------------------------------
+def test_append_index_equals_single_shot(spark, tmp_path):
+    """append_pq_index's contract: an index grown by appends is
+    BIT-IDENTICAL to one built over the union with the same frozen model —
+    codes, cells, layout pruning, and served top-k."""
+    from pyspark.sql import functions as F
+
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    rng = np.random.default_rng(137)
+    X = rng.normal(0, 1, (160, 16))
+    df = _emb_df(spark, X)
+    base = df.filter(F.col("vec_id") % 2 == 0)
+    growth = df.filter(F.col("vec_id") % 2 == 1)
+
+    model = PQ.pq_fit(base, vec_col="embedding", dim=16, m=4, k=8, iterations=2)
+    cents = S.seeded_centroids(16, 4, seed=7, scale=1.0)
+
+    path = str(tmp_path / "idx")
+    enc_base = S.ivf_assign(PQ.pq_encode(base, model), cents)
+    PQ.write_pq_index(
+        path, model, enc_base.select("vec_id", "embedding", "pq_code", "ivf_cell"),
+        cell_col="ivf_cell", centroids=cents,
+    )
+    PQ.append_pq_index(spark, path, growth.select("vec_id", "embedding"))
+
+    model2, codes2, cents2 = PQ.read_pq_index(spark, path)
+    # single-shot: encode EVERYTHING with the same frozen (base-fit) model
+    enc_all = S.ivf_assign(PQ.pq_encode(df, model), cents)
+    want = {
+        r.vec_id: (list(r.pq_code), r.ivf_cell) for r in enc_all.collect()
+    }
+    got = {r.vec_id: (list(r.pq_code), r.ivf_cell) for r in codes2.collect()}
+    assert got == want
+
+    q = list(X[5])
+    want_topk = PQ.ivf_pq_rescored_topk(
+        enc_all, cents, model, q, 10, nprobe=2, candidates=40
+    ).collect()
+    got_topk = PQ.ivf_pq_rescored_topk(
+        codes2, cents2, model2, q, 10, nprobe=2, candidates=40
+    ).collect()
+    assert [(r.vec_id, r.l2_dist) for r in got_topk] == [
+        (r.vec_id, r.l2_dist) for r in want_topk
+    ]
+
+
+def test_append_index_validates_columns(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    rng = np.random.default_rng(139)
+    X = rng.normal(0, 1, (40, 8))
+    df = _emb_df(spark, X)
+    model = PQ.pq_fit(df, vec_col="embedding", dim=8, m=2, k=4, iterations=1)
+    cents = S.seeded_centroids(8, 4, seed=7, scale=1.0)
+    enc = S.ivf_assign(PQ.pq_encode(df, model), cents)
+    path = str(tmp_path / "idx")
+    PQ.write_pq_index(
+        path, model, enc.select("vec_id", "embedding", "pq_code", "ivf_cell"),
+        cell_col="ivf_cell", centroids=cents,
+    )
+    with pytest.raises(ValueError, match="lacks columns"):
+        PQ.append_pq_index(
+            spark, path,
+            df.select(F.col("vec_id").alias("other_key"), "embedding"),
+        )
