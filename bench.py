@@ -280,7 +280,106 @@ HEADLINE = [
     "bloom_index_pruning_stats",
     # round-11 addition: small-file compaction maintenance rewrite
     "compaction_accounting",
+    # round-12 additions: persisted-index APPEND lifecycle, URL-canonical
+    # domain dedup, canonical-URL dedup accounting
+    "ivf_pq_append_serve_topk",
+    "domain_dedup_stats",
+    "canon_url_dedup_accounting",
+    # round-12 split lifecycle lines (r11 verdict ask #8): the persisted
+    # ANN index's STEADY-STATE serving cost, measured with the build done
+    # once OUTSIDE the timer — `ivf_pq_persisted_topk` /
+    # `streaming_ann_serving_topk` above price fit+write+reload+serve
+    # together, which hides whether a serving regression is build noise
+    "ivf_pq_persisted_serve_only",
+    "streaming_ann_batch_serve_only",
 ]
+
+# ---------------------------------------------------------------------------
+# Bench-only serve-path callables (NOT registry queries — no oracle of their
+# own; their lifecycle twins in queries() carry the full-replay oracles).
+# The index is built once per (session, sf_dir) before the timed passes.
+_SERVE_STATE: dict[str, tuple] = {}
+
+
+def _ensure_pq_index(spark, sf_dir: str):
+    if sf_dir in _SERVE_STATE:
+        return _SERVE_STATE[sf_dir]
+    import hashlib
+    import os as _os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from fs2_kinesis_firehose_spark.operators import pq as PQ
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+    from fs2_kinesis_firehose_spark.queries.cluster_q import (
+        _DIM,
+        _IVF_CELLS,
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_M,
+    )
+    from fs2_kinesis_firehose_spark.tables import load_table
+
+    root = (
+        Path(tempfile.gettempdir())
+        / "fs2spark-bench-serve"
+        / f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}-{_os.getpid()}"
+    )
+    if root.exists():
+        shutil.rmtree(root)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.seeded_centroids(_DIM, _IVF_CELLS, seed=7, scale=0.125)
+    model = PQ.pq_fit(
+        emb, vec_col="embedding", key_col="vec_id",
+        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS,
+    )
+    enc = S.ivf_assign(PQ.pq_encode(emb, model), cents)
+    PQ.write_pq_index(
+        str(root), model,
+        enc.select("vec_id", "embedding", "pq_code", "ivf_cell"),
+        cell_col="ivf_cell", centroids=cents,
+    )
+    model2, codes2, cents2 = PQ.read_pq_index(spark, str(root))
+    qrows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(3).select("vec_id", "embedding").collect()
+    ]
+    _SERVE_STATE[sf_dir] = (model2, codes2, cents2, qrows)
+    return _SERVE_STATE[sf_dir]
+
+
+def _ivf_pq_persisted_serve_only(spark, sf_dir: str):
+    """Steady-state single-query IVFADC over the prebuilt reloaded index."""
+    from fs2_kinesis_firehose_spark.operators import pq as PQ
+    from fs2_kinesis_firehose_spark.queries.cluster_q import _IVF_NPROBE, _PQ_CAND
+
+    model2, codes2, cents2, qrows = _ensure_pq_index(spark, sf_dir)
+    return PQ.ivf_pq_rescored_topk(
+        codes2, cents2, model2, qrows[0][1], 10,
+        nprobe=_IVF_NPROBE, candidates=_PQ_CAND,
+    )
+
+
+def _streaming_ann_batch_serve_only(spark, sf_dir: str):
+    """Steady-state batched serving: the 3-query micro-batch answered by
+    one ivf_pq_rescored_topk_multi plan over the prebuilt index — the
+    foreachBatch body of streaming_ann_serving_topk without build/reload/
+    stream scaffolding."""
+    from fs2_kinesis_firehose_spark.operators import pq as PQ
+    from fs2_kinesis_firehose_spark.queries.cluster_q import _IVF_NPROBE, _PQ_CAND
+
+    model2, codes2, cents2, qrows = _ensure_pq_index(spark, sf_dir)
+    return PQ.ivf_pq_rescored_topk_multi(
+        codes2, cents2, model2, qrows, 10,
+        nprobe=_IVF_NPROBE, candidates=_PQ_CAND,
+    )
+
+
+EXTRA_BENCH = {
+    "ivf_pq_persisted_serve_only": _ivf_pq_persisted_serve_only,
+    "streaming_ann_batch_serve_only": _streaming_ann_batch_serve_only,
+}
 
 # exact same semantics/oracle as embedding_neardup_pairs (the O(n²)
 # correctness baseline, kept in queries()); the bench measures the
@@ -307,9 +406,13 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     for name in HEADLINE:
         try:
-            materialize(q.QUERIES[name](spark, warm_dir))
+            fn = q.QUERIES.get(name) or EXTRA_BENCH[name]
+            materialize(fn(spark, warm_dir))
         except Exception as exc:  # never let warmup sink the bench
             print(f"  warmup {name} failed: {exc}", file=sys.stderr)
+    # pre-build the serve-only index at the TARGET sf OUTSIDE the timers
+    # (the whole point of the split lifecycle lines)
+    _ensure_pq_index(spark, sf_dir)
 
     # timed passes per query, keep the min: one-off JIT/GC/page-cache
     # stalls and noisy-neighbor windows otherwise add multi-second noise to a
@@ -323,7 +426,7 @@ def main() -> None:
     # min reflects cold-cache execution, not a populated persist.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = q.QUERIES[name]
+        fn = q.QUERIES.get(name) or EXTRA_BENCH[name]
         best = None
 
         def one_pass() -> float:
