@@ -280,9 +280,10 @@ HEADLINE = [
     "bloom_index_pruning_stats",
     # round-11 addition: small-file compaction maintenance rewrite
     "compaction_accounting",
-    # round-12 additions: persisted-index APPEND lifecycle, URL-canonical
-    # domain dedup, canonical-URL dedup accounting
+    # round-12 additions: persisted-index APPEND lifecycles (PQ + MinHash),
+    # URL-canonical domain dedup, canonical-URL dedup accounting
     "ivf_pq_append_serve_topk",
+    "minhash_index_append_neardup",
     "domain_dedup_stats",
     "canon_url_dedup_accounting",
     # round-12 split lifecycle lines (r11 verdict ask #8): the persisted

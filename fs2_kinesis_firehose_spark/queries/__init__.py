@@ -69,24 +69,26 @@ _WINDOW_PRIORITY: list[str] = [
     # --- r12 window (scripts/window_rotation.py --changed streaming_ann_
     # serving_topk,pipeline_dedup_delivery_accounting; r11 rows folded into
     # verified_green.json — r11 swept 50/50 green).
-    # (1) heads with 5 slots: THREE round-12 additions (persisted-index
+    # (1) heads with 6 slots: FOUR round-12 additions (persisted-index
     # append lifecycle, URL-canonicalization domain dedup stats, canonical-
-    # URL dedup accounting) and TWO whose implementation materially changed
-    # this round (streaming ANN serving batched to one plan per micro-batch
-    # + replay-idempotent per-batch sink; pipeline_dedup delivery funnel
-    # reverted to ordered after the Audit-B A/B).  The r12 plan-level graph
-    # changes (exchange-reuse pins) and oracle-text robustness fixes
-    # (seq_concat/token_budget regex split) were all re-verified against
-    # their oracles locally this round and alter no results, so they rotate
-    # on evidence age like everything else.
-    # (2) fills the remaining 45 slots with oldest-evidence rotations —
+    # URL dedup accounting, persisted MinHash-index append) and TWO whose
+    # implementation materially changed this round (streaming ANN serving
+    # batched to one plan per micro-batch + replay-idempotent per-batch
+    # sink; pipeline_dedup delivery funnel reverted to ordered after the
+    # Audit-B A/B).  The r12 plan-level graph changes (exchange-reuse pins)
+    # and oracle-text robustness fixes (seq_concat/token_budget regex
+    # split) were all re-verified against their oracles locally this round
+    # and alter no results, so they rotate on evidence age like everything
+    # else.
+    # (2) fills the remaining 44 slots with oldest-evidence rotations —
     # ALL 43 r7-stale names (the ngram_jaccard/gopher/multimodal/TPC-H-r7
-    # block, last driver-verified 5 rounds of refactors ago) + 2 r8 names,
+    # block, last driver-verified 5 rounds of refactors ago) + 1 r8 name,
     # name-ascending.
     # ---------------------------------------------------------------
     "ivf_pq_append_serve_topk",
     "domain_dedup_stats",
     "canon_url_dedup_accounting",
+    "minhash_index_append_neardup",
     "streaming_ann_serving_topk",
     "pipeline_dedup_delivery_accounting",
     "applyinpandas_zscore",
@@ -133,7 +135,6 @@ _WINDOW_PRIORITY: list[str] = [
     "udtf_bigram_counts",
     "zorder_pruning_stats",
     "all_party_names_union",
-    "ams_f2_bigram_estimate",
 ]
 
 

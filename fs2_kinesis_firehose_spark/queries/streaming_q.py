@@ -412,6 +412,101 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "minhash_index_append_neardup",
+    # Same exact-Jaccard restatement as streaming_incremental_neardup (the
+    # banding's 16x2 recall margin makes candidate generation lossless at
+    # J>=0.7 by margin): the persisted index is built on doc_id % 4 == 0 and
+    # APPENDED with doc_id % 4 == 2 — together exactly the even corpus the
+    # sibling query fingerprints in-session — so a hash match proves the
+    # reloaded, append-grown index answers identically to the from-scratch
+    # fingerprint set.
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(words[i:i+2], ' ')
+                              FOR i IN range(1, len(words) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    ),
+    toks AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    common AS (
+        SELECT c.doc_id AS corpus_id, i.doc_id AS incoming_id, COUNT(*) AS common
+        FROM toks c JOIN toks i ON c.shingle = i.shingle
+        WHERE c.doc_id % 2 = 0 AND i.doc_id % 2 = 1
+        GROUP BY 1, 2
+    ),
+    dups AS (
+        SELECT incoming_id
+        FROM common x
+        JOIN sizes s1 ON x.corpus_id = s1.doc_id
+        JOIN sizes s2 ON x.incoming_id = s2.doc_id
+        WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.7
+    )
+    SELECT incoming_id AS doc_id, COUNT(*) AS n_corpus_dups
+    FROM dups GROUP BY 1
+    """,
+)
+def minhash_index_append_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash fingerprint index\'s PERSIST + APPEND lifecycle (r11
+    verdict Missing #2, the MinHash half): ``write_minhash_index`` on the
+    base corpus cohort (doc_id % 4 == 0), ``append_minhash_index`` of a
+    second cohort (doc_id % 4 == 2) with the FROZEN meta params, then the
+    incoming odd docs are banded and probed against the RELOADED grown
+    index, exact-Jaccard verified — the batch twin of
+    ``streaming_incremental_neardup`` with the index living on disk across
+    runs instead of in a session checkpoint.
+
+    Append ≡ rebuild is bit-exact (band_hashes is deterministic in
+    (text, params); pytest-pinned), so the oracle is the same exact
+    corpus×incoming J≥0.7 restatement the sibling uses.  Eager build +
+    PID-suffixed path like the PQ index queries."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from fs2_kinesis_firehose_spark.operators import dedup as D
+
+    root = (
+        Path(tempfile.gettempdir())
+        / "fs2spark-minhash-index"
+        / f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}-{os.getpid()}"
+    )
+    if root.exists():
+        shutil.rmtree(root)
+
+    docs = load_table(spark, sf_dir, "documents")
+    D.write_minhash_index(
+        str(root), docs.filter(F.col("doc_id") % 4 == 0),
+        "text", "doc_id", shingle_n=3, num_hashes=32, bands=16,
+    )
+    D.append_minhash_index(spark, str(root), docs.filter(F.col("doc_id") % 4 == 2))
+
+    meta, index = D.read_minhash_index(spark, str(root))
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    bands_in = D.band_hashes(
+        incoming, "text", "doc_id",
+        shingle_n=meta["shingle_n"], num_hashes=meta["num_hashes"],
+        bands=meta["bands"],
+    )
+    cand = (
+        bands_in.join(
+            index.select(F.col("doc_id").alias("_corpus_id"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .select(F.col("_corpus_id").alias("key1"), F.col("doc_id").alias("key2"))
+        .distinct()
+    )
+    verified = D.verify_jaccard(cand, docs, "text", "doc_id", shingle_n=3, threshold=0.7)
+    return (
+        verified.groupBy("key2")
+        .agg(F.count(F.lit(1)).alias("n_corpus_dups"))
+        .select(F.col("key2").alias("doc_id"), "n_corpus_dups")
+    )
+
+
+@query(
     "streaming_upsert_accounting",
     # Streaming CDC apply: the change feed is the orders table replayed
     # THREE times (copies=3, one file per trigger → 3 batches — an
