@@ -284,6 +284,7 @@ HEADLINE = [
     # URL-canonical domain dedup, canonical-URL dedup accounting
     "ivf_pq_append_serve_topk",
     "minhash_index_append_neardup",
+    "exact_substring_dedup_stats",
     "domain_dedup_stats",
     "canon_url_dedup_accounting",
     # round-12 split lifecycle lines (r11 verdict ask #8): the persisted

@@ -1065,6 +1065,107 @@ def span_dedup(
     )
 
 
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication accounting (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr operator, at token granularity): find every ``k``-token
+    gram that occurs ≥ ``min_occurrences`` times CORPUS-WIDE (across or
+    within documents), and report per document the duplicated-gram count
+    and the number of tokens covered by the UNION of the duplicated spans
+    — the exact text a splice-out pass would remove.  Complements the
+    repo's other textual-dedup granularities: doc level (``exact_dedup``),
+    fixed-window span level (``span_dedup``, first-occurrence-wins), and
+    fingerprint level (winnowing) — this is the POSITION-exact corpus-wide
+    repeat detector, the published remedy for verbatim memorization.
+
+    Returns ``(key_col, n_tokens, dup_grams, covered_tokens, coverage)``
+    for every document containing ≥ 1 duplicated gram (coverage rounded
+    to 6; exact-duplicate documents report coverage 1.0).
+
+    Plan shape (100 TB discipline): tokenize + gram assembly stay in
+    codegen (posexplode + lead window — the ``span_dedup`` idiom); the
+    corpus-wide frequency is ONE aggregate partitioned by gram text (hot
+    boilerplate grams hash-spread; the count is map-side partial); the
+    join back to positions is gram-keyed; span-union length is the classic
+    gaps-and-islands pass — two windows over only the DUPLICATED gram
+    starts (dup-mass-scale, not corpus-scale), then one per-doc aggregate.
+    No Python anywhere."""
+    from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_occurrences < 2:
+        raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
+    words = T.tokens(text_col)
+    base = df.select(F.col(key_col), words.alias("_w")).localCheckpoint(
+        eager=False
+    )  # consumed twice: gram build + per-doc token counts
+    tok = base.select(F.col(key_col), F.posexplode("_w").alias("_pos", "_tok"))
+    w = Window.partitionBy(key_col).orderBy("_pos")
+    gram_text = F.concat_ws(
+        " ", F.col("_tok"), *[F.lead("_tok", j).over(w) for j in range(1, k)]
+    )
+    # keep only full-width grams: a start needs k-1 successors
+    grams = (
+        tok.withColumn("_gram", gram_text)
+        .withColumn("_last", F.lead("_tok", k - 1).over(w))
+        .filter(F.col("_last").isNotNull())
+        .select(key_col, F.col("_pos").alias("pos"), F.col("_gram").alias("gram"))
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_occurrences)
+        .select("gram")
+    )
+    starts = grams.join(dup_grams, "gram").select(key_col, "pos")
+
+    # gaps-and-islands union of [pos, pos+k-1] intervals per doc
+    ws = Window.partitionBy(key_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + F.lit(k - 1)).over(
+        ws.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islanded = starts.withColumn(
+        "_new",
+        F.when(
+            prev_max_end.isNull() | (F.col("pos") > prev_max_end), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("_island", F.sum("_new").over(ws))
+    per_doc = (
+        islanded.groupBy(key_col, "_island")
+        .agg(
+            F.min("pos").alias("_s"),
+            (F.max("pos") + F.lit(k - 1)).alias("_e"),
+            F.count(F.lit(1)).alias("_starts"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.sum(F.col("_e") - F.col("_s") + 1).alias("covered_tokens"),
+            F.sum("_starts").alias("dup_grams"),
+        )
+    )
+    n_tok = base.select(F.col(key_col), F.size("_w").alias("n_tokens"))
+    return (
+        per_doc.join(n_tok, key_col)
+        .select(
+            key_col,
+            "n_tokens",
+            "dup_grams",
+            "covered_tokens",
+            F.round(F.col("covered_tokens") / F.col("n_tokens"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # prefix-filter exact similarity join (AllPairs / PPJoin family)
 # ---------------------------------------------------------------------------

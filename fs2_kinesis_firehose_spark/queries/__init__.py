@@ -69,26 +69,27 @@ _WINDOW_PRIORITY: list[str] = [
     # --- r12 window (scripts/window_rotation.py --changed streaming_ann_
     # serving_topk,pipeline_dedup_delivery_accounting; r11 rows folded into
     # verified_green.json — r11 swept 50/50 green).
-    # (1) heads with 6 slots: FOUR round-12 additions (persisted-index
+    # (1) heads with 7 slots: FIVE round-12 additions (persisted-index
     # append lifecycle, URL-canonicalization domain dedup stats, canonical-
-    # URL dedup accounting, persisted MinHash-index append) and TWO whose
-    # implementation materially changed this round (streaming ANN serving
-    # batched to one plan per micro-batch + replay-idempotent per-batch
-    # sink; pipeline_dedup delivery funnel reverted to ordered after the
-    # Audit-B A/B).  The r12 plan-level graph changes (exchange-reuse pins)
-    # and oracle-text robustness fixes (seq_concat/token_budget regex
-    # split) were all re-verified against their oracles locally this round
-    # and alter no results, so they rotate on evidence age like everything
-    # else.
-    # (2) fills the remaining 44 slots with oldest-evidence rotations —
-    # ALL 43 r7-stale names (the ngram_jaccard/gopher/multimodal/TPC-H-r7
-    # block, last driver-verified 5 rounds of refactors ago) + 1 r8 name,
-    # name-ascending.
+    # URL dedup accounting, persisted MinHash-index append, exact-substring
+    # dedup accounting) and TWO whose implementation materially changed
+    # this round (streaming ANN serving batched to one plan per micro-batch
+    # + replay-idempotent per-batch sink; pipeline_dedup delivery funnel
+    # reverted to ordered after the Audit-B A/B).  The r12 plan-level graph
+    # changes (exchange-reuse pins) and oracle-text robustness fixes
+    # (seq_concat/token_budget regex split) were all re-verified against
+    # their oracles locally this round and alter no results, so they rotate
+    # on evidence age like everything else.
+    # (2) fills the remaining 43 slots with oldest-evidence rotations —
+    # the 43 r7-stale names (the ngram_jaccard/gopher/multimodal/TPC-H-r7
+    # block, last driver-verified 5 rounds of refactors ago), name-
+    # ascending.
     # ---------------------------------------------------------------
     "ivf_pq_append_serve_topk",
     "domain_dedup_stats",
     "canon_url_dedup_accounting",
     "minhash_index_append_neardup",
+    "exact_substring_dedup_stats",
     "streaming_ann_serving_topk",
     "pipeline_dedup_delivery_accounting",
     "applyinpandas_zscore",
@@ -134,7 +135,6 @@ _WINDOW_PRIORITY: list[str] = [
     "train_val_test_counts",
     "udtf_bigram_counts",
     "zorder_pruning_stats",
-    "all_party_names_union",
 ]
 
 

@@ -1067,6 +1067,70 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exact_substring_dedup_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+               array_to_string(w[CAST(r.i AS INT):CAST(r.i + 7 AS INT)], ' ') AS gram
+        FROM t, UNNEST(range(1, len(w) - 8 + 2)) AS r(i)
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    starts AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN MAX(pos + 7) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR pos > MAX(pos + 7) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM starts
+    ),
+    isl2 AS (
+        SELECT doc_id, pos,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM isl
+    ),
+    per_island AS (
+        SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 7 AS e,
+               COUNT(*) AS n_starts
+        FROM isl2 GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(e - s + 1) AS BIGINT) AS covered_tokens,
+               CAST(SUM(n_starts) AS BIGINT) AS dup_grams
+        FROM per_island GROUP BY doc_id
+    )
+    SELECT p.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens, p.dup_grams,
+           p.covered_tokens,
+           ROUND(p.covered_tokens * 1.0 / len(t.w), 6) AS coverage
+    FROM per_doc p JOIN t ON p.doc_id = t.doc_id
+    """,
+)
+def exact_substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication accounting (operators/dedup.py
+    ``exact_substring_spans``; Lee et al. 2022 ExactSubstr at k=8 tokens):
+    every 8-token gram occurring >=2 times corpus-wide marks a duplicated
+    span; per doc the report carries the duplicated-gram count and the
+    UNION length of the covered spans (gaps-and-islands merge — the exact
+    token mass a splice-out pass would delete; exact-dup docs show
+    coverage 1.0).  The oracle restates gram extraction, the corpus-wide
+    frequency floor, and the island merge verbatim, so a position
+    off-by-one or a bad interval merge on either side breaks the hash."""
+    from fs2_kinesis_firehose_spark.operators.dedup import exact_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_spans(docs, "text", "doc_id", k=8, min_occurrences=2)
+
+
+@query(
     "span_dedup_stats",
     oracle="""
     WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
