@@ -198,3 +198,59 @@ def canon_url_dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("registered_domain")
     )
+
+
+@query(
+    "domain_cap_sample_counts",
+    oracle=f"""
+    WITH {_URL_CTE},
+    ranked AS (
+        SELECT registered_domain, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY registered_domain
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap'), doc_id
+               ) AS rn
+        FROM u
+    )
+    SELECT registered_domain,
+           COUNT(*) AS docs_total,
+           CAST(SUM(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+           CAST(SUM(CASE WHEN rn <= 10 THEN doc_id ELSE 0 END) AS BIGINT)
+               AS kept_id_sum
+    FROM ranked
+    GROUP BY registered_domain
+    ORDER BY registered_domain
+    """,
+)
+def domain_cap_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap sampling (the RefinedWeb/CCNet anti-boilerplate
+    policy: no single registered domain may contribute more than N docs to
+    the corpus — hub domains otherwise dominate the token budget): keep at
+    most 10 docs per domain, chosen by a DETERMINISTIC uniform order
+    (md5 of the doc id — the repo\'s seeded-sampling idiom, so the kept
+    set is reproducible and restatable).  ``kept_id_sum`` pins WHICH docs
+    survive, not just how many.
+
+    Plan: the canonicalization scan + ONE window over (domain, hash order)
+    + one domain aggregate — the same shuffle the per-domain stats already
+    pay; at 100 TB the cap is the first shuffle after the scan and
+    everything downstream sees bounded per-domain cardinality."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    canon = canonicalize_url(_with_messy_url(docs), "url")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("registered_domain").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("cap"))), "doc_id"
+    )
+    ranked = canon.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).alias("docs_total"),
+            F.sum(F.when(F.col("rn") <= 10, 1).otherwise(0)).alias("docs_kept"),
+            F.sum(F.when(F.col("rn") <= 10, F.col("doc_id")).otherwise(0)).alias(
+                "kept_id_sum"
+            ),
+        )
+        .orderBy("registered_domain")
+    )
