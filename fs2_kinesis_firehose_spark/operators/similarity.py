@@ -517,3 +517,139 @@ def binary_quant_rescored_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def truncated_dim_recall_eval(
+    df: DataFrame,
+    dim: int,
+    trunc_dim: int,
+    *,
+    n_queries: int = 8,
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of a TRUNCATED-dimension cosine ranking vs the full-dim
+    exact ranking — the Matryoshka/MRL-style evaluation (Kusupati et al.
+    2022) that decides how far an embedding column can be truncated
+    (index storage and dot-product cost are both ∝ dim) before retrieval
+    quality degrades.
+
+    One Spark plan, no driver loop: the query set is the first
+    ``n_queries`` corpus vectors (broadcast); BOTH scores come out of the
+    same codegen'd projection — the truncated dot is a strict PREFIX of
+    the full multiply-add chain, so the marginal cost of evaluating the
+    candidate dimension is near zero; per-query top-k on each side is one
+    window.  Output: (query_id, n_common, recall_at_k).
+
+    Scale note: like ``ann_recall_eval`` this is the OFFLINE harness run
+    on a corpus sample (exact ground truth is O(queries × corpus)); the
+    decision it produces — "keep trunc_dim coordinates" — then shrinks
+    every downstream scan, shuffle, and index of the embedding column.
+    """
+    from pyspark.sql.window import Window
+
+    if not 0 < trunc_dim <= dim:
+        raise ValueError(f"trunc_dim must be in (0, {dim}], got {trunc_dim}")
+    q = F.broadcast(
+        df.filter(F.col(key_col) < n_queries).select(
+            F.col(key_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+    )
+    v, qv = F.col(vec_col), F.col("_qv")
+    cos_full = F.round(V.dot(v, qv, dim) / (V.norm(v, dim) * V.norm(qv, dim)), 6)
+    cos_trunc = F.round(
+        V.dot(v, qv, trunc_dim) / (V.norm(v, trunc_dim) * V.norm(qv, trunc_dim)), 6
+    )
+    scored = df.crossJoin(q).select(
+        "query_id", F.col(key_col), cos_full.alias("_cf"), cos_trunc.alias("_ct")
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("_cf"), F.asc(key_col))
+    wt = Window.partitionBy("query_id").orderBy(F.desc("_ct"), F.asc(key_col))
+    exact = (
+        scored.withColumn("_rn", F.row_number().over(wf))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", key_col)
+    )
+    trunc = (
+        scored.withColumn("_rn", F.row_number().over(wt))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", key_col)
+    )
+    common = (
+        exact.join(trunc, ["query_id", key_col])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
+    return base.join(common, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        F.round(F.coalesce("n_common", F.lit(0)) / F.lit(float(k)), 2).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+def knn_label_eval(
+    df: DataFrame,
+    dim: int,
+    *,
+    n_queries: int = 16,
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out k-NN majority-vote label prediction over the embedding
+    column — the classic embedding-space quality probe (how well do the
+    labels cluster?) and the non-parametric baseline every trained quality
+    classifier must beat.
+
+    The first ``n_queries`` corpus vectors are the held-out queries
+    (broadcast); each is excluded from its own neighbor set (leave-one-out,
+    ``key != query_id``), the k nearest by exact cosine vote, and the
+    majority label wins (ties break to the smallest label — deterministic,
+    cross-engine).  Output: (query_id, true_label, pred_label, is_correct).
+
+    Scale shape: one broadcast cross-score + two narrow shuffles (the
+    per-query top-k window, then a vote aggregate over ≤ n_queries × k
+    rows).  Like the other eval harnesses this runs on a sample; a
+    production kNN-join would swap the exact scorer for the IVF/PQ probe
+    path and keep the vote stages unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(
+        df.filter(F.col(key_col) < n_queries).select(
+            F.col(key_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col(label_col).alias("true_label"),
+        )
+    )
+    v, qv = F.col(vec_col), F.col("_qv")
+    cos = F.round(V.dot(v, qv, dim) / (V.norm(v, dim) * V.norm(qv, dim)), 6)
+    scored = (
+        df.crossJoin(q)
+        .filter(F.col(key_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col(key_col),
+            F.col(label_col).alias("_nl"),
+            cos.alias("_c"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_c"), F.asc(key_col))
+    nn = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    votes = nn.groupBy("query_id", "true_label", "_nl").agg(
+        F.count(F.lit(1)).alias("_v")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("_v"), F.asc("_nl"))
+    pred = votes.withColumn("_pr", F.row_number().over(wv)).filter(F.col("_pr") == 1)
+    return pred.select(
+        "query_id",
+        "true_label",
+        F.col("_nl").alias("pred_label"),
+        (F.col("_nl") == F.col("true_label")).cast("int").alias("is_correct"),
+    )

@@ -60,3 +60,50 @@ def column_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             aggs.append(F.min(c).alias(f"{c}_min"))
             aggs.append(F.max(c).alias(f"{c}_max"))
     return df.agg(*aggs)
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    *,
+    top_n: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Shuffle-key skew diagnostic: the single-row report a planner (or an
+    engineer) reads before deciding whether a join/groupBy key needs
+    salting, AQE skew splitting, or a broadcast rewrite.
+
+    Columns: ``n_keys``, ``n_rows``, ``max_rows_per_key``,
+    ``avg_rows_per_key``, ``skew_ratio`` (max/avg — the hot-partition
+    multiplier a hash shuffle on this key inherits), ``topn_rows`` and
+    ``topn_share`` (row mass held by the ``top_n`` hottest keys —
+    distinguishes one pathological key from a generally heavy head).
+
+    Plan shape: one partial-aggregating groupBy on the key (map-side
+    combine does the heavy lifting), then two tiny folds over the per-key
+    count table — a global aggregate and a TakeOrdered top-N — joined by a
+    1-row broadcast.  Nothing is collected; at 100 TB the per-key table is
+    |keys| rows and both folds stream over it once.
+    """
+    cnt = F.col("_cnt")
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_cnt").alias("n_rows"),
+        F.max("_cnt").alias("max_rows_per_key"),
+    )
+    top = (
+        counts.orderBy(cnt.desc(), F.col(key_col).asc())
+        .limit(top_n)
+        .agg(F.sum("_cnt").alias("topn_rows"))
+    )
+    avg = F.col("n_rows") / F.col("n_keys")
+    return summary.crossJoin(F.broadcast(top)).select(
+        "n_keys",
+        "n_rows",
+        "max_rows_per_key",
+        F.round(avg, round_to).alias("avg_rows_per_key"),
+        F.round(F.col("max_rows_per_key") / avg, round_to).alias("skew_ratio"),
+        "topn_rows",
+        F.round(F.col("topn_rows") / F.col("n_rows"), round_to).alias("topn_share"),
+    )

@@ -85,6 +85,20 @@ _WINDOW_PRIORITY: list[str] = [
     # block, last driver-verified 5 rounds of refactors ago), name-
     # ascending.
     # ---------------------------------------------------------------
+    # Round-12 continuation additions (never-green → head of window;
+    # they displace the 5 tail rotation slots, all r7-green):
+    # snapshot diff (CDC change-feed audit), shuffle-key skew report,
+    # quality-curriculum quartile buckets, Matryoshka truncated-dim
+    # recall eval, leave-one-out kNN label eval.
+    # (+ domain_cap_sample_counts: registered by the r12 url_q module but
+    # accidentally left out of this list — never-green, so it must sit
+    # inside the window; caught by test_driver_window.)
+    "domain_cap_sample_counts",
+    "snapshot_diff_accounting",
+    "join_key_skew_report",
+    "curriculum_bucket_stats",
+    "truncated_dim_recall_at_k",
+    "knn_label_accuracy",
     "ivf_pq_append_serve_topk",
     "domain_dedup_stats",
     "canon_url_dedup_accounting",

@@ -2445,3 +2445,215 @@ def multimodal_y4m_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFram
         "n_bytes", F.length("payload").cast("long")
     )
     return video_features(clips, "payload", ["doc_id", "n_bytes"])
+
+
+# ---------------------------------------------------------------------------
+# Curriculum / embedding-quality evals (round 12 continuation)
+# ---------------------------------------------------------------------------
+_CURR_P = (0.25, 0.5, 0.75)
+
+
+@query(
+    "curriculum_bucket_stats",
+    # same proven scoring restatement as the quality_scores oracle, then
+    # exact-quartile boundaries (quantile_cont ≡ Spark percentile) and the
+    # identical <=-chain bucket assignment; per-bucket score mass is summed
+    # in integer micro-units so the average is derived from an exact int.
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, n_tokens,
+               ROUND(LEAST(1.0, GREATEST(0.0,
+                     0.4 * diversity
+                   + 0.3 * LEAST(1.0, stop_r * 5)
+                   + 0.3 * LEAST(1.0, mwl / 8))), 6) AS q
+        FROM (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) * 1.0 / len(toks) AS diversity,
+                   len(list_intersect(list_distinct(toks), {_MARKER_SQL["en"]})) * 1.0
+                       / len(list_distinct(toks)) AS stop_r,
+                   list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks) AS mwl
+            FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+            WHERE len(toks) > 0
+        )
+    ),
+    qs AS (
+        SELECT ROUND(quantile_cont(q, {_CURR_P[0]!r}), 6) AS b1,
+               ROUND(quantile_cont(q, {_CURR_P[1]!r}), 6) AS b2,
+               ROUND(quantile_cont(q, {_CURR_P[2]!r}), 6) AS b3
+        FROM s
+    ),
+    agg AS (
+        SELECT CASE WHEN q <= b1 THEN 'q1'
+                    WHEN q <= b2 THEN 'q2'
+                    WHEN q <= b3 THEN 'q3'
+                    ELSE 'q4' END AS bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS token_sum,
+               CAST(SUM(CAST(ROUND(q * 1000000) AS BIGINT)) AS BIGINT)
+                   AS score_micro_sum,
+               MIN(q) AS min_score,
+               MAX(q) AS max_score
+        FROM s, qs
+        GROUP BY 1
+    )
+    SELECT bucket, n_docs, token_sum, score_micro_sum, min_score, max_score,
+           ROUND(score_micro_sum / n_docs / 1000000.0, 6) AS avg_score
+    FROM agg
+    """,
+)
+def curriculum_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum bucketing: score every document with the composite
+    quality model, split into exact QUARTILES, and report each curriculum
+    stage's document count, token budget and score envelope — the table a
+    quality-ordered training schedule (easy→hard or low→high quality) is
+    built from.
+
+    Uses the repo's distributed bucketing idiom (one exact-percentile
+    aggregate → 1-row broadcast boundary frame → codegen'd when-chain; see
+    ``curation.quantile_bucket``), NOT a corpus-wide ntile sort.  Score
+    mass is summed in integer micro-units so the per-bucket average hashes
+    identically across engines."""
+    from fs2_kinesis_firehose_spark.operators import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        TS.quality_features(docs, "text")
+        .filter(F.col("n_tokens") > 0)
+        .select("doc_id", "n_tokens", "quality_score")
+    )
+    bucketed = C.quantile_bucket(
+        scored, "quality_score", _CURR_P, ("q1", "q2", "q3", "q4")
+    )
+    micro = F.round(F.col("quality_score") * 1000000).cast("long")
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("token_sum"),
+            F.sum(micro).alias("score_micro_sum"),
+            F.min("quality_score").alias("min_score"),
+            F.max("quality_score").alias("max_score"),
+        )
+        .withColumn(
+            "avg_score",
+            F.round(
+                F.col("score_micro_sum") / F.col("n_docs") / F.lit(1000000.0), 6
+            ),
+        )
+    )
+
+
+def _trunc_recall_oracle(trunc: int = 16, n_queries: int = 8, k: int = 10) -> str:
+    """Full-replay restatement of truncated_dim_recall_eval: both cosine
+    rankings (full 64-dim and the first-``trunc`` prefix slice), the
+    per-query top-k windows, and the recall join."""
+    return f"""
+    WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM b WHERE vec_id < {n_queries}),
+    scored AS (
+        SELECT q.query_id, b.vec_id,
+               ROUND(list_inner_product(b.v, q.qv)
+                     / (SQRT(list_inner_product(b.v, b.v))
+                        * SQRT(list_inner_product(q.qv, q.qv))), 6) AS cf,
+               ROUND(list_inner_product(b.v[1:{trunc}], q.qv[1:{trunc}])
+                     / (SQRT(list_inner_product(b.v[1:{trunc}], b.v[1:{trunc}]))
+                        * SQRT(list_inner_product(q.qv[1:{trunc}], q.qv[1:{trunc}]))),
+                     6) AS ct
+        FROM b, q
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cf DESC, vec_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= {k}
+    ),
+    tr AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ct DESC, vec_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= {k}
+    ),
+    common AS (
+        SELECT e.query_id, COUNT(*) AS n_common
+        FROM exact e JOIN tr t ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT b2.query_id, COALESCE(c.n_common, 0) AS n_common,
+           ROUND(COALESCE(c.n_common, 0) / {float(k)!r}, 2) AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM exact) b2
+    LEFT JOIN common c USING (query_id)
+    """
+
+
+@query("truncated_dim_recall_at_k", oracle=_trunc_recall_oracle())
+def truncated_dim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation eval: recall@10 of cosine
+    ranking over the FIRST 16 of 64 embedding dims vs the full-dim exact
+    ranking, 8 queries in one plan (operators/similarity.py
+    ``truncated_dim_recall_eval``) — the offline harness that decides how
+    far the embedding column can be truncated (scan bytes, shuffle width
+    and index size are all ∝ dim) before retrieval quality drops.  The
+    truncated dot is a strict prefix of the full multiply-add chain, so
+    both scores come out of one codegen'd projection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.truncated_dim_recall_eval(emb, dim=64, trunc_dim=16, n_queries=8, k=10)
+
+
+def _knn_label_oracle(n_queries: int = 16, k: int = 10) -> str:
+    """Full-replay restatement of knn_label_eval: leave-one-out exact-cosine
+    neighbor ranking, the k-NN vote, and the deterministic majority rule
+    (count desc, label asc)."""
+    return f"""
+    WITH b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv, label AS true_label
+        FROM b WHERE vec_id < {n_queries}
+    ),
+    scored AS (
+        SELECT q.query_id, q.true_label, b.vec_id, b.label AS nl,
+               ROUND(list_inner_product(b.v, q.qv)
+                     / (SQRT(list_inner_product(b.v, b.v))
+                        * SQRT(list_inner_product(q.qv, q.qv))), 6) AS c
+        FROM b, q WHERE b.vec_id <> q.query_id
+    ),
+    nn AS (
+        SELECT query_id, true_label, nl FROM (
+            SELECT query_id, true_label, nl,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, vec_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= {k}
+    ),
+    votes AS (
+        SELECT query_id, true_label, nl, COUNT(*) AS v
+        FROM nn GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT query_id, true_label, nl,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY v DESC, nl ASC) AS pr
+        FROM votes
+    )
+    SELECT query_id, true_label, nl AS pred_label,
+           CAST(nl = true_label AS INT) AS is_correct
+    FROM pred WHERE pr = 1
+    """
+
+
+@query("knn_label_accuracy", oracle=_knn_label_oracle())
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 10-NN majority-vote label prediction over the
+    embeddings table's ``label`` column, 16 held-out queries in one plan
+    (operators/similarity.py ``knn_label_eval``) — the non-parametric
+    embedding-space quality probe (do labels cluster?) and the baseline
+    the trained quality classifier must beat.  Ties break to the smallest
+    label; the oracle replays ranking, vote and tie-break end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_label_eval(emb, dim=64, n_queries=16, k=10)

@@ -146,3 +146,44 @@ def zipf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vocab",
         "n_tokens",
     )
+
+
+@query(
+    "join_key_skew_report",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+    s AS (
+        SELECT COUNT(*) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               MAX(cnt) AS max_rows_per_key
+        FROM c
+    ),
+    t AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS topn_rows
+        FROM (SELECT cnt FROM c ORDER BY cnt DESC, user_id ASC LIMIT 10)
+    )
+    SELECT n_keys, n_rows, max_rows_per_key,
+           ROUND(n_rows / n_keys, 6) AS avg_rows_per_key,
+           ROUND(max_rows_per_key / (n_rows / n_keys), 6) AS skew_ratio,
+           topn_rows,
+           ROUND(topn_rows / n_rows, 6) AS topn_share
+    FROM s, t
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew diagnostic over the events fact's ``user_id`` —
+    the key every sessionization/funnel/cohort query in this repo shuffles
+    on.  ``skew_ratio`` is the hot-partition multiplier a hash exchange on
+    this key inherits; ``topn_share`` separates one pathological key from
+    a heavy head.  This report is what decides between plain hash
+    partitioning, salting (``salted_join_priority_revenue``'s recipe) and
+    AQE skew-join splitting — measured, not guessed.
+
+    Plan: one map-side-combining aggregate on the key, then a global fold
+    + a TakeOrdered top-10 over the per-key count table, joined by a 1-row
+    broadcast.  The oracle restates all three folds with the identical
+    division order."""
+    from fs2_kinesis_firehose_spark.operators.stats import key_skew_report
+
+    events = load_table(spark, sf_dir, "events")
+    return key_skew_report(events, "user_id", top_n=10)

@@ -248,3 +248,61 @@ def scd2_multi_tick_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cur_cents").alias("current_cents"),
         F.sum("cur_from").alias("current_from_sum"),
     )
+
+
+@query(
+    "snapshot_diff_accounting",
+    # new snapshot derived from orders in closed form: keys ≡55 (mod 100)
+    # dropped, keys ≡3 (mod 10) repriced +7.77, a negative-key copy of every
+    # key ≡7 (mod 100) appended — so each diff action is an independent,
+    # restatable cohort.  key_sum pins WHICH keys land in each class (the
+    # added cohort's negated keys included), total_cents pins the emitted
+    # column values (new-side for added/changed, old-side for removed).
+    oracle=f"""
+    WITH snap AS (SELECT o_orderkey, o_totalprice FROM orders)
+    SELECT 'unchanged' AS action, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM({_CENTS.format(col="o_totalprice")}) AS BIGINT) AS total_cents
+    FROM snap WHERE o_orderkey % 10 <> 3 AND o_orderkey % 100 <> 55
+    UNION ALL
+    SELECT 'changed', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM({_CENTS.format(col="(o_totalprice + 7.77)")}) AS BIGINT)
+    FROM snap WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT 'removed', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM({_CENTS.format(col="o_totalprice")}) AS BIGINT)
+    FROM snap WHERE o_orderkey % 100 = 55
+    UNION ALL
+    SELECT 'added', COUNT(*), CAST(SUM(-o_orderkey) AS BIGINT),
+           CAST(SUM({_CENTS.format(col="o_totalprice")}) AS BIGINT)
+    FROM snap WHERE o_orderkey % 100 = 7
+    """,
+)
+def snapshot_diff_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two ticks of the orders snapshot (operators/upsert.py
+    ``snapshot_diff``) and account per action in exact cents — the
+    change-data-feed audit: the engine classifies every key through ONE
+    full-outer join, the oracle re-derives each cohort independently from
+    the closed-form mutation, so a misclassified or value-mangled row in
+    any class breaks the hash."""
+    from fs2_kinesis_firehose_spark.operators.upsert import snapshot_diff
+
+    key = F.col("o_orderkey")
+    old = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    kept = old.where(key % 100 != 55).withColumn(
+        "o_totalprice",
+        F.when(key % 10 == 3, F.col("o_totalprice") + 7.77).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    ins = old.where(key % 100 == 7).select(
+        (-key).alias("o_orderkey"), "o_totalprice"
+    )
+    new = kept.unionByName(ins)
+    d = snapshot_diff(old, new, "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return d.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(cents).alias("total_cents"),
+    )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import Row
 
 from fs2_kinesis_firehose_spark.operators import similarity as S
 from fs2_kinesis_firehose_spark.tables import load_table
@@ -149,3 +150,84 @@ def test_binary_rescore_recall_vs_bruteforce(spark, sf_smoke):
     assert len(exact & got) >= 6
     # the query vector itself (hamming 0, cosine 1.0) must always survive
     assert 0 in got
+
+
+def test_truncated_dim_recall_detects_prefix_divergence(spark):
+    from fs2_kinesis_firehose_spark.operators.similarity import (
+        truncated_dim_recall_eval,
+    )
+
+    # v3's prefix-2 cosine to the query is 1.0 but its full-dim cosine is
+    # tiny, so truncation swaps it into the top-2 and recall@2 drops to 0.5.
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),   # query (self)
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0, 0.0]),   # true #2 neighbor
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        Row(vec_id=3, embedding=[1.0, 0.0, 5.0, 0.0]),   # prefix impostor
+    ]
+    df = spark.createDataFrame(rows)
+    out = truncated_dim_recall_eval(df, dim=4, trunc_dim=2, n_queries=1, k=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.query_id, r.n_common, r.recall_at_k) == (0, 1, 0.5)
+
+
+def test_truncated_dim_recall_full_trunc_is_perfect(spark):
+    from fs2_kinesis_firehose_spark.operators.similarity import (
+        truncated_dim_recall_eval,
+    )
+
+    rows = [
+        Row(vec_id=i, embedding=[float(i + 1), float(3 - i), 1.0, 0.5])
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows)
+    out = truncated_dim_recall_eval(df, dim=4, trunc_dim=4, n_queries=2, k=3).collect()
+    assert all(r.recall_at_k == 1.0 for r in out) and len(out) == 2
+
+
+def test_truncated_dim_recall_bad_trunc_raises(spark):
+    import pytest
+
+    from fs2_kinesis_firehose_spark.operators.similarity import (
+        truncated_dim_recall_eval,
+    )
+
+    df = spark.createDataFrame([Row(vec_id=0, embedding=[1.0, 0.0])])
+    with pytest.raises(ValueError, match="trunc_dim"):
+        truncated_dim_recall_eval(df, dim=2, trunc_dim=3)
+
+
+def test_knn_label_eval_majority_vote_and_leave_one_out(spark):
+    from fs2_kinesis_firehose_spark.operators.similarity import knn_label_eval
+
+    # query 0 (label 9) has 3 nearest neighbors labeled [1, 1, 2]: the vote
+    # must predict 1 (majority), not 9 (its own label — leave-one-out).
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=9),
+        Row(vec_id=1, embedding=[0.99, 0.01], label=1),
+        Row(vec_id=2, embedding=[0.98, 0.02], label=1),
+        Row(vec_id=3, embedding=[0.97, 0.03], label=2),
+        Row(vec_id=4, embedding=[-1.0, 0.0], label=9),
+    ]
+    df = spark.createDataFrame(rows)
+    out = knn_label_eval(df, dim=2, n_queries=1, k=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.query_id, r.true_label, r.pred_label, r.is_correct) == (0, 9, 1, 0)
+
+
+def test_knn_label_eval_tie_breaks_to_smallest_label(spark):
+    from fs2_kinesis_firehose_spark.operators.similarity import knn_label_eval
+
+    # k=2 neighbors labeled [5, 3]: one vote each → deterministic tie-break
+    # to the smaller label (3).
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=3),
+        Row(vec_id=1, embedding=[0.99, 0.01], label=5),
+        Row(vec_id=2, embedding=[0.98, 0.02], label=3),
+        Row(vec_id=3, embedding=[-1.0, 0.0], label=5),
+    ]
+    df = spark.createDataFrame(rows)
+    out = knn_label_eval(df, dim=2, n_queries=1, k=2).collect()
+    assert out[0].pred_label == 3 and out[0].is_correct == 1

@@ -32,3 +32,24 @@ def test_column_stats_subset(spark):
     df = spark.createDataFrame([Row(a=1, b="x")])
     r = column_stats(df, ["a"]).collect()[0]
     assert set(r.asDict()) == {"n_rows", "a_nulls", "a_ndv", "a_min", "a_max"}
+
+
+def test_key_skew_report_values(spark):
+    from fs2_kinesis_firehose_spark.operators.stats import key_skew_report
+
+    rows = [Row(k="a")] * 6 + [Row(k="b")] * 3 + [Row(k="c")]
+    r = key_skew_report(spark.createDataFrame(rows), "k", top_n=2).collect()[0]
+    assert (r.n_keys, r.n_rows, r.max_rows_per_key) == (3, 10, 6)
+    assert r.avg_rows_per_key == round(10 / 3, 6)
+    assert r.skew_ratio == round(6 / (10 / 3), 6)
+    assert (r.topn_rows, r.topn_share) == (9, 0.9)
+
+
+def test_key_skew_report_uniform_keys(spark):
+    from fs2_kinesis_firehose_spark.operators.stats import key_skew_report
+
+    rows = [Row(k=i % 4) for i in range(8)]
+    r = key_skew_report(spark.createDataFrame(rows), "k", top_n=10).collect()[0]
+    # perfectly balanced: skew_ratio 1.0, top-N covers everything
+    assert r.skew_ratio == 1.0
+    assert (r.topn_rows, r.topn_share) == (8, 1.0)

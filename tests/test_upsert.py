@@ -4,6 +4,7 @@ schema validation."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Row
 
 from fs2_kinesis_firehose_spark.operators.upsert import upsert_snapshot
 
@@ -240,3 +241,62 @@ def test_scd2_single_tick_chained_batches(spark, hist0):
         for r in out.where("id = 1").collect()
     )
     assert one == [("A", 10, 20), ("AA", 20, None), ("a", 0, 10)]
+
+
+def test_snapshot_diff_classifies_and_emits_new_side(spark):
+    from fs2_kinesis_firehose_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [Row(k=1, v="a", w=1.0), Row(k=2, v="b", w=2.0), Row(k=3, v="c", w=3.0)]
+    )
+    new = spark.createDataFrame(
+        [Row(k=1, v="a", w=1.0), Row(k=2, v="B", w=2.0), Row(k=4, v="d", w=4.0)]
+    )
+    out = {r.k: r for r in snapshot_diff(old, new, "k").collect()}
+    assert out[1].action == "unchanged"
+    assert out[2].action == "changed" and out[2].v == "B"  # new side wins
+    assert out[3].action == "removed" and out[3].v == "c"  # old side kept
+    assert out[4].action == "added" and out[4].w == 4.0
+    assert set(snapshot_diff(old, new, "k").columns) == {"k", "v", "w", "action"}
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    from fs2_kinesis_firehose_spark.operators.upsert import snapshot_diff
+
+    schema = "k long, v string"
+    old = spark.createDataFrame([(1, None), (2, None), (3, "x")], schema)
+    new = spark.createDataFrame([(1, None), (2, "y"), (3, None)], schema)
+    out = {r.k: r.action for r in snapshot_diff(old, new, "k").collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "changed"}
+
+
+def test_snapshot_diff_recovers_upsert_effect(spark):
+    from fs2_kinesis_firehose_spark.operators.upsert import (
+        snapshot_diff,
+        upsert_snapshot,
+    )
+
+    snap = spark.createDataFrame(
+        [Row(k=1, v=10), Row(k=2, v=20), Row(k=3, v=30)]
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(k=2, v=21, is_delete=False),   # update
+            Row(k=3, v=30, is_delete=True),    # delete
+            Row(k=4, v=40, is_delete=False),   # insert
+        ]
+    )
+    merged = upsert_snapshot(snap, changes, "k", delete_col="is_delete")
+    out = {r.k: r.action for r in snapshot_diff(snap, merged, "k").collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_missing_compare_col_raises(spark):
+    import pytest
+
+    from fs2_kinesis_firehose_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame([Row(k=1, v=1, extra=1)])
+    new = spark.createDataFrame([Row(k=1, v=1)])
+    with pytest.raises(ValueError, match="extra"):
+        snapshot_diff(old, new, "k")
