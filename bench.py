@@ -287,6 +287,18 @@ HEADLINE = [
     "exact_substring_dedup_stats",
     "domain_dedup_stats",
     "canon_url_dedup_accounting",
+    "domain_cap_sample_counts",
+    # round-12 continuation additions: CDC snapshot diff, shuffle-key skew
+    # diagnostic, quality-curriculum quartiles, Matryoshka truncated-dim
+    # recall, leave-one-out kNN label eval
+    "snapshot_diff_accounting",
+    "join_key_skew_report",
+    "curriculum_bucket_stats",
+    "truncated_dim_recall_at_k",
+    "knn_label_accuracy",
+    "cluster_balanced_sample_counts",
+    "source_score_calibration",
+    "quality_flag_agreement_kappa",
     # round-12 split lifecycle lines (r11 verdict ask #8): the persisted
     # ANN index's STEADY-STATE serving cost, measured with the build done
     # once OUTSIDE the timer — `ivf_pq_persisted_topk` /

@@ -467,3 +467,40 @@ def token_budget_sample(
         .where(F.col("_cum_tokens") <= budget)
         .drop("_cum_tokens")
     )
+
+
+def group_cap_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    *,
+    salt: str = "cap",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``cap`` rows per group,
+    chosen by a seeded-uniform order (md5 of the key — the repo's
+    reproducible-sampling idiom, so the kept set is identical on every
+    run and restatable by a SQL oracle).  The generic form of the
+    per-domain cap (RefinedWeb anti-hub rule) — the same operator balances
+    ANY over-represented group: registered domains, near-dup clusters,
+    embedding-space cells (diversity sampling), language cohorts.
+
+    With ``keep_col`` set, rows are FLAGGED instead of filtered (for
+    accounting queries that need both sides).
+
+    Plan: ONE window over (group, hash order) — a single hash shuffle on
+    the group key; at 100 TB this is the first shuffle after the scan and
+    everything downstream sees bounded per-group cardinality.
+    """
+    from pyspark.sql.window import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), key_col
+    )
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    if keep_col is not None:
+        return ranked.withColumn(keep_col, F.col("_rn") <= cap).drop("_rn")
+    return ranked.filter(F.col("_rn") <= cap).drop("_rn")

@@ -82,8 +82,10 @@ def key_skew_report(
     Plan shape: one partial-aggregating groupBy on the key (map-side
     combine does the heavy lifting), then two tiny folds over the per-key
     count table — a global aggregate and a TakeOrdered top-N — joined by a
-    1-row broadcast.  Nothing is collected; at 100 TB the per-key table is
-    |keys| rows and both folds stream over it once.
+    1-row broadcast.  Both folds read the SAME key-count shuffle: AQE's
+    ReuseExchange collapses the two identical aggregate subtrees, so the
+    fact is scanned once (verified on the executed plan).  Nothing is
+    collected; at 100 TB the per-key table is |keys| rows.
     """
     cnt = F.col("_cnt")
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_cnt"))

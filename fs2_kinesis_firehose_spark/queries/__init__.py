@@ -99,6 +99,9 @@ _WINDOW_PRIORITY: list[str] = [
     "curriculum_bucket_stats",
     "truncated_dim_recall_at_k",
     "knn_label_accuracy",
+    "cluster_balanced_sample_counts",
+    "source_score_calibration",
+    "quality_flag_agreement_kappa",
     "ivf_pq_append_serve_topk",
     "domain_dedup_stats",
     "canon_url_dedup_accounting",

@@ -2657,3 +2657,233 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     label; the oracle replays ranking, vote and tie-break end-to-end."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_label_eval(emb, dim=64, n_queries=16, k=10)
+
+
+def _cluster_balance_oracle(cap: int = 20, salt: str = "bal") -> str:
+    """Restates seeded-centroid assignment (the proven _ivf_oracle idiom)
+    + the md5-ordered per-cell cap."""
+    cents = S.seeded_centroids(64, 16, seed=7, scale=0.125)
+    cent_sql = ["[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents]
+    c2 = [repr(S._seq_sq_norm(c)) for c in cents]
+    dist_list = (
+        "["
+        + ", ".join(
+            f"{c2[i]} - 2.0 * list_inner_product(CAST(embedding AS DOUBLE[]), {cent_sql[i]})"
+            for i in range(len(cents))
+        )
+        + "]"
+    )
+    return f"""
+    WITH b AS (
+        SELECT vec_id,
+               list_position({dist_list}, list_min({dist_list})) - 1 AS ivf_cell
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT ivf_cell, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY ivf_cell
+                   ORDER BY md5(CAST(vec_id AS VARCHAR) || '{salt}'), vec_id
+               ) AS rn
+        FROM b
+    )
+    SELECT CAST(ivf_cell AS INT) AS ivf_cell,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN rn <= {cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn <= {cap} THEN vec_id ELSE 0 END) AS BIGINT)
+               AS kept_id_sum
+    FROM ranked
+    GROUP BY ivf_cell
+    """
+
+
+@query("cluster_balanced_sample_counts", oracle=_cluster_balance_oracle())
+def cluster_balanced_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (the DCLM/SemDeDup-style
+    representation-balancing pass): assign every embedding to its seeded
+    Voronoi cell, then cap each cell at 20 vectors with the deterministic
+    md5 order (operators/curation.py ``group_cap_sample``) — dense regions
+    of embedding space stop dominating the sample while sparse regions are
+    kept whole.  ``kept_id_sum`` pins WHICH vectors survive each cell.
+
+    Plan: the codegen'd cell assignment fuses into the scan, then ONE
+    window shuffle on the cell key + one aggregate — the same shape as the
+    per-domain cap, reused on a learned grouping instead of a natural
+    key."""
+    from fs2_kinesis_firehose_spark.operators.curation import group_cap_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.seeded_centroids(64, 16, seed=7, scale=0.125)
+    assigned = S.ivf_assign(emb, cents).select("vec_id", "ivf_cell")
+    flagged = group_cap_sample(
+        assigned, "ivf_cell", "vec_id", cap=20, salt="bal", keep_col="_keep"
+    )
+    return flagged.groupBy("ivf_cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("_keep"), F.col("vec_id")).otherwise(0)).alias(
+            "kept_id_sum"
+        ),
+    )
+
+
+@query(
+    "source_score_calibration",
+    # same proven scoring subquery as curriculum_bucket_stats; percent_rank
+    # over a tie-free (score, doc_id) order is (row_number-1)/(n-1) in both
+    # engines, so decile assignment and the per-decile id sums pin the whole
+    # within-source ranking.
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source,
+               ROUND(LEAST(1.0, GREATEST(0.0,
+                     0.4 * diversity
+                   + 0.3 * LEAST(1.0, stop_r * 5)
+                   + 0.3 * LEAST(1.0, mwl / 8))), 6) AS q
+        FROM (
+            SELECT doc_id, source,
+                   len(list_distinct(toks)) * 1.0 / len(toks) AS diversity,
+                   len(list_intersect(list_distinct(toks), {_MARKER_SQL["en"]})) * 1.0
+                       / len(list_distinct(toks)) AS stop_r,
+                   list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks) AS mwl
+            FROM (SELECT doc_id, source, string_split(trim(text), ' ') AS toks
+                  FROM documents)
+            WHERE len(toks) > 0
+        )
+    ),
+    ranked AS (
+        SELECT source, doc_id, q,
+               PERCENT_RANK() OVER (PARTITION BY source ORDER BY q, doc_id) AS pr
+        FROM s
+    )
+    SELECT source,
+           CAST(LEAST(FLOOR(pr * 10), 9) AS INT) AS calib_decile,
+           COUNT(*) AS n_docs,
+           MIN(q) AS min_score,
+           MAX(q) AS max_score,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+    FROM ranked
+    GROUP BY source, calib_decile
+    """,
+)
+def source_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score calibration: raw composite scores are NOT
+    comparable across sources (different length/stopword profiles), so a
+    cross-source keep-threshold must act on the within-source RANK, not
+    the raw value (the CCNet per-shard normalization argument).  Rank-
+    normalize via percent_rank within source (tie-free deterministic
+    order) and report each source's calibrated decile occupancy + score
+    envelope; ``doc_id_sum`` pins the entire within-source ranking.
+
+    Plan: scoring fuses into the scan, ONE window shuffle on source, one
+    aggregate — at 100 TB sources are the corpus's natural partition key,
+    so the window sees pre-clustered data when the lake is laid out by
+    source."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    scored = (
+        TS.quality_features(docs, "text")
+        .filter(F.col("n_tokens") > 0)
+        .select("doc_id", "source", "quality_score")
+    )
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    ranked = scored.withColumn("pr", F.percent_rank().over(w))
+    decile = F.least(F.floor(F.col("pr") * 10), F.lit(9)).cast("int")
+    return ranked.groupBy("source", decile.alias("calib_decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("quality_score").alias("min_score"),
+        F.max("quality_score").alias("max_score"),
+        F.sum("doc_id").alias("doc_id_sum"),
+    )
+
+
+@query(
+    "quality_flag_agreement_kappa",
+    # two independent keep-rules over the same features; kappa from the 2×2
+    # table with the identical division/multiplication order on both sides.
+    oracle=f"""
+    WITH s AS (
+        SELECT (ROUND(LEAST(1.0, GREATEST(0.0,
+                     0.4 * diversity
+                   + 0.3 * LEAST(1.0, stop_r * 5)
+                   + 0.3 * LEAST(1.0, mwl / 8))), 6) >= 0.5) AS fa,
+               (ROUND(mwl, 6) >= 3.0 AND ROUND(mwl, 6) <= 8.0
+                AND ROUND(stop_r, 6) >= 0.05) AS fb
+        FROM (
+            SELECT len(list_distinct(toks)) * 1.0 / len(toks) AS diversity,
+                   len(list_intersect(list_distinct(toks), {_MARKER_SQL["en"]})) * 1.0
+                       / len(list_distinct(toks)) AS stop_r,
+                   list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks) AS mwl
+            FROM (SELECT string_split(trim(text), ' ') AS toks FROM documents)
+            WHERE len(toks) > 0
+        )
+    ),
+    t AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+               CAST(SUM(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+               CAST(SUM(CASE WHEN fb AND NOT fa THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+               CAST(SUM(CASE WHEN NOT fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+        FROM s
+    )
+    SELECT n, n_both, n_a_only, n_b_only, n_neither,
+           ROUND((n_both + n_neither) / n, 6) AS p_observed,
+           ROUND(((n_both + n_a_only) / n) * ((n_both + n_b_only) / n)
+                 + ((n_b_only + n_neither) / n) * ((n_a_only + n_neither) / n),
+                 6) AS p_expected,
+           ROUND(((n_both + n_neither) / n
+                  - (((n_both + n_a_only) / n) * ((n_both + n_b_only) / n)
+                     + ((n_b_only + n_neither) / n) * ((n_a_only + n_neither) / n)))
+                 / (1.0 - (((n_both + n_a_only) / n) * ((n_both + n_b_only) / n)
+                           + ((n_b_only + n_neither) / n) * ((n_a_only + n_neither) / n))),
+                 6) AS kappa
+    FROM t
+    """,
+)
+def quality_flag_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two independent document keep-rules
+    — the composite quality score (≥0.5) vs a Gopher-style structural rule
+    (mean word length in [3, 8] AND stopword presence ≥0.05): the standard
+    filter-ensemble diagnostic (do two cheap filters agree beyond chance?
+    low kappa → they prune different cohorts and should be composed, high
+    kappa → one is redundant).
+
+    Plan: both flags come out of the same codegen'd scan projection, ONE
+    map-side-combining aggregate builds the 2×2 table (5 integers), and
+    kappa is a driver-free 1-row projection.  The oracle replays the
+    flags, the table and the kappa arithmetic in the identical operation
+    order, so the 6-dp values hash-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TS.quality_features(docs, "text").filter(F.col("n_tokens") > 0)
+    fa = F.col("quality_score") >= 0.5
+    fb = (
+        (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 8.0)
+        & (F.col("stopword_ratio") >= 0.05)
+    )
+    flagged = feats.select(fa.alias("fa"), fb.alias("fb"))
+    t = flagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("fa") & F.col("fb")).cast("long")).alias("n_both"),
+        F.sum((F.col("fa") & ~F.col("fb")).cast("long")).alias("n_a_only"),
+        F.sum((F.col("fb") & ~F.col("fa")).cast("long")).alias("n_b_only"),
+        F.sum((~F.col("fa") & ~F.col("fb")).cast("long")).alias("n_neither"),
+    )
+    n = F.col("n")
+    po = (F.col("n_both") + F.col("n_neither")) / n
+    pe = ((F.col("n_both") + F.col("n_a_only")) / n) * (
+        (F.col("n_both") + F.col("n_b_only")) / n
+    ) + ((F.col("n_b_only") + F.col("n_neither")) / n) * (
+        (F.col("n_a_only") + F.col("n_neither")) / n
+    )
+    return t.select(
+        "n",
+        "n_both",
+        "n_a_only",
+        "n_b_only",
+        "n_neither",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )

@@ -399,3 +399,35 @@ def test_token_budget_sample_validates_budget(spark):
     df = spark.createDataFrame([("a", 1, 1)], "source string, doc_id long, n_tokens int")
     with _pt.raises(ValueError):
         token_budget_sample(df, budget=0)
+
+
+def test_group_cap_sample_caps_and_is_deterministic(spark):
+    from pyspark.sql import Row
+
+    from fs2_kinesis_firehose_spark.operators.curation import group_cap_sample
+
+    rows = [Row(g="a", k=i) for i in range(10)] + [Row(g="b", k=100)]
+    df = spark.createDataFrame(rows)
+    kept = group_cap_sample(df, "g", "k", cap=3)
+    out = kept.groupBy("g").count().collect()
+    assert {r.g: r["count"] for r in out} == {"a": 3, "b": 1}
+    # deterministic: same kept set on re-run
+    k1 = sorted(r.k for r in kept.collect())
+    k2 = sorted(r.k for r in group_cap_sample(df, "g", "k", cap=3).collect())
+    assert k1 == k2
+    # different salt → (almost surely) different kept set for the capped group
+    k3 = sorted(r.k for r in group_cap_sample(df, "g", "k", cap=3, salt="other").collect())
+    assert k1 != k3
+
+
+def test_group_cap_sample_flag_mode_and_validation(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from fs2_kinesis_firehose_spark.operators.curation import group_cap_sample
+
+    df = spark.createDataFrame([Row(g="a", k=1), Row(g="a", k=2)])
+    flagged = group_cap_sample(df, "g", "k", cap=1, keep_col="keep")
+    assert flagged.count() == 2 and flagged.filter("keep").count() == 1
+    with pytest.raises(ValueError, match="cap"):
+        group_cap_sample(df, "g", "k", cap=0)
