@@ -299,6 +299,9 @@ HEADLINE = [
     "cluster_balanced_sample_counts",
     "source_score_calibration",
     "quality_flag_agreement_kappa",
+    "range_layout_pruning_stats",
+    "contrastive_pair_mining",
+    "length_bucket_padding_stats",
     # round-12 split lifecycle lines (r11 verdict ask #8): the persisted
     # ANN index's STEADY-STATE serving cost, measured with the build done
     # once OUTSIDE the timer — `ivf_pq_persisted_topk` /

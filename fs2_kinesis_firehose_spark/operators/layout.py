@@ -525,3 +525,58 @@ def compact_files(
         "rows_before": int(rows_before),
         "rows_after": int(back.count()),
     }
+
+
+def range_write_clustered(
+    df: DataFrame,
+    path: str,
+    col: str,
+    *,
+    n_buckets: int = 16,
+    round_to: int = 6,
+) -> list[float]:
+    """1-D range-clustered layout — the plain ``ORDER BY`` table layout
+    (the bread-and-butter complement to the multi-dim Z/Hilbert curves):
+    rows land in quantile-bounded range buckets, sorted within each file,
+    so a range predicate on ``col`` prunes to the files whose [min, max]
+    intersect it and merge-style readers see sorted runs.
+
+    Boundaries come from ONE exact-percentile aggregate (``percentile`` ≡
+    DuckDB ``quantile_cont``, rounded to ``round_to``) instead of
+    ``repartitionByRange``'s reservoir sample: the row→file mapping is a
+    PURE FUNCTION of the data, so an external checker can recompute the
+    exact per-file statistics and pruning outcome (same trade as
+    ``zorder_write_bucketed`` — determinism over sampled size balance; the
+    quantile boundaries still equalize file sizes up to duplicate mass).
+
+    Returns the boundary list.  One boundary collect (n_buckets−1 doubles
+    — metadata), one hash shuffle on the bucket id, one file per non-empty
+    bucket.  At 100 TB this is the standard clustered-write pattern:
+    boundaries from a cheap stats pass, then a single repartition+sort.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    row = (
+        df.agg(
+            *[
+                F.round(F.percentile(F.col(col), F.lit(p)), round_to).alias(f"_q{i}")
+                for i, p in enumerate(probs)
+            ]
+        ).collect()[0]
+    )
+    bounds = [float(row[f"_q{i}"]) for i in range(len(probs))]
+    expr = None
+    for i, b in enumerate(bounds):
+        cond = F.col(col) <= F.lit(b)
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    expr = expr.otherwise(len(bounds))
+    (
+        df.withColumn("_rbucket", expr.cast("int"))
+        .repartition(n_buckets, "_rbucket")
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .partitionBy("_rbucket")
+        .parquet(path)
+    )
+    return bounds

@@ -653,3 +653,76 @@ def knn_label_eval(
         F.col("_nl").alias("pred_label"),
         (F.col("_nl") == F.col("true_label")).cast("int").alias("is_correct"),
     )
+
+
+def contrastive_pair_mining(
+    df: DataFrame,
+    dim: int,
+    *,
+    n_queries: int = 8,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding finetuning: for each
+    anchor, the nearest SAME-label neighbor (the positive) and the nearest
+    DIFFERENT-label neighbor (the hard negative — the most confusable
+    impostor), plus the cosine margin between them.  Anchors with a
+    non-positive margin are exactly the triplet-loss violations a
+    finetuning pass trains on; mined in bulk this is the dataset builder
+    for (anchor, positive, hard-negative) triplets.
+
+    One plan: broadcast anchor set (first ``n_queries`` corpus vectors,
+    self excluded), one codegen'd cosine projection, TWO windows over the
+    same scored relation (rank within same-label rows, rank within
+    different-label rows), joined back on the anchor.  Output:
+    (query_id, true_label, pos_id, pos_sim, neg_id, neg_sim, margin).
+
+    Scale shape: the exact scorer here is the offline/sample harness; a
+    production miner swaps it for the IVF/PQ probe path (candidates from
+    nearby cells only) and keeps the two-rank structure unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(
+        df.filter(F.col(key_col) < n_queries).select(
+            F.col(key_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col(label_col).alias("true_label"),
+        )
+    )
+    v, qv = F.col(vec_col), F.col("_qv")
+    cos = F.round(V.dot(v, qv, dim) / (V.norm(v, dim) * V.norm(qv, dim)), 6)
+    scored = (
+        df.crossJoin(q)
+        .filter(F.col(key_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col(key_col),
+            (F.col(label_col) == F.col("true_label")).alias("_same"),
+            cos.alias("_c"),
+        )
+    )
+    w = Window.partitionBy("query_id", "_same").orderBy(F.desc("_c"), F.asc(key_col))
+    ranked = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    pos = ranked.filter(F.col("_same")).select(
+        "query_id",
+        "true_label",
+        F.col(key_col).alias("pos_id"),
+        F.col("_c").alias("pos_sim"),
+    )
+    neg = ranked.filter(~F.col("_same")).select(
+        "query_id",
+        F.col(key_col).alias("neg_id"),
+        F.col("_c").alias("neg_sim"),
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id",
+        "true_label",
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+    )

@@ -102,6 +102,9 @@ _WINDOW_PRIORITY: list[str] = [
     "cluster_balanced_sample_counts",
     "source_score_calibration",
     "quality_flag_agreement_kappa",
+    "range_layout_pruning_stats",
+    "contrastive_pair_mining",
+    "length_bucket_padding_stats",
     "ivf_pq_append_serve_topk",
     "domain_dedup_stats",
     "canon_url_dedup_accounting",

@@ -756,3 +756,73 @@ def source_chunk_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_chunks"))
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "length_bucket_padding_stats",
+    # bucket = smallest power of two >= n_tokens, computed with INTEGER bit
+    # arithmetic on both sides (length of the binary string of n−1) — no
+    # float log2, whose 1-ulp noise at exact powers would flip buckets.
+    oracle=r"""
+    WITH t AS (
+        SELECT len(string_split_regex(trim(text), '\s+')) AS n FROM documents
+    ),
+    b AS (
+        SELECT n,
+               CASE WHEN n = 1 THEN 1
+                    ELSE (1 << length(bin(n - 1))) END AS bucket
+        FROM t WHERE n > 0
+    ),
+    agg AS (
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS token_sum
+        FROM b GROUP BY bucket
+    )
+    SELECT bucket, n_docs, token_sum,
+           n_docs * bucket AS padded_tokens,
+           n_docs * bucket - token_sum AS pad_waste,
+           ROUND((n_docs * bucket - token_sum) / (n_docs * bucket * 1.0), 6)
+               AS waste_frac
+    FROM agg
+    """,
+)
+def length_bucket_padding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing accounting (the dynamic-batching
+    efficiency table): bucket every document to the smallest power-of-two
+    sequence length that holds it and report the padding waste each bucket
+    pays — the number a training pipeline reads to choose between
+    fixed-length packing (``packed_sequence_stats``) and length-bucketed
+    batching.  Bucket boundaries use integer bit arithmetic on both
+    engines (no float log2).
+
+    Plan: one scan with the token count + bucket id fused as codegen
+    expressions, one tiny aggregate (≤ a dozen buckets) — scan-speed at
+    any scale."""
+    from fs2_kinesis_firehose_spark.operators import textstats as TS
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = TS.token_count("text")
+    # SQL shiftleft accepts a column bit count (the PySpark wrapper doesn't)
+    bucket = F.expr(
+        "CASE WHEN n = 1 THEN 1 ELSE shiftleft(1, length(bin(n - 1))) END"
+    )
+    b = (
+        docs.filter(n > 0)
+        .select(n.alias("n"))
+        .select("n", bucket.cast("long").alias("bucket"))
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("token_sum")
+    )
+    padded = F.col("n_docs") * F.col("bucket")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "token_sum",
+        padded.alias("padded_tokens"),
+        (padded - F.col("token_sum")).alias("pad_waste"),
+        F.round(
+            (padded - F.col("token_sum")) / (padded * F.lit(1.0)), 6
+        ).alias("waste_frac"),
+    )

@@ -543,3 +543,105 @@ def compaction_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "files_before bigint, files_after bigint, rows_before bigint, "
         "rows_after bigint, distinct_roundtrip bigint",
     )
+
+
+_RANGE_N = 16
+_RANGE_LO, _RANGE_HI = 100000.0, 200000.0
+# the oracle recomputes boundaries, bucket assignment, per-bucket footer
+# stats (min/max/count over the SAME assignment) and the min/max-pruning
+# outcome for the price range predicate — entirely in closed form, because
+# range_write_clustered's row→file mapping is a pure function of the data.
+_RANGE_ORACLE = f"""
+WITH qs AS (
+    SELECT {", ".join(
+        f"ROUND(quantile_cont(o_totalprice, {i / _RANGE_N!r}), 6) AS q{i}"
+        for i in range(1, _RANGE_N)
+    )}
+    FROM orders
+),
+b AS (
+    SELECT o_totalprice,
+           CASE {" ".join(
+               f"WHEN o_totalprice <= q{i} THEN {i - 1}"
+               for i in range(1, _RANGE_N)
+           )} ELSE {_RANGE_N - 1} END AS bucket
+    FROM orders, qs
+),
+f AS (
+    SELECT bucket, COUNT(*) AS n_rows,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM b GROUP BY bucket
+)
+SELECT COUNT(*) AS n_files_total,
+       CAST(SUM(CASE WHEN hi >= {_RANGE_LO!r} AND lo <= {_RANGE_HI!r}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_files_opened,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows_total,
+       CAST(SUM(CASE WHEN hi >= {_RANGE_LO!r} AND lo <= {_RANGE_HI!r}
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_scanned,
+       (SELECT COUNT(*) FROM orders
+        WHERE o_totalprice BETWEEN {_RANGE_LO!r} AND {_RANGE_HI!r}) AS n_rows_match
+FROM f
+"""
+
+
+@query("range_layout_pruning_stats", oracle=_RANGE_ORACLE)
+def range_layout_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered (ORDER BY) layout end-to-end under the correctness
+    gate: cluster orders by exact-quantile o_totalprice ranges
+    (operators/layout.py:range_write_clustered — deterministic boundaries,
+    one file per bucket, sorted within), read the REAL parquet footer
+    statistics back, and report what a min/max-pruning reader does for a
+    25%-selective price range — files opened, rows scanned, rows matching.
+    The 1-D companion to zorder/hilbert_pruning_stats: most production
+    predicates are single-column ranges, and this is the layout that
+    serves them with ~selectivity-proportional I/O.
+
+    EAGER by necessity (the footer read needs the layout written); per-sf
+    PID-suffixed tmp dir, wiped per invocation."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from fs2_kinesis_firehose_spark.operators.layout import (
+        file_stats,
+        range_write_clustered,
+    )
+
+    out_dir = (
+        Path(tempfile.gettempdir())
+        / "fs2spark-rangelayout"
+        / f"orders-{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}-{os.getpid()}"
+    )
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    range_write_clustered(orders, str(out_dir), "o_totalprice", n_buckets=_RANGE_N)
+
+    stats = file_stats(str(out_dir), ["o_totalprice"])
+    opened = [
+        s
+        for s in stats
+        if s["o_totalprice"][0] is not None
+        and s["o_totalprice"][1] >= _RANGE_LO
+        and s["o_totalprice"][0] <= _RANGE_HI
+    ]
+    n_rows_match = (
+        spark.read.parquet(str(out_dir))
+        .filter(F.col("o_totalprice").between(_RANGE_LO, _RANGE_HI))
+        .count()
+    )
+    row = (
+        len(stats),
+        len(opened),
+        sum(s["n_rows"] for s in stats),
+        sum(s["n_rows"] for s in opened),
+        n_rows_match,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_files_total bigint, n_files_opened bigint, n_rows_total bigint, "
+        "n_rows_scanned bigint, n_rows_match bigint",
+    )

@@ -2887,3 +2887,51 @@ def quality_flag_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("p_expected"),
         F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+def _contrastive_oracle(n_queries: int = 8) -> str:
+    """Full replay of contrastive_pair_mining: cosine scoring, the per-
+    (anchor, same-label?) best-neighbor windows, and the margin."""
+    return f"""
+    WITH b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv, label AS true_label
+        FROM b WHERE vec_id < {n_queries}
+    ),
+    scored AS (
+        SELECT q.query_id, q.true_label, b.vec_id,
+               (b.label = q.true_label) AS same,
+               ROUND(list_inner_product(b.v, q.qv)
+                     / (SQRT(list_inner_product(b.v, b.v))
+                        * SQRT(list_inner_product(q.qv, q.qv))), 6) AS c
+        FROM b, q WHERE b.vec_id <> q.query_id
+    ),
+    best AS (
+        SELECT query_id, true_label, vec_id, same, c FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, same
+                                         ORDER BY c DESC, vec_id ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT p.query_id, p.true_label,
+           p.vec_id AS pos_id, p.c AS pos_sim,
+           n.vec_id AS neg_id, n.c AS neg_sim,
+           ROUND(p.c - n.c, 6) AS margin
+    FROM best p JOIN best n
+      ON p.query_id = n.query_id AND p.same AND NOT n.same
+    """
+
+
+@query("contrastive_pair_mining", oracle=_contrastive_oracle())
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive finetuning (operators/
+    similarity.py ``contrastive_pair_mining``): per anchor, the nearest
+    same-label positive, the nearest different-label hard negative, and
+    the cosine margin — non-positive margins are the triplet-loss
+    violations a finetuning pass trains on.  One broadcast scoring pass +
+    two ranks over the same relation; oracle replays scoring, both
+    windows and the margin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.contrastive_pair_mining(emb, dim=64, n_queries=8)

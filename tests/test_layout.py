@@ -245,3 +245,33 @@ def test_compact_files_validates_args(spark, tmp_path):
         compact_files(spark, src, str(tmp_path / "y"))
     with _pt.raises(ValueError):
         compact_files(spark, src, str(tmp_path / "y"), n_files=2, target_rows_per_file=5)
+
+
+def test_range_write_clustered_sorted_nonoverlapping_files(spark, tmp_path):
+    from fs2_kinesis_firehose_spark.operators.layout import (
+        file_stats,
+        range_write_clustered,
+    )
+
+    df = spark.range(400).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    out = str(tmp_path / "range")
+    bounds = range_write_clustered(df, out, "v", n_buckets=4)
+    assert bounds == sorted(bounds) and len(bounds) == 3
+    stats = file_stats(out, ["v"])
+    assert len(stats) == 4  # one file per non-empty bucket
+    # files cover disjoint value ranges (range clustering, not hashing)
+    spans = sorted(s["v"] for s in stats)
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo
+    # every row survives the round-trip
+    assert spark.read.parquet(out).count() == 400
+
+
+def test_range_write_clustered_validates_buckets(spark, tmp_path):
+    import pytest
+
+    from fs2_kinesis_firehose_spark.operators.layout import range_write_clustered
+
+    df = spark.range(10).selectExpr("CAST(id AS DOUBLE) AS v")
+    with pytest.raises(ValueError, match="n_buckets"):
+        range_write_clustered(df, str(tmp_path / "x"), "v", n_buckets=1)

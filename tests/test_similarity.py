@@ -231,3 +231,41 @@ def test_knn_label_eval_tie_breaks_to_smallest_label(spark):
     df = spark.createDataFrame(rows)
     out = knn_label_eval(df, dim=2, n_queries=1, k=2).collect()
     assert out[0].pred_label == 3 and out[0].is_correct == 1
+
+
+def test_contrastive_pair_mining_picks_pos_and_hard_neg(spark):
+    from fs2_kinesis_firehose_spark.operators.similarity import (
+        contrastive_pair_mining,
+    )
+
+    # anchor 0 (label 1): nearest same-label is v2, nearest different-label
+    # is v1 (closer than v2 → a triplet violation, margin < 0)
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=1),
+        Row(vec_id=1, embedding=[0.99, 0.01], label=2),
+        Row(vec_id=2, embedding=[0.95, 0.05], label=1),
+        Row(vec_id=3, embedding=[-1.0, 0.0], label=2),
+    ]
+    df = spark.createDataFrame(rows)
+    out = contrastive_pair_mining(df, dim=2, n_queries=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.query_id, r.true_label, r.pos_id, r.neg_id) == (0, 1, 2, 1)
+    assert r.margin < 0  # the hard negative outranks the positive
+    assert r.pos_sim == round(r.margin + r.neg_sim, 6)
+
+
+def test_contrastive_pair_mining_excludes_self(spark):
+    from fs2_kinesis_firehose_spark.operators.similarity import (
+        contrastive_pair_mining,
+    )
+
+    # the anchor itself (cos=1, same label) must NOT be its own positive
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=1),
+        Row(vec_id=1, embedding=[0.5, 0.5], label=1),
+        Row(vec_id=2, embedding=[0.0, 1.0], label=2),
+    ]
+    df = spark.createDataFrame(rows)
+    r = contrastive_pair_mining(df, dim=2, n_queries=1).collect()[0]
+    assert r.pos_id == 1
