@@ -456,3 +456,39 @@ def test_tpch_q20_semi_join_chain(spark, sf_smoke):
     plan = explain_str(df)
     assert plan.count("LeftSemi") >= 2, plan
     assert_plan_lacks(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_snapshot_diff_full_outer_no_broadcast_no_cartesian(spark, sf_smoke):
+    # a full-outer join cannot broadcast: the scale-safe plan is ONE
+    # co-partitionable sort-merge join on the key
+    df = q.QUERIES["snapshot_diff_accounting"](spark, sf_smoke)
+    assert_plan_contains(df, "SortMergeJoin", "FullOuter")
+    assert_plan_lacks(df, "CartesianProduct", "BroadcastHashJoin")
+
+
+def test_embedding_evals_broadcast_query_set_no_cartesian(spark, sf_smoke):
+    for name in (
+        "truncated_dim_recall_at_k",
+        "knn_label_accuracy",
+        "contrastive_pair_mining",
+        "cluster_balanced_sample_counts",
+    ):
+        df = q.QUERIES[name](spark, sf_smoke)
+        assert_plan_lacks(df, "CartesianProduct")
+
+
+def test_key_skew_report_broadcasts_topn_single_key_shuffle(spark, sf_smoke):
+    df = q.QUERIES["join_key_skew_report"](spark, sf_smoke)
+    # the top-N side joins the 1-row summary via broadcast, never a shuffle
+    # join; TakeOrdered picks the top keys without a global sort
+    assert_plan_contains(df, "TakeOrderedAndProject", "BroadcastNestedLoopJoin")
+    assert_plan_lacks(df, "CartesianProduct", "SortMergeJoin")
+
+
+def test_length_bucket_padding_stays_codegen(spark, sf_smoke):
+    df = q.QUERIES["length_bucket_padding_stats"](spark, sf_smoke)
+    plan = explain_str(df)
+    # one scan + partial/final aggregate, no Python, no joins
+    assert plan.count("HashAggregate") >= 2, plan
+    for op in ("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"):
+        assert op not in plan, plan
