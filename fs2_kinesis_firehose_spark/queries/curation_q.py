@@ -583,7 +583,7 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "seq_concat_pack_stats",
-    oracle="""
+    oracle=r"""
     WITH t AS (
         SELECT doc_id,
                len(string_split_regex(trim(text), '\s+')) AS n_tokens,
@@ -639,7 +639,7 @@ def seq_concat_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "token_budget_sample_stats",
-    oracle="""
+    oracle=r"""
     WITH t AS (
         SELECT source, doc_id,
                len(string_split_regex(trim(text), '\s+')) AS n_tokens,
