@@ -557,15 +557,15 @@ def range_write_clustered(
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    row = (
-        df.agg(
-            *[
-                F.round(F.percentile(F.col(col), F.lit(p)), round_to).alias(f"_q{i}")
-                for i, p in enumerate(probs)
-            ]
-        ).collect()[0]
-    )
-    bounds = [float(row[f"_q{i}"]) for i in range(len(probs))]
+    # ONE array-percentile aggregate (a single sort-based buffer pass), not
+    # n_buckets−1 separate percentile aggregates each re-buffering the column
+    row = df.agg(
+        F.transform(
+            F.percentile(F.col(col), F.array(*[F.lit(p) for p in probs])),
+            lambda x: F.round(x, round_to),  # HALF_UP, same as the SQL oracle
+        ).alias("_qs")
+    ).collect()[0]
+    bounds = [float(v) for v in row["_qs"]]
     expr = None
     for i, b in enumerate(bounds):
         cond = F.col(col) <= F.lit(b)
