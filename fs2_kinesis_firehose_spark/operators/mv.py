@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fold_additive_agg"]
+__all__ = ["fold_additive_agg", "signed_cdc_delta"]
 
 
 def fold_additive_agg(
@@ -64,3 +64,42 @@ def fold_additive_agg(
             (F.coalesce(F.col(c), zero) + F.coalesce(F.col(f"_d_{c}"), zero)).alias(c)
         )
     return joined.select(*out_cols)
+
+
+def signed_cdc_delta(
+    changes: DataFrame,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    *,
+    count_col: str = "n_rows",
+    action_col: str = "action",
+) -> DataFrame:
+    """Partial-aggregate a CDC batch as SIGNED deltas so a change feed with
+    UPDATES and DELETES can maintain a SUM/COUNT view through the same
+    additive fold as inserts (``fold_additive_agg``): inserted rows
+    contribute (+1, +new), removed rows (−1, −old), changed rows
+    (0, new − old).  This is the retraction algebra of incremental view
+    maintenance — sums are abelian GROUPS, not just monoids, so deletes
+    fold exactly; MIN/MAX (monoid-only) cannot be maintained this way and
+    need recompute on delete.
+
+    ``measures`` maps each output measure to its ``(old_col, new_col)``
+    pair in the change batch (NULL old = insert, NULL new = delete).
+    Output: keys + count_col + one signed column per measure — the same
+    shape ``fold_additive_agg`` takes as its delta.
+
+    Plan: one map-side-combining aggregate over the (small) change batch;
+    refresh cost stays ∝ |delta| regardless of view or base size.
+    """
+    sign = (
+        F.when(F.col(action_col) == "added", F.lit(1))
+        .when(F.col(action_col) == "removed", F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    aggs = [F.sum(sign).alias(count_col)]
+    for out, (old_c, new_c) in measures.items():
+        contrib = F.coalesce(F.col(new_c), F.lit(0)) - F.coalesce(
+            F.col(old_c), F.lit(0)
+        )
+        aggs.append(F.sum(contrib).alias(out))
+    return changes.groupBy(*keys).agg(*aggs)

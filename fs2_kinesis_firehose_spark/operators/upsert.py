@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["upsert_snapshot", "scd2_apply", "snapshot_diff"]
+__all__ = ["upsert_snapshot", "scd2_apply", "snapshot_diff", "scd2_point_in_time_join"]
 
 
 def upsert_snapshot(
@@ -371,3 +371,47 @@ def snapshot_diff(
         for c in cols
     ]
     return j.select(*out, action.alias(action_col))
+
+
+def scd2_point_in_time_join(
+    history: DataFrame,
+    facts: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """AS-OF dimension lookup against an SCD2 history: each fact row joins
+    the dimension version in force at its timestamp
+    (``from_col <= ts < to_col``, NULL ``to_col`` = still open) — the
+    consumer side of :func:`scd2_apply` and the join that makes historical
+    reprocessing correct (yesterday's fact must see yesterday's dimension,
+    not today's).
+
+    Output: facts columns + the history's data columns (everything except
+    key/validity).  Inner join: facts before the key's first version drop
+    out, exactly like a point-in-time SQL lookup.
+
+    At 100 TB: ONE equi-hash-join on the key with the interval predicate
+    evaluated as a join residual — per key the version chain is short, so
+    the residual scans a handful of rows; no interval explosion, no window
+    pass over the fact table.  Co-bucket both sides by the key to make it
+    exchange-free.
+    """
+    data_cols = [c for c in history.columns if c not in (key_col, from_col, to_col)]
+    clash = [c for c in data_cols if c in facts.columns]
+    if clash:
+        raise ValueError(f"history data columns clash with fact columns: {clash}")
+    h = history.select(
+        F.col(key_col).alias("_hk"),
+        F.col(from_col).alias("_vf"),
+        F.col(to_col).alias("_vt"),
+        *[F.col(c) for c in data_cols],
+    )
+    cond = (
+        (facts[ts_col] >= h["_vf"])
+        & (h["_vt"].isNull() | (facts[ts_col] < h["_vt"]))
+        & (facts[key_col] == h["_hk"])
+    )
+    return facts.join(h, cond, "inner").select(*facts.columns, *data_cols)

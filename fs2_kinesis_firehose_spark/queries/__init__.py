@@ -105,6 +105,8 @@ _WINDOW_PRIORITY: list[str] = [
     "range_layout_pruning_stats",
     "contrastive_pair_mining",
     "length_bucket_padding_stats",
+    "scd2_point_in_time_revenue",
+    "mv_retraction_refresh_accounting",
     "ivf_pq_append_serve_topk",
     "domain_dedup_stats",
     "canon_url_dedup_accounting",

@@ -306,3 +306,164 @@ def snapshot_diff_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").alias("key_sum"),
         F.sum(cents).alias("total_cents"),
     )
+
+
+@query(
+    "scd2_point_in_time_revenue",
+    # the scd2_version_accounting history (batch1 @1000: %10==3 → +7.77;
+    # batch2 @2000: %100==13 → +12.77, %100==23 no-op) probed AS OF three
+    # epochs; each epoch's price is closed-form (13 ≡ 3 and 23 ≡ 3 mod 10,
+    # so the 2500 lookup must layer the chains correctly).
+    oracle=f"""
+    WITH snap AS (SELECT o_orderkey, o_totalprice FROM orders)
+    SELECT 500 AS lookup_ts, COUNT(*) AS n_rows,
+           CAST(SUM({_CENTS.format(col="o_totalprice")}) AS BIGINT) AS total_cents
+    FROM snap
+    UNION ALL
+    SELECT 1500, COUNT(*),
+           CAST(SUM({_CENTS.format(
+               col="(CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 7.77 "
+                   "ELSE o_totalprice END)")}) AS BIGINT)
+    FROM snap
+    UNION ALL
+    SELECT 2500, COUNT(*),
+           CAST(SUM({_CENTS.format(
+               col="(CASE WHEN o_orderkey % 100 = 13 THEN o_totalprice + 12.77 "
+                   "WHEN o_orderkey % 10 = 3 THEN o_totalprice + 7.77 "
+                   "ELSE o_totalprice END)")}) AS BIGINT)
+    FROM snap
+    """,
+)
+def scd2_point_in_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) lookup against the SCD2 history
+    (operators/upsert.py ``scd2_point_in_time_join``): every order key is
+    probed at three epochs straddling the two change batches, and per
+    epoch the looked-up prices are summed in exact cents — yesterday's
+    fact sees yesterday's price.  A lookup that reads the wrong version
+    (mis-ordered interval bounds, open-version mishandling, or a no-op
+    that spuriously opened a version) shifts an epoch's sum and fails
+    the hash."""
+    from fs2_kinesis_firehose_spark.operators.upsert import (
+        scd2_apply,
+        scd2_point_in_time_join,
+    )
+
+    key = F.col("o_orderkey")
+    price = F.col("o_totalprice")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    b1 = base.where(key % 10 == 3).select(
+        "o_orderkey",
+        (price + F.lit(7.77)).alias("o_totalprice"),
+        F.lit(1000).cast("long").alias("change_ts"),
+    )
+    b2 = base.where(key % 100 == 13).select(
+        "o_orderkey",
+        (price + F.lit(12.77)).alias("o_totalprice"),
+        F.lit(2000).cast("long").alias("change_ts"),
+    ).unionByName(
+        base.where(key % 100 == 23).select(
+            "o_orderkey",
+            (price + F.lit(7.77)).alias("o_totalprice"),  # no-op resend
+            F.lit(2000).cast("long").alias("change_ts"),
+        )
+    )
+    h1 = scd2_apply(
+        base, b1, "o_orderkey", "change_ts", single_tick=True
+    ).localCheckpoint(eager=False)
+    h2 = scd2_apply(
+        h1, b2, "o_orderkey", "change_ts", single_tick=True
+    ).localCheckpoint(eager=False)
+    facts = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .withColumn(
+            "lookup_ts", F.explode(F.array(F.lit(500), F.lit(1500), F.lit(2500)))
+        )
+        .withColumn("lookup_ts", F.col("lookup_ts").cast("long"))
+    )
+    joined = scd2_point_in_time_join(h2, facts, "o_orderkey", "lookup_ts")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return joined.groupBy("lookup_ts").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(cents).alias("total_cents")
+    )
+
+
+@query(
+    "mv_retraction_refresh_accounting",
+    # the oracle is the FULL RECOMPUTE over the mutated snapshot — a hash
+    # match proves fold(view, signed_delta) ≡ recompute for a CDC batch with
+    # inserts, updates AND deletes (the retraction algebra: sums form a
+    # group, so deletes fold exactly).
+    oracle=f"""
+    WITH snap AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    ),
+    mutated AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 7.77
+                    ELSE o_totalprice END AS p
+        FROM snap WHERE o_orderkey % 100 <> 55
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice FROM snap WHERE o_orderkey % 100 = 7
+    )
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM({_CENTS.format(col="p")}) AS BIGINT) AS total_cents
+    FROM mutated
+    GROUP BY o_orderpriority
+    """,
+)
+def mv_retraction_refresh_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-aware incremental MV maintenance: a per-priority
+    SUM/COUNT view of orders is refreshed through a CDC batch containing
+    UPDATES (keys ≡3 mod 10, +7.77), DELETES (≡55 mod 100) and INSERTS
+    (≡7 mod 100) by folding SIGNED deltas (operators/mv.py
+    ``signed_cdc_delta`` → ``fold_additive_agg``) — refresh cost ∝ |delta|.
+    The oracle recomputes the view from the mutated snapshot from scratch;
+    the hash match IS the proof that the incremental path equals the full
+    recompute, deletes included."""
+    from fs2_kinesis_firehose_spark.operators.mv import (
+        fold_additive_agg,
+        signed_cdc_delta,
+    )
+
+    key = F.col("o_orderkey")
+    snap = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    view = snap.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum(cents).alias("total_cents")
+    )
+    new_cents = F.round((F.col("o_totalprice") + 7.77) * 100).cast("long")
+    upd = snap.where(key % 10 == 3).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.lit("changed").alias("action"),
+        cents.alias("old_cents"),
+        new_cents.alias("new_cents"),
+    )
+    dele = snap.where(key % 100 == 55).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.lit("removed").alias("action"),
+        cents.alias("old_cents"),
+        F.lit(None).cast("long").alias("new_cents"),
+    )
+    ins = snap.where(key % 100 == 7).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.lit("added").alias("action"),
+        F.lit(None).cast("long").alias("old_cents"),
+        cents.alias("new_cents"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    delta = signed_cdc_delta(
+        changes,
+        ["priority"],
+        {"total_cents": ("old_cents", "new_cents")},
+        count_col="n_orders",
+    )
+    return fold_additive_agg(view, delta, ["priority"], ["n_orders", "total_cents"])

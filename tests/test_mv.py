@@ -76,3 +76,31 @@ def test_fold_validates_delta_columns_and_rename_collisions(spark):
     clash = spark.createDataFrame([("a", 1, "x")], "k string, s bigint, _d_k string")
     with pytest.raises(ValueError, match="_d_"):
         fold_additive_agg(view, clash, ["k"], ["s"])
+
+
+def test_signed_cdc_delta_retraction_algebra(spark):
+    from pyspark.sql import Row
+
+    from fs2_kinesis_firehose_spark.operators.mv import (
+        fold_additive_agg,
+        signed_cdc_delta,
+    )
+
+    view = spark.createDataFrame(
+        [Row(g="a", n_rows=2, total=30), Row(g="b", n_rows=1, total=5)]
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(g="a", action="removed", old_v=10, new_v=None),   # -1, -10
+            Row(g="a", action="changed", old_v=20, new_v=25),     #  0,  +5
+            Row(g="b", action="added", old_v=None, new_v=7),      # +1,  +7
+        ],
+        "g string, action string, old_v long, new_v long",
+    )
+    delta = signed_cdc_delta(
+        changes, ["g"], {"total": ("old_v", "new_v")}, count_col="n_rows"
+    )
+    out = {r.g: (r.n_rows, r.total)
+           for r in fold_additive_agg(view, delta, ["g"], ["n_rows", "total"]).collect()}
+    # a: (2-1, 30-10+5) ; b: (1+1, 5+7) — exactly the full recompute
+    assert out == {"a": (1, 25), "b": (2, 12)}

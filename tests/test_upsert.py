@@ -300,3 +300,35 @@ def test_snapshot_diff_missing_compare_col_raises(spark):
     new = spark.createDataFrame([Row(k=1, v=1)])
     with pytest.raises(ValueError, match="extra"):
         snapshot_diff(old, new, "k")
+
+
+def test_scd2_point_in_time_join_reads_version_in_force(spark):
+    from fs2_kinesis_firehose_spark.operators.upsert import scd2_point_in_time_join
+
+    hist = spark.createDataFrame(
+        [
+            Row(k=1, v="a", valid_from=0, valid_to=1000),
+            Row(k=1, v="b", valid_from=1000, valid_to=None),
+            Row(k=2, v="z", valid_from=500, valid_to=None),
+        ]
+    )
+    facts = spark.createDataFrame(
+        [Row(k=1, ts=0), Row(k=1, ts=999), Row(k=1, ts=1000), Row(k=2, ts=100), Row(k=2, ts=600)]
+    )
+    out = {(r.k, r.ts): r.v for r in scd2_point_in_time_join(hist, facts, "k", "ts").collect()}
+    # boundary semantics: from inclusive, to exclusive; open version = NULL to
+    assert out == {(1, 0): "a", (1, 999): "a", (1, 1000): "b", (2, 600): "z"}
+    # (2, 100) predates key 2's first version → dropped (inner join)
+
+
+def test_scd2_point_in_time_join_column_clash_raises(spark):
+    import pytest
+
+    from fs2_kinesis_firehose_spark.operators.upsert import scd2_point_in_time_join
+
+    hist = spark.createDataFrame(
+        [(1, "a", 0, None)], "k long, v string, valid_from long, valid_to long"
+    )
+    facts = spark.createDataFrame([Row(k=1, ts=0, v="fact-side")])
+    with pytest.raises(ValueError, match="clash"):
+        scd2_point_in_time_join(hist, facts, "k", "ts")
