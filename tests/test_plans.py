@@ -492,3 +492,20 @@ def test_length_bucket_padding_stays_codegen(spark, sf_smoke):
     assert plan.count("HashAggregate") >= 2, plan
     for op in ("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"):
         assert op not in plan, plan
+
+
+def test_scd2_point_in_time_join_is_keyed_not_bnlj(spark, sf_smoke):
+    # the interval predicate must ride as a residual on the KEY equi-join;
+    # a BroadcastNestedLoopJoin/CartesianProduct here would explode at scale
+    df = q.QUERIES["scd2_point_in_time_revenue"](spark, sf_smoke)
+    plan = explain_str(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert_plan_lacks(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_mv_retraction_fold_no_raw_rescan_shape(spark, sf_smoke):
+    # the fold joins two AGGREGATE-sized relations; the plan must show the
+    # full-outer fold join and no cartesian
+    df = q.QUERIES["mv_retraction_refresh_accounting"](spark, sf_smoke)
+    assert_plan_contains(df, "FullOuter")
+    assert_plan_lacks(df, "CartesianProduct")
