@@ -80,10 +80,13 @@ _WINDOW_PRIORITY: list[str] = [
     # (seq_concat/token_budget regex split) were all re-verified against
     # their oracles locally this round and alter no results, so they rotate
     # on evidence age like everything else.
-    # (2) fills the remaining 43 slots with oldest-evidence rotations —
+    # (2) fills the remaining slots with oldest-evidence rotations from
     # the 43 r7-stale names (the ngram_jaccard/gopher/multimodal/TPC-H-r7
     # block, last driver-verified 5 rounds of refactors ago), name-
-    # ascending.
+    # ascending.  The round-12 CONTINUATION session added 14 more
+    # never-green heads (see below), so 30 of the 43 rotate in this
+    # round; the remaining 13 stay r7-green (verified_green.json) and
+    # head the r13 rotation.
     # ---------------------------------------------------------------
     # Round-12 continuation additions (never-green → head of window;
     # they displace the 5 tail rotation slots, all r7-green):
