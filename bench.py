@@ -304,6 +304,7 @@ HEADLINE = [
     "length_bucket_padding_stats",
     "scd2_point_in_time_revenue",
     "mv_retraction_refresh_accounting",
+    "token_compression_stats",
     # round-12 split lifecycle lines (r11 verdict ask #8): the persisted
     # ANN index's STEADY-STATE serving cost, measured with the build done
     # once OUTSIDE the timer — `ivf_pq_persisted_topk` /

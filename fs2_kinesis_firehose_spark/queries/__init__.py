@@ -83,10 +83,10 @@ _WINDOW_PRIORITY: list[str] = [
     # (2) fills the remaining slots with oldest-evidence rotations from
     # the 43 r7-stale names (the ngram_jaccard/gopher/multimodal/TPC-H-r7
     # block, last driver-verified 5 rounds of refactors ago), name-
-    # ascending.  The round-12 CONTINUATION session added 14 more
-    # never-green heads (see below), so 30 of the 43 rotate in this
-    # round; the remaining 13 stay r7-green (verified_green.json) and
-    # head the r13 rotation.
+    # ascending.  The round-12 CONTINUATION session added 15 more
+    # never-green heads (see below), so only part of the r7 block rotates
+    # in this round; the rest stay r7-green (verified_green.json) and
+    # head the r13 rotation (list in PLANS.md "r13 rotation handoff").
     # ---------------------------------------------------------------
     # Round-12 continuation additions (never-green → head of window;
     # they displace the 5 tail rotation slots, all r7-green):
@@ -110,6 +110,7 @@ _WINDOW_PRIORITY: list[str] = [
     "length_bucket_padding_stats",
     "scd2_point_in_time_revenue",
     "mv_retraction_refresh_accounting",
+    "token_compression_stats",
     "ivf_pq_append_serve_topk",
     "domain_dedup_stats",
     "canon_url_dedup_accounting",

@@ -2935,3 +2935,59 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows and the margin."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.contrastive_pair_mining(emb, dim=64, n_queries=8)
+
+
+@query(
+    "token_compression_stats",
+    oracle=r"""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS byte_sum,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS ws_token_sum,
+           CAST(SUM(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))) AS BIGINT) AS bpe_token_sum,
+           ROUND(SUM(strlen(text))
+                 / SUM(len(string_split_regex(trim(text), '\s+'))), 6)
+               AS bytes_per_ws_token,
+           ROUND(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')))
+                 / SUM(len(string_split_regex(trim(text), '\s+'))), 6)
+               AS fertility
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def token_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer compression/fertility health table per (source, lang):
+    bytes per whitespace token (how "compressible" each slice is — the
+    storage/compute cost driver of a token budget) and fertility (BPE-ish
+    subword tokens per whitespace word — high fertility flags slices the
+    tokenizer serves poorly, the standard multilingual-corpus diagnostic).
+    Aggregate-level ratios (sum/sum, not mean-of-ratios) so rare long docs
+    can't swamp the per-slice number.
+
+    Plan: both token counts fuse into the scan as codegen regex
+    expressions, ONE map-side-combining aggregate on the (source, lang)
+    pair — scan-speed at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = TS.token_count("text")
+    bpe = TS.bpe_ish_token_count("text")
+    byte_len = F.octet_length("text")
+    agg = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(byte_len).alias("byte_sum"),
+        F.sum(ws).alias("ws_token_sum"),
+        F.sum(bpe).alias("bpe_token_sum"),
+    )
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "byte_sum",
+        "ws_token_sum",
+        "bpe_token_sum",
+        F.round(F.col("byte_sum") / F.col("ws_token_sum"), 6).alias(
+            "bytes_per_ws_token"
+        ),
+        F.round(F.col("bpe_token_sum") / F.col("ws_token_sum"), 6).alias("fertility"),
+    )
