@@ -497,8 +497,12 @@ def group_cap_sample(
 
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
+    # Coalesce NULL keys to a sentinel before hashing: md5(NULL) is NULL and
+    # Spark sorts NULLS FIRST while DuckDB defaults NULLS LAST, which would
+    # break the cross-engine determinism claim on nullable key columns.
+    key_str = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
     w = Window.partitionBy(group_col).orderBy(
-        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), key_col
+        F.md5(F.concat(key_str, F.lit(salt))), key_str
     )
     ranked = df.withColumn("_rn", F.row_number().over(w))
     if keep_col is not None:

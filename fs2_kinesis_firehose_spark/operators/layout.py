@@ -553,6 +553,11 @@ def range_write_clustered(
     — metadata), one hash shuffle on the bucket id, one file per non-empty
     bucket.  At 100 TB this is the standard clustered-write pattern:
     boundaries from a cheap stats pass, then a single repartition+sort.
+
+    ``col`` must be non-null: a NULL value has no position in the range
+    order (it would otherwise silently ride the when-chain's otherwise
+    branch into the highest bucket, breaking the pure row→file mapping),
+    so the write raises on the first NULL instead.
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
@@ -570,7 +575,14 @@ def range_write_clustered(
     for i, b in enumerate(bounds):
         cond = F.col(col) <= F.lit(b)
         expr = F.when(cond, i) if expr is None else expr.when(cond, i)
-    expr = expr.otherwise(len(bounds))
+    expr = expr.otherwise(
+        F.when(
+            F.col(col).isNull(),
+            F.raise_error(
+                F.lit(f"range_write_clustered: NULL in clustering column {col!r}")
+            ).cast("int"),
+        ).otherwise(len(bounds))
+    )
     (
         df.withColumn("_rbucket", expr.cast("int"))
         .repartition(n_buckets, "_rbucket")

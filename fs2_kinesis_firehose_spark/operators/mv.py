@@ -91,10 +91,21 @@ def signed_cdc_delta(
     Plan: one map-side-combining aggregate over the (small) change batch;
     refresh cost stays ∝ |delta| regardless of view or base size.
     """
+    # Validate the action vocabulary in-plan: a feed speaking a different
+    # dialect ('deleted', 'upsert', NULL) must fail loudly, not silently
+    # contribute sign 0 while still emitting the measure delta.
     sign = (
         F.when(F.col(action_col) == "added", F.lit(1))
         .when(F.col(action_col) == "removed", F.lit(-1))
-        .otherwise(F.lit(0))
+        .when(F.col(action_col).isin("changed", "unchanged"), F.lit(0))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("signed_cdc_delta: unknown action "),
+                    F.coalesce(F.col(action_col), F.lit("NULL")),
+                )
+            ).cast("int")
+        )
     )
     aggs = [F.sum(sign).alias(count_col)]
     for out, (old_c, new_c) in measures.items():

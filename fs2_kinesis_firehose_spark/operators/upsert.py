@@ -352,22 +352,33 @@ def snapshot_diff(
     if missing:
         raise ValueError(f"compare_cols missing from new snapshot: {missing}")
     o = old.select(
-        F.col(key_col).alias("_ok"), *[F.col(c).alias(f"_o_{c}") for c in cols]
+        F.col(key_col).alias("_ok"),
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
     )
-    n = new.select(F.col(key_col).alias("_nk"), *[F.col(c) for c in cols])
-    j = o.join(n, o["_ok"] == n["_nk"], "full_outer")
+    n = new.select(
+        F.col(key_col).alias("_nk"),
+        F.lit(True).alias("_in_new"),
+        *[F.col(c) for c in cols],
+    )
+    # Null-safe join condition so NULL keys pair with NULL keys; side
+    # membership comes from explicit presence flags, not key nullness (a
+    # NULL-keyed unmatched old row would otherwise misclassify as 'added').
+    j = o.join(n, o["_ok"].eqNullSafe(n["_nk"]), "full_outer")
     changed = F.lit(False)
     for c in cols:
         changed = changed | ~F.col(f"_o_{c}").eqNullSafe(F.col(c))
     action = (
-        F.when(F.col("_ok").isNull(), F.lit("added"))
-        .when(F.col("_nk").isNull(), F.lit("removed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
         .when(changed, F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     out = [F.coalesce(F.col("_nk"), F.col("_ok")).alias(key_col)]
     out += [
-        F.when(F.col("_nk").isNull(), F.col(f"_o_{c}")).otherwise(F.col(c)).alias(c)
+        F.when(F.col("_in_new").isNull(), F.col(f"_o_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
         for c in cols
     ]
     return j.select(*out, action.alias(action_col))

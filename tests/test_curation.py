@@ -431,3 +431,21 @@ def test_group_cap_sample_flag_mode_and_validation(spark):
     assert flagged.count() == 2 and flagged.filter("keep").count() == 1
     with pytest.raises(ValueError, match="cap"):
         group_cap_sample(df, "g", "k", cap=0)
+
+
+def test_group_cap_sample_null_keys_sort_deterministically(spark):
+    """NULL keys hash via a sentinel instead of md5(NULL)=NULL, so the
+    seeded order has no engine-dependent NULLS FIRST/LAST placement
+    (r12 advisory fix) and NULL-keyed rows still count against the cap."""
+    from fs2_kinesis_firehose_spark.operators.curation import group_cap_sample
+
+    schema = "g string, k long"
+    rows = [("a", i) for i in range(5)] + [("a", None), ("a", None)]
+    df = spark.createDataFrame(rows, schema)
+    kept = group_cap_sample(df, "g", "k", cap=4)
+    assert kept.count() == 4
+    k1 = sorted((r.k is None, r.k) for r in kept.collect())
+    k2 = sorted(
+        (r.k is None, r.k) for r in group_cap_sample(df, "g", "k", cap=4).collect()
+    )
+    assert k1 == k2  # deterministic with NULLs present

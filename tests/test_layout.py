@@ -275,3 +275,18 @@ def test_range_write_clustered_validates_buckets(spark, tmp_path):
     df = spark.range(10).selectExpr("CAST(id AS DOUBLE) AS v")
     with pytest.raises(ValueError, match="n_buckets"):
         range_write_clustered(df, str(tmp_path / "x"), "v", n_buckets=1)
+
+
+def test_range_write_clustered_null_value_raises(spark, tmp_path):
+    """NULL clustering values have no range position; the write must fail
+    loudly instead of silently routing them into the highest bucket
+    (r12 advisory fix)."""
+    import pytest
+
+    from fs2_kinesis_firehose_spark.operators.layout import range_write_clustered
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(20)] + [(None,)], "v double"
+    )
+    with pytest.raises(Exception, match="NULL in clustering column"):
+        range_write_clustered(df, str(tmp_path / "nulls"), "v", n_buckets=2)

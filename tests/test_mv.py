@@ -104,3 +104,34 @@ def test_signed_cdc_delta_retraction_algebra(spark):
            for r in fold_additive_agg(view, delta, ["g"], ["n_rows", "total"]).collect()}
     # a: (2-1, 30-10+5) ; b: (1+1, 5+7) — exactly the full recompute
     assert out == {"a": (1, 25), "b": (2, 12)}
+
+
+def test_signed_cdc_delta_unknown_action_fails_loudly(spark):
+    """A change feed speaking a different action vocabulary ('deleted',
+    NULL) must error, not silently contribute sign 0 (r12 advisory fix)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from fs2_kinesis_firehose_spark.operators.mv import signed_cdc_delta
+
+    changes = spark.createDataFrame(
+        [Row(g="a", action="deleted", old_v=10, new_v=None)],
+        "g string, action string, old_v long, new_v long",
+    )
+    delta = signed_cdc_delta(changes, ["g"], {"total": ("old_v", "new_v")})
+    with pytest.raises(Exception, match="unknown action deleted"):
+        delta.collect()
+
+    null_action = spark.createDataFrame(
+        [Row(g="a", action=None, old_v=1, new_v=2)],
+        "g string, action string, old_v long, new_v long",
+    )
+    with pytest.raises(Exception, match="unknown action NULL"):
+        signed_cdc_delta(null_action, ["g"], {"total": ("old_v", "new_v")}).collect()
+
+    ok = spark.createDataFrame(
+        [Row(g="a", action="unchanged", old_v=3, new_v=3)],
+        "g string, action string, old_v long, new_v long",
+    )
+    row = signed_cdc_delta(ok, ["g"], {"total": ("old_v", "new_v")}).collect()[0]
+    assert (row.n_rows, row.total) == (0, 0)

@@ -302,6 +302,24 @@ def test_snapshot_diff_missing_compare_col_raises(spark):
         snapshot_diff(old, new, "k")
 
 
+def test_snapshot_diff_null_keys_pair_and_classify_by_presence(spark):
+    """Side membership uses presence flags, not key nullness: a NULL-keyed
+    old-only row is 'removed' (not 'added'), and NULL keys on both sides
+    pair via the null-safe join (r12 advisory fix)."""
+    from fs2_kinesis_firehose_spark.operators.upsert import snapshot_diff
+
+    schema = "k long, v string"
+    old = spark.createDataFrame([(None, "x"), (1, "a")], schema)
+    new = spark.createDataFrame([(None, "y"), (2, "b")], schema)
+    out = {(r.k, r.action) for r in snapshot_diff(old, new, "k").collect()}
+    assert out == {(None, "changed"), (1, "removed"), (2, "added")}
+
+    old2 = spark.createDataFrame([(None, "only-old")], schema)
+    new2 = spark.createDataFrame([(5, "n")], schema)
+    out2 = {(r.k, r.action, r.v) for r in snapshot_diff(old2, new2, "k").collect()}
+    assert out2 == {(None, "removed", "only-old"), (5, "added", "n")}
+
+
 def test_scd2_point_in_time_join_reads_version_in_force(spark):
     from fs2_kinesis_firehose_spark.operators.upsert import scd2_point_in_time_join
 
