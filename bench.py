@@ -312,6 +312,13 @@ HEADLINE = [
     # together, which hides whether a serving regression is build noise
     "ivf_pq_persisted_serve_only",
     "streaming_ann_batch_serve_only",
+    # round-13 additions: trained char-trigram language-ID (featurize +
+    # 5 one-vs-rest quantized-GD trainings + argmax scoring — the whole
+    # training loop is the measured cost) and watermark late-data drop
+    # accounting (three-phase file replay through the real streaming
+    # engine: stage writes + 3 micro-batches + append-mode finalization)
+    "lang_id_trained_accuracy",
+    "streaming_late_data_accounting",
 ]
 
 # ---------------------------------------------------------------------------

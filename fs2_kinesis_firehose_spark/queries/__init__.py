@@ -57,95 +57,35 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Queries deliberately kept OUTSIDE the driver window even though they have
 # no green driver row: each name here must carry a justification.  The window
 # test treats these as reviewed exceptions rather than silent evictions.
-WINDOW_EXEMPT: dict[str, str] = {
-    # xxhash64 production-hash variant; semantics fully driver-verified by
-    # simhash_neardup_pairs (portable md5 fingerprints + exhaustive-Hamming
-    # oracle).  A window slot here can only ever record no_oracle (r3
-    # verdict, "What's wrong" #3).
-    "simhash_candidates": "subsumed by oracle-checked simhash_neardup_pairs",
-}
+# EMPTY as of r13: the one historical entry (simhash_candidates, xxhash64
+# production-hash variant subsumed by the oracle-checked
+# simhash_neardup_pairs) was retired from the registry entirely — the
+# operator stays pytest-only (tests/test_dedup.py), per the r12 verdict.
+WINDOW_EXEMPT: dict[str, str] = {}
 
 _WINDOW_PRIORITY: list[str] = [
-    # --- r12 window (scripts/window_rotation.py --changed streaming_ann_
-    # serving_topk,pipeline_dedup_delivery_accounting; r11 rows folded into
-    # verified_green.json — r11 swept 50/50 green).
-    # (1) heads with 7 slots: FIVE round-12 additions (persisted-index
-    # append lifecycle, URL-canonicalization domain dedup stats, canonical-
-    # URL dedup accounting, persisted MinHash-index append, exact-substring
-    # dedup accounting) and TWO whose implementation materially changed
-    # this round (streaming ANN serving batched to one plan per micro-batch
-    # + replay-idempotent per-batch sink; pipeline_dedup delivery funnel
-    # reverted to ordered after the Audit-B A/B).  The r12 plan-level graph
-    # changes (exchange-reuse pins) and oracle-text robustness fixes
-    # (seq_concat/token_budget regex split) were all re-verified against
-    # their oracles locally this round and alter no results, so they rotate
-    # on evidence age like everything else.
-    # (2) fills the remaining slots with oldest-evidence rotations from
-    # the 43 r7-stale names (the ngram_jaccard/gopher/multimodal/TPC-H-r7
-    # block, last driver-verified 5 rounds of refactors ago), name-
-    # ascending.  The round-12 CONTINUATION session added 15 more
-    # never-green heads (see below), so only part of the r7 block rotates
-    # in this round; the rest stay r7-green (verified_green.json) and
-    # head the r13 rotation (list in PLANS.md "r13 rotation handoff").
-    # ---------------------------------------------------------------
-    # Round-12 continuation additions (never-green → head of window;
-    # they displace the 5 tail rotation slots, all r7-green):
-    # snapshot diff (CDC change-feed audit), shuffle-key skew report,
-    # quality-curriculum quartile buckets, Matryoshka truncated-dim
-    # recall eval, leave-one-out kNN label eval.
-    # (+ domain_cap_sample_counts: registered by the r12 url_q module but
-    # accidentally left out of this list — never-green, so it must sit
-    # inside the window; caught by test_driver_window.)
-    "domain_cap_sample_counts",
+    # --- r13 window (scripts/window_rotation.py --changed snapshot_diff_
+    # accounting,mv_retraction_refresh_accounting,domain_cap_sample_counts,
+    # cluster_balanced_sample_counts,range_layout_pruning_stats; r12 rows
+    # folded into verified_green.json — r12 swept 50/50 green).
+    # (1) heads with 7 slots: TWO r13 additions (trained char-trigram
+    # language-ID with full 5x4 quantized-GD oracle replay; watermark
+    # late-data drop accounting via three-phase replay) and FIVE whose
+    # operator implementation changed this round (the r12-advisory
+    # null-key/action-vocabulary fixes in snapshot_diff, signed_cdc_delta
+    # feeding the retraction MV, group_cap_sample feeding both cap-sampling
+    # queries, and range_write_clustered).
+    # (2) fills the remaining 43 slots with oldest-evidence rotations:
+    # all 15 r7-newest names, then 28 of the 42 r8-newest names
+    # (name-ascending); the remaining 14 r8 names head the r14 rotation
+    # (see PLANS.md "r14 rotation handoff").
+    "lang_id_trained_accuracy",
+    "streaming_late_data_accounting",
     "snapshot_diff_accounting",
-    "join_key_skew_report",
-    "curriculum_bucket_stats",
-    "truncated_dim_recall_at_k",
-    "knn_label_accuracy",
-    "cluster_balanced_sample_counts",
-    "source_score_calibration",
-    "quality_flag_agreement_kappa",
-    "range_layout_pruning_stats",
-    "contrastive_pair_mining",
-    "length_bucket_padding_stats",
-    "scd2_point_in_time_revenue",
     "mv_retraction_refresh_accounting",
-    "token_compression_stats",
-    "ivf_pq_append_serve_topk",
-    "domain_dedup_stats",
-    "canon_url_dedup_accounting",
-    "minhash_index_append_neardup",
-    "exact_substring_dedup_stats",
-    "streaming_ann_serving_topk",
-    "pipeline_dedup_delivery_accounting",
-    "applyinpandas_zscore",
-    "approx_distinct_users",
-    "benchmark_contamination",
-    "binary_quant_rescored_topk",
-    "bpe_learned_token_counts",
-    "classifier_auc_calibration",
-    "customer_order_window_stats",
-    "dedup_exact",
-    "distinct_segments",
-    "doc_fingerprints",
-    "doc_length_histogram",
-    "embedding_neardup_blocked",
-    "embedding_neardup_pairs",
-    "global_top10_orders",
-    "gopher_quality_flags",
-    "gopher_repetition_flags",
-    "grouping_sets_order_stats",
-    "ivf_topk",
-    "lang_id_counts",
-    "multimodal_frame_sample_stats",
-    "multimodal_image_features",
-    "near_dedup_cluster_sizes",
-    "near_dedup_survivors",
-    "ngram_containment_pairs",
-    "ngram_jaccard_filtered",
-    "ngram_jaccard_pairs",
-    "order_price_percentiles",
-    "packed_sequence_stats",
+    "domain_cap_sample_counts",
+    "cluster_balanced_sample_counts",
+    "range_layout_pruning_stats",
     "pandas_udaf_geomean",
     "pii_redaction_stats",
     "quality_scores",
@@ -161,6 +101,34 @@ _WINDOW_PRIORITY: list[str] = [
     "train_val_test_counts",
     "udtf_bigram_counts",
     "zorder_pruning_stats",
+    "all_party_names_union",
+    "ams_f2_bigram_estimate",
+    "analyze_orders_stats",
+    "array_functions",
+    "bm25_postings_topk",
+    "bm25_topk",
+    "bucketed_colocated_join_revenue",
+    "ccnet_perplexity_buckets",
+    "customers_with_orders",
+    "doc_community_labels",
+    "dq_check_report",
+    "event_funnel_times",
+    "full_outer_nation_balance",
+    "hll_distinct_estimates",
+    "hll_grouped_distinct_estimates",
+    "hll_overlap_estimates",
+    "hourly_gap_report",
+    "kmeans_cluster_stats",
+    "late_shipments",
+    "leakage_safe_split_counts",
+    "mad_event_outliers",
+    "market_segment_rollup",
+    "monthly_revenue_running",
+    "multimodal_wav_roundtrip_stats",
+    "multimodal_y4m_roundtrip_stats",
+    "nations_with_customers_and_suppliers",
+    "nations_without_rich_suppliers",
+    "pagerank_top_sources",
 ]
 
 

@@ -116,6 +116,95 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_late_data_accounting",
+    oracle="""
+    WITH gm AS (SELECT MAX(ts) AS gmax FROM events),
+    cls AS (
+        SELECT e.*,
+               (user_id % 7 = 3 AND ts < gmax - INTERVAL 1 HOUR) AS is_late,
+               make_timestamp(CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) * 1000000)
+                   + INTERVAL 10 MINUTE AS wend,
+               gmax
+        FROM events e, gm
+    ),
+    emitted AS (
+        SELECT wend, COUNT(*) AS n FROM cls
+        WHERE NOT is_late AND wend <= gmax - INTERVAL 5 MINUTE
+        GROUP BY wend
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cls)                    AS n_events_total,
+           (SELECT CAST(COUNT(*) FILTER (is_late) AS BIGINT) FROM cls)   AS n_late_submitted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM emitted)                AS n_windows_emitted,
+           (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM emitted)     AS n_events_emitted,
+           (SELECT CAST(COUNT(*) FILTER (NOT is_late) AS BIGINT) FROM cls)
+               - (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM emitted) AS n_open_window_events,
+           TRUE AS engine_reported_drops
+    """,
+)
+def streaming_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP accounting, end-to-end through the real
+    engine: events replay in three ordered micro-batches (bulk, then a
+    small advancer near max(ts), then deterministic stragglers >1 h late),
+    a 10-minute tumbling aggregation with a 5-minute watermark runs in
+    APPEND mode, and the stragglers arrive two batches after the watermark
+    passed their windows — the engine must drop every one of them.
+
+    Spark keeps TWO watermark values per batch (late-events filtering uses
+    the PREVIOUS batch's eviction watermark — the permissive contract, so
+    a straggler in the batch right after the advance still lands; verified
+    empirically and pinned in tests/test_streaming.py): hence the THREE
+    phases — with only two, nothing is ever dropped.
+
+    The oracle restates the exact invariant: emitted rows = non-straggler
+    events in windows closed by the final watermark (``wend ≤ max(ts) −
+    5 min``); stragglers vanish; open-window events are held back
+    unemitted.  ``engine_reported_drops`` pins that the state operator
+    itself counted drops (``numRowsDroppedByWatermark > 0`` — the metric's
+    row unit is post-partial-aggregation, so it enters as a boolean, not a
+    count).  At 100 TB: watermarks are THE knob that bounds streaming
+    state; this query is the auditable proof the configured lateness bound
+    behaves as documented."""
+    from fs2_kinesis_firehose_spark.streaming.replay import (
+        replay_phased,
+        run_to_memory_with_progress,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    gmax = events.agg(F.max("ts")).collect()[0][0]  # one metadata scalar
+    late = (F.col("user_id") % 7 == 3) & (
+        F.col("ts") < F.lit(gmax) - F.expr("INTERVAL 1 HOUR")
+    )
+    adv = (~late) & (F.col("ts") >= F.lit(gmax) - F.expr("INTERVAL 30 MINUTE"))
+    counts = events.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_if(late).alias("n_late"),
+    ).collect()[0]
+    stream = replay_phased(
+        spark, [events.filter((~late) & (~adv)), events.filter(adv), events.filter(late)]
+    )
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink, progress = run_to_memory_with_progress(agg, output_mode="append")
+    dropped = sum(
+        int(so.numRowsDroppedByWatermark) for p in progress for so in p.stateOperators
+    )
+    return sink.agg(
+        F.lit(counts.total).cast("long").alias("n_events_total"),
+        F.lit(counts.n_late).cast("long").alias("n_late_submitted"),
+        F.count(F.lit(1)).cast("long").alias("n_windows_emitted"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_events_emitted"),
+        (
+            F.lit(counts.total - counts.n_late)
+            - F.coalesce(F.sum("n"), F.lit(0))
+        ).cast("long").alias("n_open_window_events"),
+        F.lit(dropped > 0).alias("engine_reported_drops"),
+    )
+
+
+@query(
     "streaming_static_join_revenue",
     oracle="""
     SELECT n.n_name,

@@ -67,6 +67,69 @@ def replay_parquet(
     return stream
 
 
+def replay_phased(
+    spark: SparkSession,
+    frames: list[DataFrame],
+    *,
+    staging_dir: str | None = None,
+) -> DataFrame:
+    """Stage each batch DataFrame as ONE parquet file and stream them back
+    as ORDERED micro-batches (``maxFilesPerTrigger=1``; the file source
+    lists by (mtime, path) and each staged file gets a strictly increasing
+    mtime) — the deterministic way to exercise cross-batch watermark
+    semantics: batch k+1 sees the watermark advanced by batch k.
+
+    All frames must share a schema.  Returns the streaming DataFrame."""
+    import time
+
+    staging = staging_dir or os.path.join(
+        tempfile.gettempdir(), f"replay-phased-{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(staging, exist_ok=True)
+    base = time.time()
+    for k, frame in enumerate(frames):
+        tmp = os.path.join(staging, f"_stage_{k}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            e.path
+            for e in os.scandir(tmp)
+            if e.is_file() and e.name.endswith(".parquet")
+        )
+        dst = os.path.join(staging, f"phase-{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (base + k, base + k))  # strict replay order
+    schema = spark.read.parquet(os.path.join(staging, "phase-00.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+
+
+def run_to_memory_with_progress(
+    stream_df: DataFrame, *, output_mode: str = "append"
+) -> tuple[DataFrame, list]:
+    """Like :func:`run_to_memory`, but also returns the query's recorded
+    progress objects so callers can account for engine-side observability
+    metrics (e.g. ``stateOperators[].numRowsDroppedByWatermark``)."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        progress = list(q.recentProgress)
+    finally:
+        if q.isActive:
+            q.stop()
+    return stream_df.sparkSession.table(name), progress
+
+
 def run_to_memory(stream_df: DataFrame, *, output_mode: str = "append") -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a memory
     sink; return the materialized result as a batch DataFrame.

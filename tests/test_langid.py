@@ -1,0 +1,111 @@
+"""Trained language-ID (operators/langid.py): the CCNet/fastText-role
+char-n-gram one-vs-rest classifier.
+
+The driver query (lang_id_trained_accuracy) certifies cross-engine
+determinism against the DuckDB training replay; these tests certify the
+part the fixture cannot — that the trainer actually discriminates
+languages when the text carries real signal (the fixture's lang column is
+synthetic noise, documented in queries/llm.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fs2_kinesis_firehose_spark.operators import langid as L
+
+# Public-knowledge sample phrases, four languages with real char-level signal.
+_CORPUS = {
+    "en": [
+        "the cat sat on the mat and looked at the dog",
+        "it is a truth universally acknowledged that a single man wants a wife",
+        "she walked to the market to buy some fresh bread and milk",
+        "the quick brown fox jumps over the lazy dog every morning",
+    ],
+    "de": [
+        "der hund lief schnell durch den park und bellte laut",
+        "die katze sitzt auf der matte und schaut den vogel an",
+        "ich gehe heute mit meinen freunden in die stadt einkaufen",
+        "das wetter ist schoen und die sonne scheint den ganzen tag",
+    ],
+    "fr": [
+        "le chat est assis sur le tapis et regarde le chien",
+        "je vais au marche pour acheter du pain frais et du lait",
+        "la voiture rouge roule vite sur la route vers la ville",
+        "il fait beau aujourd hui et le soleil brille toute la journee",
+    ],
+    "es": [
+        "el gato esta sentado en la alfombra mirando al perro",
+        "voy al mercado para comprar pan fresco y leche esta manana",
+        "el coche rojo va rapido por la carretera hacia la ciudad",
+        "hace buen tiempo hoy y el sol brilla durante todo el dia",
+    ],
+}
+
+
+def _corpus_df(spark):
+    rows = []
+    for i, (lang, txts) in enumerate(sorted(_CORPUS.items())):
+        for j, t in enumerate(txts):
+            rows.append((i * 10 + j, t, lang))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_trained_lang_id_discriminates_real_language_signal(spark):
+    df = _corpus_df(spark)
+    feat = L.char_ngram_features(df, label_col="lang").localCheckpoint(eager=True)
+    models = L.train_lang_id(feat, sorted(_CORPUS), iterations=8, n=16)
+    pred = L.predict_lang(feat, models)
+    stats = pred.agg(
+        F.count_if(F.col("lang") == F.col("lang_pred")).alias("ok"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert (stats.ok, stats.n) == (16, 16)
+
+
+def test_trained_lang_id_deterministic_across_partitionings(spark):
+    """Quantized gradients make the weights bit-identical regardless of how
+    the features are partitioned — the whole point of the integer recipe."""
+    df = _corpus_df(spark)
+    feat = L.char_ngram_features(df, label_col="lang").localCheckpoint(eager=True)
+    w1 = L.train_lang_id(feat, ["de", "en"], iterations=4, n=16)
+    w2 = L.train_lang_id(
+        feat.repartition(7).localCheckpoint(eager=True),
+        ["de", "en"],
+        iterations=4,
+        n=16,
+    )
+    assert w1 == w2  # bit-exact, not approximately equal
+
+
+def test_char_ngrams_edges_and_unicode(spark):
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "ab"), (3, None), (4, "日本語です")],
+        "id long, t string",
+    )
+    out = {
+        r.id: r.g
+        for r in df.select("id", L.char_ngrams("t", 3).alias("g")).collect()
+    }
+    assert out[1] == ["abc", "bcd"]
+    assert out[2] == []  # shorter than n
+    assert out[3] is None or out[3] == []  # NULL text never explodes
+    assert out[4] == ["日本語", "本語で", "語です"]  # codepoints, not bytes
+
+
+def test_char_ngram_features_plan_is_jvm_only(spark):
+    df = _corpus_df(spark)
+    plan = (
+        L.char_ngram_features(df, label_col="lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan  # codegen featurization, no UDFs
+
+
+def test_predict_lang_alphabetical_tie_break(spark):
+    """Two identical models ⇒ identical margins ⇒ earlier class name wins."""
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "doc_id long, x array<double>")
+    w = [0.5, 0.25]
+    pred = L.predict_lang(df, {"fr": w, "de": w}).collect()[0]
+    assert pred.lang_pred == "de"

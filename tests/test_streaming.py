@@ -78,6 +78,55 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert ("10:00", 1) not in got
 
 
+def test_two_watermarks_late_filter_lags_eviction(spark, tmp_path):
+    """Spark keeps TWO per-batch watermark values: eviction uses the current
+    one, but LATE-ROW FILTERING uses the previous batch's — so a straggler
+    arriving in the very next batch after the advance still merges, and only
+    a straggler arriving TWO batches later is dropped.  This is the contract
+    streaming_late_data_accounting's three-phase replay depends on."""
+    from fs2_kinesis_firehose_spark.streaming.replay import (
+        replay_phased,
+        run_to_memory_with_progress,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    mk = lambda *rows: spark.createDataFrame(  # noqa: E731
+        [(i, t0 + dt.timedelta(minutes=m)) for i, m in rows], "id long, ts timestamp"
+    )
+    agg_of = lambda s: (  # noqa: E731
+        s.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # 2 phases: advance then straggle — NOT dropped (late filter lagged)
+    two = replay_phased(
+        spark, [mk((1, 0), (2, 60)), mk((3, 2))], staging_dir=str(tmp_path / "two")
+    )
+    _, prog2 = run_to_memory_with_progress(agg_of(two), output_mode="append")
+    dropped2 = sum(
+        int(so.numRowsDroppedByWatermark) for p in prog2 for so in p.stateOperators
+    )
+    assert dropped2 == 0
+
+    # 3 phases: advance, anything, straggle — dropped
+    three = replay_phased(
+        spark,
+        [mk((1, 0), (2, 60)), mk((4, 61)), mk((3, 2))],
+        staging_dir=str(tmp_path / "three"),
+    )
+    sink3, prog3 = run_to_memory_with_progress(agg_of(three), output_mode="append")
+    dropped3 = sum(
+        int(so.numRowsDroppedByWatermark) for p in prog3 for so in p.stateOperators
+    )
+    assert dropped3 > 0
+    # and the dropped straggler's window stays closed at its original count
+    got = {
+        (r.start.strftime("%H:%M"), r.n)
+        for r in sink3.select("w.start", "n").collect()
+    }
+    assert ("10:00", 1) in got and ("10:00", 2) not in got
+
+
 def test_tumbling_counts_schema(spark, sf_smoke):
     stream = replay_parquet(spark, sf_smoke, "events")
     out = run_to_memory(tumbling_counts(stream), output_mode="complete")
