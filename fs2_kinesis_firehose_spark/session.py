@@ -54,6 +54,15 @@ def get_spark(
         # events.parquet stores TIMESTAMP(NANOS) which Spark has no native
         # type for; read as long and convert in tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Cap task memory pages at 32 MiB.  Spark auto-sizes pages from
+        # heap/cores (~256 MiB at 24 g × 32 threads); wide-transient stages
+        # (the sf1 triangles wedge join moves ~20 GB / 411 M wedge rows
+        # through one exchange) then overshoot in 256 MiB steps — observed
+        # as repeated "Failed to allocate a page" + GCLocker retries, and
+        # the r12b end-of-session OOM.  32 MiB pages make the same stage
+        # spill smoothly: zero allocation warnings, identical wall time
+        # (50.3 s vs 48.7 s isolated sf1 run; PLANS.md r13 adjudication).
+        .config("spark.buffer.pageSize", "32m")
         # --- local-mode ergonomics ---------------------------------------
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
