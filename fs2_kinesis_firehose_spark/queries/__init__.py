@@ -66,18 +66,21 @@ WINDOW_EXEMPT: dict[str, str] = {}
 _WINDOW_PRIORITY: list[str] = [
     # --- r13 window (scripts/window_rotation.py --changed snapshot_diff_
     # accounting,mv_retraction_refresh_accounting,domain_cap_sample_counts,
-    # cluster_balanced_sample_counts,range_layout_pruning_stats; r12 rows
-    # folded into verified_green.json — r12 swept 50/50 green).
-    # (1) heads with 7 slots: TWO r13 additions (trained char-trigram
+    # cluster_balanced_sample_counts,range_layout_pruning_stats,
+    # streaming_dedup_counts; r12 rows folded into verified_green.json —
+    # r12 swept 50/50 green).
+    # (1) heads with 8 slots: TWO r13 additions (trained char-trigram
     # language-ID with full 5x4 quantized-GD oracle replay; watermark
-    # late-data drop accounting via three-phase replay) and FIVE whose
-    # operator implementation changed this round (the r12-advisory
-    # null-key/action-vocabulary fixes in snapshot_diff, signed_cdc_delta
-    # feeding the retraction MV, group_cap_sample feeding both cap-sampling
-    # queries, and range_write_clustered).
-    # (2) fills the remaining 43 slots with oldest-evidence rotations:
-    # all 15 r7-newest names, then 28 of the 42 r8-newest names
-    # (name-ascending); the remaining 14 r8 names head the r14 rotation
+    # late-data drop accounting via three-phase replay) and SIX whose
+    # implementation changed this round (the r12-advisory null-key/
+    # action-vocabulary fixes in snapshot_diff, signed_cdc_delta feeding
+    # the retraction MV, group_cap_sample feeding both cap-sampling
+    # queries, range_write_clustered; plus streaming_dedup_counts upgraded
+    # to the watermarked dropDuplicatesWithinWatermark path — r12 verdict
+    # ask #6, state-expiry semantics pinned in tests/test_streaming.py).
+    # (2) fills the remaining 42 slots with oldest-evidence rotations:
+    # all 15 r7-stale names, then 27 of the 42 r8-stale names
+    # (name-ascending); the remaining 15 r8 names head the r14 rotation
     # (see PLANS.md "r14 rotation handoff").
     "lang_id_trained_accuracy",
     "streaming_late_data_accounting",
@@ -86,6 +89,7 @@ _WINDOW_PRIORITY: list[str] = [
     "domain_cap_sample_counts",
     "cluster_balanced_sample_counts",
     "range_layout_pruning_stats",
+    "streaming_dedup_counts",
     "pandas_udaf_geomean",
     "pii_redaction_stats",
     "quality_scores",
@@ -128,7 +132,6 @@ _WINDOW_PRIORITY: list[str] = [
     "multimodal_y4m_roundtrip_stats",
     "nations_with_customers_and_suppliers",
     "nations_without_rich_suppliers",
-    "pagerank_top_sources",
 ]
 
 

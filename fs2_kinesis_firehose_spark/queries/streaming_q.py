@@ -108,10 +108,21 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The source is replayed TWICE (duplicate delivery, the at-least-once
-    reality of A8-style retries); streaming dropDuplicates restores
-    exactly-once counts — so the oracle is the plain single-copy counts."""
+    reality of A8-style retries); the WATERMARKED streaming dedup
+    (``dropDuplicatesWithinWatermark`` — bounded state, the only variant
+    deployable at 100 TB/day) restores exactly-once counts, so the oracle
+    is the plain single-copy counts.  Deterministic because the availableNow
+    file replay ingests both copies in ONE micro-batch (no
+    maxFilesPerTrigger), where the dedup state never expires mid-batch;
+    the state-EXPIRY semantics (over-late duplicates dropped by the late
+    filter, fresh-timestamped reuses of an expired key re-admitted — the
+    bounded-state trade, honestly) are pinned by
+    tests/test_streaming.py::test_dedup_within_watermark_state_expiry
+    via the three-phase replay."""
     stream = replay_parquet(spark, sf_dir, "events", copies=2)
-    deduped = run_to_memory(stream_dedup(stream, watermark=None), output_mode="append")
+    deduped = run_to_memory(
+        stream_dedup(stream, watermark="30 minutes"), output_mode="append"
+    )
     return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
 
 

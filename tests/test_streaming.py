@@ -127,6 +127,74 @@ def test_two_watermarks_late_filter_lags_eviction(spark, tmp_path):
     assert ("10:00", 1) in got and ("10:00", 2) not in got
 
 
+def test_dedup_within_watermark_state_expiry(spark, tmp_path):
+    """dropDuplicatesWithinWatermark is the bounded-state dedup, and the
+    bound cuts BOTH ways once a key's state ages out (watermark > ts +
+    delay): an over-LATE duplicate (old event time, below the watermark)
+    is dropped by the late-row filter, while a FRESH-timestamped reuse of
+    the expired key is RE-ADMITTED — the honest trade that keeps state
+    finite at 100 TB/day.  Three-phase replay (the two-watermark lag means
+    expiry needs two batches to bite, same as the late-data test above)."""
+    from fs2_kinesis_firehose_spark.streaming.replay import (
+        replay_phased,
+        run_to_memory_with_progress,
+    )
+    from fs2_kinesis_firehose_spark.streaming.windows import stream_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    mk = lambda *rows: spark.createDataFrame(  # noqa: E731
+        [(k, t0 + dt.timedelta(minutes=m)) for k, m in rows],
+        "event_id long, ts timestamp",
+    )
+    # phase 0: key 1 plus an in-batch duplicate, and a far-future row that
+    # advances the watermark (11:30) way past key 1's state lifetime
+    # (10:00 + 30 min); phase 1: anything (lag batch); phase 2: one LATE
+    # duplicate of key 1 (10:01 < watermark → dropped) and one FRESH
+    # reuse (12:30 ≥ watermark, state expired → re-admitted)
+    stream = replay_phased(
+        spark,
+        [mk((1, 0), (1, 0), (9, 120)), mk((8, 121)), mk((1, 1), (1, 150))],
+        staging_dir=str(tmp_path / "phases"),
+    )
+    out, _ = run_to_memory_with_progress(
+        stream_dedup(stream, watermark="30 minutes"), output_mode="append"
+    )
+    per_key = {
+        r.event_id: r.n
+        for r in out.groupBy("event_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_key == {1: 2, 8: 1, 9: 1}
+
+
+def test_dedup_within_watermark_drops_live_state_duplicate(spark, tmp_path):
+    """Counter-case: a duplicate arriving in a later batch while the key's
+    state is still live (watermark has NOT passed ts + delay) is dropped."""
+    from fs2_kinesis_firehose_spark.streaming.replay import (
+        replay_phased,
+        run_to_memory_with_progress,
+    )
+    from fs2_kinesis_firehose_spark.streaming.windows import stream_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    mk = lambda *rows: spark.createDataFrame(  # noqa: E731
+        [(k, t0 + dt.timedelta(minutes=m)) for k, m in rows],
+        "event_id long, ts timestamp",
+    )
+    stream = replay_phased(
+        spark,
+        [mk((1, 0), (9, 5)), mk((8, 6)), mk((1, 0))],  # watermark stays < 10:00
+        staging_dir=str(tmp_path / "phases"),
+    )
+    out, _ = run_to_memory_with_progress(
+        stream_dedup(stream, watermark="30 minutes"), output_mode="append"
+    )
+    per_key = {
+        r.event_id: r.n
+        for r in out.groupBy("event_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_key == {1: 1, 8: 1, 9: 1}
+
+
 def test_tumbling_counts_schema(spark, sf_smoke):
     stream = replay_parquet(spark, sf_smoke, "events")
     out = run_to_memory(tumbling_counts(stream), output_mode="complete")
