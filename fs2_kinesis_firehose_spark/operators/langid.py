@@ -15,12 +15,15 @@ pass; prediction is argmax over margins QUANTIZED to the same 2^12 grid the
 trainer uses, with alphabetical tie-break — cross-engine ulp noise in the
 dot products cannot flip a prediction.
 
-Scale shape: featurization is one char-position explode + one
-conditional-count aggregate (codegen; the explode is ~n_chars rows/doc,
-the same cost class as tokenization); training is K × iterations
-single-row aggregates; scoring is a codegen projection with all K weight
-vectors baked in as literals.  At 100 TB: exactly the fastText-filter
-deployment pattern — train on a bounded sample, score at scan speed.
+Scale shape: featurization is one char-POSITION explode + codegen
+substring + two keyed count aggregates (~n_chars rows/doc, the same cost
+class as tokenization); training is iterations × ONE corpus pass — the K
+gradient vectors fold in a single posexplode-keyed aggregate, weights
+travel as broadcast data (constant plan text, constant expression count
+in both K and dim); scoring is one broadcast join + an array argmax.  At
+100 TB: exactly the fastText-filter deployment pattern — train on a
+bounded sample, score at scan speed, linear in the data rather than in
+the label set.
 """
 
 from __future__ import annotations
@@ -28,10 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fs2_kinesis_firehose_spark.operators.classifier import (
-    feature_hash_bucket,
-    logreg_train,
-)
+from fs2_kinesis_firehose_spark.operators.classifier import feature_hash_bucket
 
 __all__ = ["char_ngram_features", "train_lang_id", "predict_lang"]
 
@@ -66,23 +66,45 @@ def char_ngram_features(
     """Per-document hashed char-n-gram counts, same shape as
     ``classifier.hashed_features``: ``(key_col, x array<double> len dim+1
     [, label_col])`` with ``x[0]=1`` bias and ``x[1+j] = count(bucket j) /
-    count_scale``.  One explode over char positions + one conditional-count
-    aggregate — whole-stage codegen, no UDFs, no maps."""
-    grams = df.select(
-        F.col(key_col),
-        *([F.col(label_col)] if label_col else []),
-        F.explode(char_ngrams(text_col, n)).alias("_g"),
-    ).withColumn("_b", feature_hash_bucket(F.col("_g"), dim, salt))
-    group_cols = [key_col] + ([label_col] if label_col else [])
-    per_doc = grams.groupBy(*group_cols).agg(
-        *[F.count_if(F.col("_b") == j).alias(f"_c{j}") for j in range(dim)]
+    count_scale``.
+
+    Two executor-cost lessons are baked in (both measured ~10× at sf0.1):
+    grams come from a POSITION explode + codegen ``substring`` — the
+    ``transform(sequence, substr)`` array is a higher-order function,
+    interpreted per element (8.96 s vs 0.89 s for the same 1.48 M grams) —
+    and x assembles ARRAY-VALUED (bucket-count aggregate → count map → one
+    ``transform(sequence(...))``) instead of ``dim`` count_if/array
+    columns, whose expression fan-out costs seconds of driver-side
+    Catalyst analysis per call regardless of data size."""
+    grams = (
+        df.where(F.length(text_col) >= n)
+        .select(
+            F.col(key_col),
+            *([F.col(label_col)] if label_col else []),
+            F.col(text_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - F.lit(n - 1))
+            ).alias("_i"),
+        )
+        .select(
+            F.col(key_col),
+            *([F.col(label_col)] if label_col else []),
+            F.expr(f"substring({text_col}, _i, {n})").alias("_g"),
+        )
+        .withColumn("_b", feature_hash_bucket(F.col("_g"), dim, salt))
     )
-    x = F.array(
-        F.lit(1.0),
-        *[
-            (F.col(f"_c{j}").cast("double") / F.lit(float(count_scale)))
-            for j in range(dim)
-        ],
+    group_cols = [key_col] + ([label_col] if label_col else [])
+    cnt = grams.groupBy(*group_cols, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = cnt.groupBy(*group_cols).agg(
+        F.map_from_arrays(F.collect_list("_b"), F.collect_list("_c")).alias("_m")
+    )
+    # D-suffixed literals: bare `1.0`/`10.0` parse as DECIMAL in Spark SQL,
+    # which would silently turn x into array<decimal> and detach the dot
+    # products from the double math the oracle replays
+    x = F.expr(
+        f"concat(array(1.0D), transform(sequence(0, {dim - 1}), "
+        f"j -> cast(coalesce(element_at(_m, cast(j as bigint)), 0L) as double) "
+        f"/ {float(count_scale)!r}D))"
     ).alias("x")
     return per_doc.select(*group_cols, x)
 
@@ -99,28 +121,85 @@ def train_lang_id(
     scale_bits: int = 12,
     n: int | None = None,
 ) -> dict[str, list[float]]:
-    """One-vs-rest training: K independent binary logistic models over the
-    SAME features (one feature pass, cached by the caller), each trained
-    with the deterministic integer-quantized gradient loop.  Returns
-    ``{class: weights}`` in the given class order."""
+    """One-vs-rest training: K binary logistic models over the SAME
+    features (one feature pass, cached by the caller), all trained with
+    the deterministic integer-quantized gradient recipe — FUSED so each
+    GD iteration is ONE aggregate computing every class's gradient vector
+    (K×(dim+1) exact-integer sums) instead of K separate jobs; per-class
+    math is identical to ``classifier.logreg_train`` term by term (same
+    residual projection, same rounding grid, same fixed-order update), so
+    the weights are bit-equal to the sequential path (pytest-pinned) and
+    the per-class DuckDB replay oracles still match.  Returns
+    ``{class: weights}``.
+
+    Scale shape: iterations × ONE corpus pass total — independent of the
+    class count; at a fastText-style 176 languages the fused pass is what
+    keeps training linear in the data, not in the label set."""
     if n is None:
         n = features.count()
-    models: dict[str, list[float]] = {}
-    for cls in classes:
-        binary = features.withColumn(
-            "_y", (F.col(label_col) == cls).cast("int")
+    if n <= 0:
+        raise ValueError("cannot train on an empty features DataFrame")
+    spark = features.sparkSession
+    s = float(1 << scale_bits)
+    d1 = dim + 1
+    w: dict[str, list[float]] = {cls: [0.0] * d1 for cls in classes}
+    # Weights travel as broadcast DATA (a 1-row array<array<double>>
+    # relation, the repo's 1-row crossJoin idiom), NOT as plan literals:
+    # literal weights change every iteration, forcing a fresh whole-stage
+    # codegen COMPILE of the ~K·(dim+1)-column aggregate per iteration —
+    # measured as the dominant training cost (plan exec itself is ~0.2 s
+    # warm).  With data-weights the generated code is identical across
+    # iterations, so Janino's cache compiles it ONCE.
+    # The data-weight dot product aggregate(zip_with(x, w, *), 0.0, +) is
+    # bit-equal to the literal left-assoc chain (same multiply/add order;
+    # the leading 0.0+ changes at most the sign of a zero, which sigmoid
+    # erases) — pinned against classifier.logreg_train in pytest.
+    # Per-row, EVERY class's quantized gradient contributions flatten into
+    # ONE bigint array (class-major: position ci*d1 + j); summing per
+    # position via posexplode + a 1-shuffle keyed aggregate keeps the
+    # expression count CONSTANT in K and dim — per-column gradient sums
+    # (K·d1 aggregate expressions) put seconds of Catalyst analysis on the
+    # driver per iteration, independent of data size.
+    resid_exprs = [x_col]
+    for ci, cls in enumerate(classes):
+        dot = (
+            f"aggregate(zip_with({x_col}, element_at(_w, {ci + 1}), "
+            f"(a, b) -> a * b), cast(0.0 as double), (acc, v) -> acc + v)"
         )
-        models[cls] = logreg_train(
-            binary,
-            label_col="_y",
-            x_col=x_col,
-            dim=dim,
-            iterations=iterations,
-            lr=lr,
-            scale_bits=scale_bits,
-            n=n,
+        y = f"(case when {label_col} = '{cls}' then 1.0D else 0.0D end)"
+        resid_exprs.append(f"(1.0D / (1.0D + exp(-({dot})))) - {y} as _r_{ci}")
+    contrib = "concat(" + ", ".join(
+        f"transform({x_col}, xv -> cast(round(_r_{ci} * xv * {s!r}D) as bigint))"
+        for ci in range(len(classes))
+    ) + ") as _contrib"
+    for _ in range(iterations):
+        wdf = spark.createDataFrame(
+            [([list(w[cls]) for cls in classes],)], "_w array<array<double>>"
         )
-    return models
+        # localCheckpoint = a lineage barrier between the residual
+        # projection and the contribution transform: without it,
+        # CollapseProject inlines each _r_ci (a full d1-term dot) into the
+        # per-element lambda, recomputing every dot d1 times per row —
+        # higher-order functions are interpreted, measured 4× slower at
+        # sf0.1.  The materialized frame is K doubles + x per row.
+        resid = (
+            features.crossJoin(F.broadcast(wdf))  # 1 row → broadcast idiom
+            .selectExpr(*resid_exprs)
+            .localCheckpoint(eager=False)
+        )
+        rows = (
+            resid.selectExpr(contrib)
+            .selectExpr("posexplode(_contrib) as (p, v)")
+            .groupBy("p")
+            .agg(F.sum("v").alias("g"))
+            .collect()
+        )
+        g = {r.p: r.g for r in rows}
+        for ci, cls in enumerate(classes):
+            w[cls] = [
+                w[cls][j] - lr * g[ci * d1 + j] / (s * n) for j in range(d1)
+            ]
+    return w
 
 
 def predict_lang(
@@ -135,17 +214,31 @@ def predict_lang(
     the 2^scale_bits integer grid BEFORE comparison (the trainer/eval
     determinism recipe: the grid is orders of magnitude above cross-engine
     exp/fma ulps), ties break alphabetically — predictions are
-    engine-portable, pinned by the DuckDB oracle replay."""
-    from fs2_kinesis_firehose_spark.operators.classifier import _dot_w
+    engine-portable, pinned by the DuckDB oracle replay.
 
+    Array-valued like the trainer: weights ride as broadcast data, all K
+    quantized margins land in one bigint array, and
+    ``array_position(m, array_max(m))`` picks the FIRST maximum over the
+    alphabetically-sorted class axis — exactly the strict-greater fold's
+    tie-break, with a constant expression count."""
+    classes = sorted(models)
+    spark = features.sparkSession
     s = float(1 << scale_bits)
-    best_cls, best_m = None, None
-    for cls in sorted(models):  # alphabetical fold: earlier name wins ties
-        qm = F.round(_dot_w(F.col(x_col), models[cls]) * s).cast("long")
-        if best_cls is None:
-            best_cls, best_m = F.lit(cls), qm
-        else:
-            take = qm > best_m
-            best_cls = F.when(take, F.lit(cls)).otherwise(best_cls)
-            best_m = F.when(take, qm).otherwise(best_m)
-    return features.withColumn(pred_col, best_cls)
+    wdf = spark.createDataFrame(
+        [([list(models[c]) for c in classes],)], "_pw array<array<double>>"
+    )
+    classes_arr = "array(" + ", ".join(f"'{c}'" for c in classes) + ")"
+    margins = (
+        f"transform(_pw, wv -> cast(round(aggregate(zip_with({x_col}, wv, "
+        f"(a, b) -> a * b), cast(0.0 as double), (acc, v) -> acc + v) "
+        f"* {s!r}D) as bigint))"
+    )
+    pred = (
+        f"element_at({classes_arr}, "
+        f"cast(array_position(_pm, array_max(_pm)) as int)) as {pred_col}"
+    )
+    return (
+        features.crossJoin(F.broadcast(wdf))
+        .selectExpr("*", f"{margins} as _pm")
+        .selectExpr(*features.columns, pred)
+    )

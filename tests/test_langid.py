@@ -77,6 +77,29 @@ def test_trained_lang_id_deterministic_across_partitionings(spark):
     assert w1 == w2  # bit-exact, not approximately equal
 
 
+def test_fused_train_bit_equals_sequential_logreg(spark):
+    """The fused one-aggregate-per-iteration multiclass loop must produce
+    weights BIT-EQUAL to training each class separately through
+    classifier.logreg_train — same residuals, same rounding grid, same
+    update order (this is what keeps the per-class DuckDB replay oracles
+    valid)."""
+    from fs2_kinesis_firehose_spark.operators.classifier import logreg_train
+
+    df = _corpus_df(spark)
+    feat = L.char_ngram_features(df, label_col="lang").localCheckpoint(eager=True)
+    fused = L.train_lang_id(feat, ["de", "en", "fr"], iterations=3, n=16)
+    for cls in ["de", "en", "fr"]:
+        seq = logreg_train(
+            feat.withColumn("_y", (F.col("lang") == cls).cast("int")),
+            label_col="_y",
+            dim=64,
+            iterations=3,
+            lr=4.0,
+            n=16,
+        )
+        assert fused[cls] == seq, cls  # bit-exact, not approximately
+
+
 def test_char_ngrams_edges_and_unicode(spark):
     df = spark.createDataFrame(
         [(1, "abcd"), (2, "ab"), (3, None), (4, "日本語です")],
