@@ -3,8 +3,8 @@ TPAMI 2011): the memory half of the standard IVF+PQ recipe every
 billion-vector ANN deployment runs.
 
 Split each d-dim vector into ``m`` contiguous subvectors; train a small
-k-means codebook per subspace (``kmeans_lloyd`` — the distributed trainer,
-corpus never leaves the cluster); encode every vector as ``m`` small codes
+k-means codebook per subspace (the distributed Lloyd trainer, corpus
+never leaves the cluster); encode every vector as ``m`` small codes
 (m bytes at k ≤ 256 vs 4·d bytes of floats — 32× for d=64, m=8).  Query
 time is **asymmetric distance computation (ADC)**: one m×k lookup table of
 exact query-to-centroid subdistances, then every vector's approximate L2²
@@ -12,11 +12,14 @@ is ``Σ_j LUT[j][code_j]`` — no float vectors touched.
 
 Engine shape:
 
-- ``pq_fit`` — m sequential ``kmeans_lloyd`` runs over JVM-side
-  ``F.slice`` projections (each: GEMM assignment passes + one (cluster,
-  dim) aggregate per iteration; only m·k·(d/m) = k·d centroid floats ever
-  reach the driver).  Fit on a sample at 100 TB (standard practice) — the
-  operator takes whatever DataFrame you hand it.
+- ``pq_fit`` — the FUSED multi-subspace Lloyd loop (bit-equal to m
+  sequential ``kmeans_lloyd`` runs, pytest-pinned): per iteration ONE
+  mapInPandas pass computes all m GEMM argmins and ONE (subspace,
+  cluster, dim) aggregate updates every codebook; only k·d centroid
+  floats ever reach the driver, and the corpus is scanned ``iterations``
+  times instead of ``m·iterations``.  Fit on a sample at 100 TB
+  (standard practice) — the operator takes whatever DataFrame you hand
+  it.
 - ``pq_encode`` — m narrow GEMM argmin passes (``ivf_assign_blas`` on each
   slice), zero shuffles; appends an ``array<int>`` code column.
 - ``pq_adc_scores`` — the LUT is built DRIVER-side with sequential-fold
@@ -47,7 +50,6 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fs2_kinesis_firehose_spark.operators.kmeans import kmeans_lloyd
 from fs2_kinesis_firehose_spark.operators.similarity import ivf_assign_blas
 
 __all__ = [
@@ -89,21 +91,88 @@ def pq_fit(
 ) -> dict:
     """Train the m per-subspace codebooks.  Returns
     ``{"m", "k", "sub", "dim", "codebooks": m × k × (dim/m) floats}``.
-    Deterministic: each subspace inherits ``kmeans_lloyd``'s first-k-keys
-    init and rounded means."""
+    Deterministic: same first-k-keys init and rounded means as
+    ``kmeans_lloyd`` per subspace — bit-equal to training each subspace
+    through it (pytest-pinned) — but FUSED: one init collect, then per
+    iteration ONE mapInPandas assignment pass computing all m argmins
+    (m small GEMMs per Arrow batch, same |c|²−2·v·c rule and first-min
+    tie-break as ivf_assign_blas) and ONE (subspace, cluster, dim) mean
+    aggregate (m·k·sub rows — metadata).  The sequential path is
+    1 + m·iterations·2 Spark jobs (25 at m=8, iterations=2: the dominant
+    cost of every fit-inclusive PQ bench line); fused is 1 + iterations·2.
+    At 100 TB the corpus is scanned iterations times, not m·iterations."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     sub = dim // m
-    books = []
-    for j in range(m):
-        sliced = df.select(
-            key_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias("_subv")
-        )
-        books.append(
-            kmeans_lloyd(
-                sliced, "_subv", key_col, k=k, iterations=iterations, round_to=round_to
+    init = df.orderBy(key_col).limit(k).select(vec_col).collect()
+    if len(init) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(init)}")
+    full = [[float(x) for x in r[0]] for r in init]
+    books = [[row[j * sub : (j + 1) * sub] for row in full] for j in range(m)]
+
+    cl_cols = [f"_c{j}" for j in range(m)]
+    vecs = df.select(vec_col)
+    out_schema = StructType(
+        list(vecs.schema.fields)  # element type follows the input column
+        + [StructField(c, IntegerType()) for c in cl_cols]
+    )
+    for _ in range(iterations):
+        C = [np.asarray(books[j], dtype=np.float64) for j in range(m)]
+        c2 = [np.einsum("ij,ij->i", Cj, Cj) for Cj in C]
+
+        def assign(batches):
+            for pdf in batches:
+                if len(pdf):
+                    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                    cols = {}
+                    for j in range(m):
+                        Xj = X[:, j * sub : (j + 1) * sub]
+                        d = c2[j][None, :] - 2.0 * (Xj @ C[j].T)
+                        cols[cl_cols[j]] = d.argmin(axis=1).astype("int32")
+                    pdf = pdf.assign(**cols)
+                else:
+                    pdf = pdf.assign(
+                        **{c: pd.Series([], dtype="int32") for c in cl_cols}
+                    )
+                yield pdf[[vec_col] + cl_cols]
+
+        means = (
+            vecs.mapInPandas(assign, out_schema)
+            .select(
+                F.array(*[F.col(c) for c in cl_cols]).alias("_cl"),
+                F.posexplode(F.col(vec_col)).alias("_d", "_val"),
             )
+            .select(
+                F.expr(f"_d div {sub}").cast("int").alias("_j"),
+                F.element_at(
+                    F.col("_cl"), F.expr(f"_d div {sub}").cast("int") + 1
+                ).alias("_c"),
+                F.expr(f"_d % {sub}").cast("int").alias("_w"),
+                F.col("_val"),
+            )
+            .groupBy("_j", "_c", "_w")
+            .agg(F.round(F.avg("_val"), round_to).alias("_m"))
+            .collect()  # bounded: m*k*sub rows (codebooks are metadata)
         )
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            new.setdefault((r["_j"], r["_c"]), {})[r["_w"]] = float(r["_m"])
+        books = [
+            [
+                [new[(j, c)][w] for w in range(sub)]
+                if (j, c) in new
+                else books[j][c]  # empty cluster keeps its centroid
+                for c in range(k)
+            ]
+            for j in range(m)
+        ]
     return {"m": m, "k": k, "sub": sub, "dim": dim, "codebooks": books}
 
 

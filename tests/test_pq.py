@@ -63,6 +63,28 @@ def test_adc_recall_against_exact(spark):
     assert recall >= 0.6, f"ADC recall@10 = {recall}"
 
 
+def test_fused_fit_bit_equals_sequential_kmeans(spark):
+    """pq_fit's fused multi-subspace loop must produce codebooks BIT-EQUAL
+    to m sequential kmeans_lloyd runs over F.slice projections (the
+    pre-r13 implementation) — this is what keeps every PQ full-replay
+    oracle valid after the fusion."""
+    from pyspark.sql import functions as F
+
+    from fs2_kinesis_firehose_spark.operators.kmeans import kmeans_lloyd
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(80, 16))
+    df = _emb_df(spark, X)
+    m, k, iters, sub = 4, 5, 2, 4
+    fused = PQ.pq_fit(df, dim=16, m=m, k=k, iterations=iters)
+    for j in range(m):
+        sliced = df.select(
+            "vec_id", F.slice(F.col("embedding"), j * sub + 1, sub).alias("_subv")
+        )
+        seq = kmeans_lloyd(sliced, "_subv", "vec_id", k=k, iterations=iters)
+        assert fused["codebooks"][j] == seq, f"subspace {j}"
+
+
 def test_deterministic_and_partition_invariant(spark):
     rng = np.random.default_rng(3)
     X = rng.normal(0, 1, (60, 8))
