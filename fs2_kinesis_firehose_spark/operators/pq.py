@@ -20,8 +20,9 @@ Engine shape:
   times instead of ``m·iterations``.  Fit on a sample at 100 TB
   (standard practice) — the operator takes whatever DataFrame you hand
   it.
-- ``pq_encode`` — m narrow GEMM argmin passes (``ivf_assign_blas`` on each
-  slice), zero shuffles; appends an ``array<int>`` code column.
+- ``pq_encode`` — ONE narrow mapInPandas pass computing all m GEMM
+  argmins per Arrow batch (r13: was m chained passes — m Python-worker
+  hops per batch), zero shuffles; appends an ``array<int>`` code column.
 - ``pq_adc_scores`` — the LUT is built DRIVER-side with sequential-fold
   dot products (the ``list_inner_product`` parity rule the IVF/kmeans
   oracles rely on) and baked in as literals; the score is a CHAINED
@@ -50,7 +51,6 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fs2_kinesis_firehose_spark.operators.similarity import ivf_assign_blas
 
 __all__ = [
     "pq_fit",
@@ -184,24 +184,46 @@ def pq_encode(
     out_col: str = "pq_code",
 ) -> DataFrame:
     """Append ``out_col`` = array<int> of length m (the per-subspace
-    argmin-centroid codes; GEMM per Arrow batch, no shuffle)."""
+    argmin-centroid codes) — ONE mapInPandas pass computing all m GEMM
+    argmins per Arrow batch (same |c|²−2·v·c rule and first-min np.argmin
+    tie-break as ``ivf_assign_blas``, which the r13-fused version
+    replaces: m chained passes cost m Python-worker hops per batch), no
+    shuffle, codes bit-identical to the chained form by construction."""
     if "ivf_cell" in df.columns:
-        # the per-subspace argmin reuses ivf_assign_blas, whose output column
-        # is ivf_cell — a pre-existing one would make the rename ambiguous.
-        # Encode BEFORE the coarse ivf_assign (the codes don't depend on it).
+        # kept for pipeline-shape compatibility: the coarse ivf_assign
+        # appends ivf_cell, and every call site encodes BEFORE assigning
+        # (the codes don't depend on the cell).  Enforcing the order here
+        # keeps the historical contract explicit.
         raise ValueError(
-            "pq_encode uses the 'ivf_cell' column internally; run pq_encode "
-            "before ivf_assign (or rename the existing ivf_cell column)"
+            "pq_encode must run before ivf_assign (or rename the existing "
+            "ivf_cell column)"
         )
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
     m, sub = model["m"], model["sub"]
-    out = df
-    code_cols = []
-    for j in range(m):
-        out = out.withColumn("_subv", F.slice(F.col(vec_col), j * sub + 1, sub))
-        out = ivf_assign_blas(out, np.asarray(model["codebooks"][j]), "_subv")
-        out = out.withColumnRenamed("ivf_cell", f"_code{j}")
-        code_cols.append(f"_code{j}")
-    return out.withColumn(out_col, F.array(*code_cols)).drop("_subv", *code_cols)
+    C = [np.asarray(model["codebooks"][j], dtype=np.float64) for j in range(m)]
+    c2 = [np.einsum("ij,ij->i", Cj, Cj) for Cj in C]
+    fields = df.schema.fieldNames()
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(IntegerType()))]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf):
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                codes = np.empty((len(pdf), m), dtype="int32")
+                for j in range(m):
+                    Xj = X[:, j * sub : (j + 1) * sub]
+                    d = c2[j][None, :] - 2.0 * (Xj @ C[j].T)
+                    codes[:, j] = d.argmin(axis=1)
+                pdf = pdf.assign(**{out_col: list(codes)})
+            else:
+                pdf = pdf.assign(**{out_col: pd.Series([], dtype=object)})
+            yield pdf[fields + [out_col]]
+
+    return df.mapInPandas(encode, out_schema)
 
 
 def _adc_lut(model: dict, query: list[float]) -> list[list[float]]:
