@@ -64,74 +64,70 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 WINDOW_EXEMPT: dict[str, str] = {}
 
 _WINDOW_PRIORITY: list[str] = [
-    # --- r13 window (scripts/window_rotation.py --changed snapshot_diff_
-    # accounting,mv_retraction_refresh_accounting,domain_cap_sample_counts,
-    # cluster_balanced_sample_counts,range_layout_pruning_stats,
-    # streaming_dedup_counts; r12 rows folded into verified_green.json —
-    # r12 swept 50/50 green).
-    # (1) heads with 8 slots: TWO r13 additions (trained char-trigram
-    # language-ID with full 5x4 quantized-GD oracle replay; watermark
-    # late-data drop accounting via three-phase replay) and SIX whose
-    # implementation changed this round (the r12-advisory null-key/
-    # action-vocabulary fixes in snapshot_diff, signed_cdc_delta feeding
-    # the retraction MV, group_cap_sample feeding both cap-sampling
-    # queries, range_write_clustered; plus streaming_dedup_counts upgraded
-    # to the watermarked dropDuplicatesWithinWatermark path — r12 verdict
-    # ask #6, state-expiry semantics pinned in tests/test_streaming.py).
-    # (2) fills the remaining 42 slots with oldest-evidence rotations:
-    # all 15 r7-stale names, then 27 of the 42 r8-stale names
-    # (name-ascending); the remaining 15 r8 names head the r14 rotation
-    # (see PLANS.md "r14 rotation handoff").
-    "lang_id_trained_accuracy",
-    "streaming_late_data_accounting",
-    "snapshot_diff_accounting",
-    "mv_retraction_refresh_accounting",
-    "domain_cap_sample_counts",
-    "cluster_balanced_sample_counts",
-    "range_layout_pruning_stats",
-    "streaming_dedup_counts",
-    "pandas_udaf_geomean",
-    "pii_redaction_stats",
-    "quality_scores",
-    "returnflag_cube",
-    "revenue_by_nation",
-    "scd2_version_accounting",
-    "source_mixture_counts",
-    "stratified_sample_docs",
-    "temperature_mixing_counts",
-    "token_stats",
-    "tpch_q12_shipmode_priority",
-    "tpch_q21_suppliers_kept_waiting",
-    "train_val_test_counts",
-    "udtf_bigram_counts",
-    "zorder_pruning_stats",
-    "all_party_names_union",
-    "ams_f2_bigram_estimate",
-    "analyze_orders_stats",
-    "array_functions",
-    "bm25_postings_topk",
-    "bm25_topk",
-    "bucketed_colocated_join_revenue",
-    "ccnet_perplexity_buckets",
-    "customers_with_orders",
-    "doc_community_labels",
-    "dq_check_report",
-    "event_funnel_times",
-    "full_outer_nation_balance",
-    "hll_distinct_estimates",
-    "hll_grouped_distinct_estimates",
-    "hll_overlap_estimates",
-    "hourly_gap_report",
-    "kmeans_cluster_stats",
-    "late_shipments",
-    "leakage_safe_split_counts",
-    "mad_event_outliers",
-    "market_segment_rollup",
-    "monthly_revenue_running",
-    "multimodal_wav_roundtrip_stats",
-    "multimodal_y4m_roundtrip_stats",
-    "nations_with_customers_and_suppliers",
-    "nations_without_rich_suppliers",
+    # --- r14 window (scripts/window_rotation.py --changed <the ten
+    # PQ-family names>; r13 rows folded into verified_green.json —
+    # r13 swept 50/50 green).  An evidence-freshness round per the r13
+    # verdict: no new queries, the surface is complete at 159/159.
+    # (1) heads with the TEN queries whose fit path changed in r13
+    # addendum 3 (fused multi-subspace pq_fit: one corpus pass per
+    # iteration instead of m) AFTER their newest driver rows were
+    # recorded (r10-r12) — bit-equality with the sequential path is
+    # pytest-pinned, but the strongest evidence is a driver row against
+    # the shipped code.
+    # (2) fills the remaining 40 slots with oldest-evidence rotations:
+    # all 15 remaining r8-stale names (closing the r8 backlog entirely —
+    # after this window every registered query is r10+ fresh), then 25
+    # of the r10 block (name-ascending).
+    "pq_adc_topk",
+    "pq_adc_bcast_topk",
+    "pq_rescored_topk",
+    "ivf_pq_rescored_topk",
+    "ivf_pq_residual_rescored_topk",
+    "ivf_pq_residual_bcast_topk",
+    "ivf_pq_persisted_topk",
+    "ivf_pq_append_serve_topk",
+    "streaming_ann_serving_topk",
+    "ivf_topk",
+    "pagerank_top_sources",
+    "parts_never_ordered",
+    "pmi_collocations_topk",
+    "segment_count_distinct",
+    "snapshot_upsert_accounting",
+    "streaming_heavy_hitter_bigrams",
+    "streaming_hll_cardinality",
+    "streaming_kll_doclen_quantiles",
+    "streaming_progress_rollup",
+    "streaming_quality_gate_accounting",
+    "streaming_tumbling_counts",
+    "text_format_roundtrip_counts",
+    "tfidf_doc_keywords",
+    "top_orders_per_customer",
+    "tpch_q10_returned_items",
+    "ann_recall_at_k",
+    "bloom_semijoin_revenue",
+    "cohort_retention_matrix",
+    "cosine_topk_bruteforce",
+    "count_min_bigram_estimates",
+    "curation_funnel_counts",
+    "customer_order_left_join",
+    "doc_chunk_stats",
+    "dsir_importance_weights",
+    "event_type_pivot",
+    "events_props_functions",
+    "exactly_once_replay_counts",
+    "firehose_delivery_accounting",
+    "heavy_hitter_bigrams",
+    "hourly_daily_event_rollup",
+    "hybrid_rrf_topk",
+    "incremental_mv_refresh_accounting",
+    "interval_join_incident_counts",
+    "kinesis_roundtrip_counts",
+    "kll_doclen_quantiles",
+    "lm_perplexity_scores",
+    "minhash_lsh_pairs",
+    "quality_classifier_accounting",
+    "streaming_upsert_accounting",
+    "tpch_q13_customer_distribution",
 ]
 
 
