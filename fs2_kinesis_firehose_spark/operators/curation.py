@@ -497,12 +497,18 @@ def group_cap_sample(
 
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
-    # Coalesce NULL keys to a sentinel before hashing: md5(NULL) is NULL and
-    # Spark sorts NULLS FIRST while DuckDB defaults NULLS LAST, which would
-    # break the cross-engine determinism claim on nullable key columns.
-    key_str = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    # Collision-proof key encoding before hashing: NULL → '0', non-NULL →
+    # '1' || key.  md5(NULL) is NULL in both engines and Spark sorts NULLs
+    # FIRST while DuckDB defaults NULLS LAST, so NULL keys must hash via a
+    # real string; the tag prefix (instead of a bare sentinel) means no
+    # real key value can collide with the NULL encoding (r13 advisory).
+    # Restated verbatim by the cap-sampling oracles as
+    # COALESCE('1' || CAST(key AS VARCHAR), '0').
+    key_enc = F.coalesce(
+        F.concat(F.lit("1"), F.col(key_col).cast("string")), F.lit("0")
+    )
     w = Window.partitionBy(group_col).orderBy(
-        F.md5(F.concat(key_str, F.lit(salt))), key_str
+        F.md5(F.concat(key_enc, F.lit(salt))), key_enc
     )
     ranked = df.withColumn("_rn", F.row_number().over(w))
     if keep_col is not None:

@@ -36,6 +36,19 @@ from fs2_kinesis_firehose_spark.operators.classifier import feature_hash_bucket
 __all__ = ["char_ngram_features", "train_lang_id", "predict_lang"]
 
 
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal with quotes escaped — class names
+    are data, not SQL; a name containing ``'`` must not break (or silently
+    change) the interpolated expression."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bq(name: str) -> str:
+    """Backtick-quoted identifier for interpolation into SQL expression
+    strings, so column names with spaces/metacharacters stay identifiers."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def char_ngrams(col, n: int = 3):
     """All character n-grams of a string as array<string> — pure codegen:
     ``transform(sequence(1, length-n+1), i -> substring(text, i, n))``.
@@ -89,7 +102,7 @@ def char_ngram_features(
         .select(
             F.col(key_col),
             *([F.col(label_col)] if label_col else []),
-            F.expr(f"substring({text_col}, _i, {n})").alias("_g"),
+            F.expr(f"substring({_bq(text_col)}, _i, {n})").alias("_g"),
         )
         .withColumn("_b", feature_hash_bucket(F.col("_g"), dim, salt))
     )
@@ -160,16 +173,16 @@ def train_lang_id(
     # expression count CONSTANT in K and dim — per-column gradient sums
     # (K·d1 aggregate expressions) put seconds of Catalyst analysis on the
     # driver per iteration, independent of data size.
-    resid_exprs = [x_col]
+    resid_exprs = [_bq(x_col)]
     for ci, cls in enumerate(classes):
         dot = (
-            f"aggregate(zip_with({x_col}, element_at(_w, {ci + 1}), "
+            f"aggregate(zip_with({_bq(x_col)}, element_at(_w, {ci + 1}), "
             f"(a, b) -> a * b), cast(0.0 as double), (acc, v) -> acc + v)"
         )
-        y = f"(case when {label_col} = '{cls}' then 1.0D else 0.0D end)"
+        y = f"(case when {_bq(label_col)} = {_sql_str(cls)} then 1.0D else 0.0D end)"
         resid_exprs.append(f"(1.0D / (1.0D + exp(-({dot})))) - {y} as _r_{ci}")
     contrib = "concat(" + ", ".join(
-        f"transform({x_col}, xv -> cast(round(_r_{ci} * xv * {s!r}D) as bigint))"
+        f"transform({_bq(x_col)}, xv -> cast(round(_r_{ci} * xv * {s!r}D) as bigint))"
         for ci in range(len(classes))
     ) + ") as _contrib"
     for _ in range(iterations):
@@ -195,6 +208,16 @@ def train_lang_id(
             .collect()
         )
         g = {r.p: r.g for r in rows}
+        # contrib emits all K*(dim+1) positions per row, so any non-empty
+        # frame fills every position; a shortfall means the caller passed
+        # an explicit n > 0 over an empty (or fully length-filtered) frame
+        # — fail with the real cause, not a KeyError from the w update
+        if len(g) != len(classes) * d1:
+            raise ValueError(
+                f"gradient aggregate returned {len(g)} of "
+                f"{len(classes) * d1} positions (K*(dim+1)) — features "
+                f"DataFrame is empty or fully length-filtered"
+            )
         for ci, cls in enumerate(classes):
             w[cls] = [
                 w[cls][j] - lr * g[ci * d1 + j] / (s * n) for j in range(d1)
@@ -227,18 +250,18 @@ def predict_lang(
     wdf = spark.createDataFrame(
         [([list(models[c]) for c in classes],)], "_pw array<array<double>>"
     )
-    classes_arr = "array(" + ", ".join(f"'{c}'" for c in classes) + ")"
+    classes_arr = "array(" + ", ".join(_sql_str(c) for c in classes) + ")"
     margins = (
-        f"transform(_pw, wv -> cast(round(aggregate(zip_with({x_col}, wv, "
+        f"transform(_pw, wv -> cast(round(aggregate(zip_with({_bq(x_col)}, wv, "
         f"(a, b) -> a * b), cast(0.0 as double), (acc, v) -> acc + v) "
         f"* {s!r}D) as bigint))"
     )
     pred = (
         f"element_at({classes_arr}, "
-        f"cast(array_position(_pm, array_max(_pm)) as int)) as {pred_col}"
+        f"cast(array_position(_pm, array_max(_pm)) as int)) as {_bq(pred_col)}"
     )
     return (
         features.crossJoin(F.broadcast(wdf))
         .selectExpr("*", f"{margins} as _pm")
-        .selectExpr(*features.columns, pred)
+        .selectExpr(*[_bq(c) for c in features.columns], pred)
     )

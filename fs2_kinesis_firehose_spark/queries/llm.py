@@ -2785,7 +2785,9 @@ def _cluster_balance_oracle(cap: int = 20, salt: str = "bal") -> str:
         SELECT ivf_cell, vec_id,
                ROW_NUMBER() OVER (
                    PARTITION BY ivf_cell
-                   ORDER BY md5(CAST(vec_id AS VARCHAR) || '{salt}'), vec_id
+                   ORDER BY md5(COALESCE('1' || CAST(vec_id AS VARCHAR), '0')
+                                || '{salt}'),
+                            COALESCE('1' || CAST(vec_id AS VARCHAR), '0')
                ) AS rn
         FROM b
     )

@@ -149,7 +149,10 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM emitted)     AS n_events_emitted,
            (SELECT CAST(COUNT(*) FILTER (NOT is_late) AS BIGINT) FROM cls)
                - (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM emitted) AS n_open_window_events,
-           TRUE AS engine_reported_drops
+           -- data-derived, not a constant: the engine reports drops iff
+           -- stragglers were actually submitted (r13 advisory — a fixture
+           -- with zero qualifying stragglers must not go red)
+           (SELECT COUNT(*) FILTER (is_late) FROM cls) > 0 AS engine_reported_drops
     """,
 )
 def streaming_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -208,7 +208,9 @@ def canon_url_dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT registered_domain, doc_id,
                ROW_NUMBER() OVER (
                    PARTITION BY registered_domain
-                   ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap'), doc_id
+                   ORDER BY md5(COALESCE('1' || CAST(doc_id AS VARCHAR), '0')
+                                || 'cap'),
+                            COALESCE('1' || CAST(doc_id AS VARCHAR), '0')
                ) AS rn
         FROM u
     )
@@ -235,20 +237,19 @@ def domain_cap_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one domain aggregate — the same shuffle the per-domain stats already
     pay; at 100 TB the cap is the first shuffle after the scan and
     everything downstream sees bounded per-domain cardinality."""
+    from fs2_kinesis_firehose_spark.operators.curation import group_cap_sample
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     canon = canonicalize_url(_with_messy_url(docs), "url")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("registered_domain").orderBy(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("cap"))), "doc_id"
+    flagged = group_cap_sample(
+        canon, "registered_domain", "doc_id", cap=10, salt="cap", keep_col="_keep"
     )
-    ranked = canon.withColumn("rn", F.row_number().over(w))
     return (
-        ranked.groupBy("registered_domain")
+        flagged.groupBy("registered_domain")
         .agg(
             F.count(F.lit(1)).alias("docs_total"),
-            F.sum(F.when(F.col("rn") <= 10, 1).otherwise(0)).alias("docs_kept"),
-            F.sum(F.when(F.col("rn") <= 10, F.col("doc_id")).otherwise(0)).alias(
+            F.sum(F.col("_keep").cast("long")).alias("docs_kept"),
+            F.sum(F.when(F.col("_keep"), F.col("doc_id")).otherwise(0)).alias(
                 "kept_id_sum"
             ),
         )

@@ -132,3 +132,32 @@ def test_predict_lang_alphabetical_tie_break(spark):
     w = [0.5, 0.25]
     pred = L.predict_lang(df, {"fr": w, "de": w}).collect()[0]
     assert pred.lang_pred == "de"
+
+
+def test_sql_metacharacters_in_classes_and_columns(spark):
+    """Class names and column names are DATA: a quote in a class string or
+    a metacharacter in a column name must not break (or silently change)
+    the interpolated SQL expressions (r13 advisory)."""
+    rows = [(1, "the cat sat on the mat", "it's-en"), (2, "der hund lief schnell", "de`co l")]
+    df = spark.createDataFrame(rows, "doc_id long, `my text` string, `lang it's` string")
+    feat = L.char_ngram_features(
+        df, text_col="my text", label_col="lang it's"
+    ).localCheckpoint(eager=True)
+    models = L.train_lang_id(
+        feat, ["it's-en", "de`co l"], label_col="lang it's", iterations=2, n=2
+    )
+    assert set(models) == {"it's-en", "de`co l"}
+    pred = L.predict_lang(feat, models, pred_col="pred it's").collect()
+    assert all(r["pred it's"] in models for r in pred)
+
+
+def test_train_lang_id_empty_features_with_explicit_n_raises(spark):
+    """Explicit n > 0 over an empty frame must fail with a descriptive
+    error, not a KeyError from the gradient lookup (r13 advisory)."""
+    import pytest
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, x array<double>, lang string"
+    )
+    with pytest.raises(ValueError, match="empty or fully length-filtered"):
+        L.train_lang_id(empty, ["en", "de"], iterations=1, n=5)
