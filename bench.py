@@ -319,6 +319,10 @@ HEADLINE = [
     # engine: stage writes + 3 micro-batches + append-mode finalization)
     "lang_id_trained_accuracy",
     "streaming_late_data_accounting",
+    # round-14 addition: stream-stream LEFT OUTER join (state-timeout NULL
+    # emission via the end-of-batch no-data finalization; two streaming
+    # readers + the stateful symmetric hash join are the measured cost)
+    "streaming_left_outer_attribution",
 ]
 
 # ---------------------------------------------------------------------------

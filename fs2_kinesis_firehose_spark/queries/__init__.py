@@ -74,10 +74,14 @@ _WINDOW_PRIORITY: list[str] = [
     # recorded (r10-r12) — bit-equality with the sequential path is
     # pytest-pinned, but the strongest evidence is a driver row against
     # the shipped code.
-    # (2) fills the remaining 40 slots with oldest-evidence rotations:
+    # (2) ONE never-green addition leads: streaming_left_outer_attribution
+    # (the r13 verdict's missing #3 — the stream-stream LEFT OUTER join
+    # with state-timeout NULL emission, full row-set oracle).
+    # (3) fills the remaining 39 slots with oldest-evidence rotations:
     # all 15 remaining r8-stale names (closing the r8 backlog entirely —
-    # after this window every registered query is r10+ fresh), then 25
+    # after this window every registered query is r10+ fresh), then 24
     # of the r10 block (name-ascending).
+    "streaming_left_outer_attribution",
     "pq_adc_topk",
     "pq_adc_bcast_topk",
     "pq_rescored_topk",
@@ -127,7 +131,6 @@ _WINDOW_PRIORITY: list[str] = [
     "minhash_lsh_pairs",
     "quality_classifier_accounting",
     "streaming_upsert_accounting",
-    "tpch_q13_customer_distribution",
 ]
 
 

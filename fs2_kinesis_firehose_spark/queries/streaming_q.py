@@ -271,6 +271,60 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_left_outer_attribution",
+    # The outer output is exactly: every inner match, PLUS one NULL row per
+    # unmatched trigger whose event time fell below the FINAL global
+    # watermark (min over both sides' max(ts) - 30 min delay) — those are
+    # evicted-and-emitted by the end-of-batch no-data finalization; newer
+    # unmatched triggers are HELD in state, never emitted (absence isn't
+    # provable inside the horizon), which the full row-set compare pins by
+    # their absence.
+    oracle="""
+    WITH p AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+    m AS (
+        SELECT p.user_id, p.event_id AS trigger_id, c.event_id AS touch_id
+        FROM p JOIN c
+          ON p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+    ),
+    wm AS (SELECT LEAST((SELECT MAX(ts) FROM p), (SELECT MAX(ts) FROM c))
+                  - INTERVAL 30 MINUTE AS w)
+    SELECT * FROM m
+    UNION ALL
+    SELECT p.user_id, p.event_id AS trigger_id, CAST(NULL AS BIGINT) AS touch_id
+    FROM p, wm
+    WHERE p.ts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM m WHERE m.trigger_id = p.event_id)
+    """,
+)
+def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — attribution WITH absence: purchases
+    with no same-user click in the prior 10 minutes still emit, with
+    ``touch_id`` NULL, once their join state times out (the engine can only
+    prove absence after the watermark passes the last matchable instant).
+    The oracle restates the exact emission contract: inner matches plus
+    NULL rows for unmatched triggers below the final global watermark;
+    unmatched triggers inside the horizon are held unemitted.  The
+    cross-BATCH timing of NULL emission (previous-batch eviction watermark,
+    three-phase replay) is pinned in tests/test_streaming.py::
+    test_stream_stream_left_outer_emits_null_on_timeout.
+
+    At 100 TB: the state stays O(users × window) exactly as the inner
+    variant — the outer side adds no retention, only the evict-time NULL
+    emission — so this is the deployable shape for "which triggers had no
+    preceding touch" accounting on unbounded streams."""
+    from fs2_kinesis_firehose_spark.streaming.joins import attribution_join
+
+    s1 = replay_parquet(spark, sf_dir, "events")
+    s2 = replay_parquet(spark, sf_dir, "events")
+    return run_to_memory(
+        attribution_join(s1, s2, how="left_outer"), output_mode="append"
+    )
+
+
+@query(
     "streaming_stateful_user_stats",
     oracle="""
     SELECT user_id,

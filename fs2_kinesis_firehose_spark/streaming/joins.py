@@ -20,15 +20,25 @@ def attribution_join(
     touch_type: str = "click",
     window: str = "10 minutes",
     state_ttl: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner stream-stream join: each ``trigger_type`` event matched to every
+    """Stream-stream join: each ``trigger_type`` event matched to every
     ``touch_type`` event of the SAME user within ``window`` BEFORE it (the
     classic attribution shape).
 
     Watermarks on both sides + the time-range predicate let the engine evict
     buffered rows once they can no longer match — state is O(users × window),
     not O(stream).  ``events`` and ``other`` must be two independent readers
-    of the stream (a streaming self-join needs two source instances)."""
+    of the stream (a streaming self-join needs two source instances).
+
+    ``how="left_outer"`` is the attribution-WITH-ABSENCE shape: a trigger
+    with no qualifying touch still emits, with ``touch_id`` NULL — but only
+    once its join state times out (the watermark passes the point where a
+    match could still arrive), because until then the engine cannot know the
+    touch is absent.  NULL rows therefore surface one-or-more batches after
+    the trigger, gated by the PREVIOUS batch's eviction watermark (the same
+    two-watermark contract the late-data query documents) — pinned in
+    tests/test_streaming.py::test_stream_stream_left_outer_emits_null_on_timeout."""
     trig = (
         events.filter(F.col("event_type") == trigger_type)
         .select(
@@ -52,6 +62,7 @@ def attribution_join(
         F.expr(
             f"t_user = c_user AND c_ts >= t_ts - interval {window} AND c_ts <= t_ts"
         ),
+        how,
     ).select(
         F.col("t_user").alias("user_id"), "trigger_id", "touch_id"
     )

@@ -253,3 +253,93 @@ def test_incremental_neardup_matches_batch_ground_truth(spark, sf_smoke):
             if corpus % 2 == 0 and inc % 2 == 1:
                 want[inc] = want.get(inc, 0) + 1
     assert got == want
+
+
+def test_stream_stream_left_outer_emits_null_on_timeout(spark, tmp_path):
+    """LEFT OUTER stream-stream join (attribution-with-absence): a trigger
+    with no qualifying touch emits (trigger_id, NULL) only after its join
+    state times out — the watermark must pass the last instant a match
+    could arrive, and eviction uses the PREVIOUS batch's watermark (the
+    same two-watermark lag the dedup/late-data tests pin), hence the
+    three-phase replay.  Matched rows emit immediately; unmatched triggers
+    still inside the state lifetime at query end never emit (the honest
+    streaming contract: absence is only provable once time has passed)."""
+    from fs2_kinesis_firehose_spark.streaming.joins import attribution_join
+    from fs2_kinesis_firehose_spark.streaming.replay import (
+        replay_phased,
+        run_to_memory_with_progress,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    mk = lambda *rows: spark.createDataFrame(  # noqa: E731
+        [
+            (uid, t0 + dt.timedelta(minutes=m), eid, et)
+            for uid, m, eid, et in rows
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    # phase 0: user 1 purchase@10:00 with click@9:55 (match); user 2
+    # purchase@10:00 with NO click (the absence under test).
+    # phase 1: far-future advancer pair on non-matching users (purchase
+    # for the trigger side's watermark, click for the touch side's) —
+    # watermark lands at 12:00 - 30min = 11:30 > 10:00, so user 2's state
+    # is now evictable.
+    # phase 2: another advancer batch — eviction in THIS batch uses phase
+    # 1's 11:30 watermark and finally emits the NULL row.
+    phases = [
+        mk((1, -5, 100, "click"), (1, 0, 1, "purchase"), (2, 0, 2, "purchase")),
+        mk((9, 120, 900, "purchase"), (8, 120, 800, "click")),
+        mk((7, 150, 700, "purchase"), (6, 150, 600, "click")),
+    ]
+    left = replay_phased(spark, phases, staging_dir=str(tmp_path / "l"))
+    right = replay_phased(spark, phases, staging_dir=str(tmp_path / "r"))
+    out, _ = run_to_memory_with_progress(
+        attribution_join(left, right, how="left_outer"), output_mode="append"
+    )
+    rows = {(r.user_id, r.trigger_id, r.touch_id) for r in out.collect()}
+    assert (1, 1, 100) in rows  # the match emits with its touch
+    assert (2, 2, None) in rows  # the timed-out absence emits NULL
+    # advancer purchases (12:00/12:30) are still within their state
+    # lifetime at query end — no premature NULLs for them
+    assert not {r for r in rows if r[0] in (7, 9)}
+
+
+def test_stream_stream_left_outer_matches_inner_plus_absences(spark, sf_smoke):
+    """On a full single-batch replay the left-outer output is exactly the
+    batch inner-join rows PLUS one NULL row per unmatched trigger whose
+    event time is below the final global watermark (the end-of-batch
+    no-data finalization evicts and emits those); unmatched triggers still
+    inside the watermark horizon are held, not emitted."""
+    import datetime as _dt
+
+    from fs2_kinesis_firehose_spark.streaming.joins import attribution_join
+
+    s1 = replay_parquet(spark, sf_smoke, "events")
+    s2 = replay_parquet(spark, sf_smoke, "events")
+    outer = run_to_memory(
+        attribution_join(s1, s2, how="left_outer"), output_mode="append"
+    )
+    got = {(r.user_id, r.trigger_id, r.touch_id) for r in outer.collect()}
+
+    ev = load_table(spark, sf_smoke, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    inner = p.join(
+        c, F.expr("u = cu AND cts >= pts - interval 10 minutes AND cts <= pts")
+    )
+    want = {(r.u, r.pid, r.cid) for r in inner.collect()}
+    # global watermark = min over both sides' (max event time - delay)
+    maxp = p.agg(F.max("pts")).collect()[0][0]
+    maxc = c.agg(F.max("cts")).collect()[0][0]
+    wm = min(maxp, maxc) - _dt.timedelta(minutes=30)
+    matched = {t for _, t, _ in want}
+    want |= {
+        (r.u, r.pid, None)
+        for r in p.filter(F.col("pts") < F.lit(wm)).collect()
+        if r.pid not in matched
+    }
+    assert got == want
