@@ -334,6 +334,14 @@ def _prune_low_degree(und: DataFrame, rounds: int = 2) -> DataFrame:
     return _peel_fringes(und, deg, rounds)[0]
 
 
+# Wedge-exchange sizing (see _oriented_triangles): ~40 B per wedge row
+# through the shuffle (apex long + two (deg, id) structs, serialized),
+# targeting ~128 MB per reduce partition — the fits-in-memory sort size
+# that avoids the spill path at the default heap.
+_WEDGE_ROW_BYTES = 40
+_WEDGE_TARGET_BYTES = 128 * 1024 * 1024
+
+
 def _oriented_triangles(und: DataFrame) -> DataFrame:
     """Enumerate each triangle of the canonical graph exactly once as
     ``(apex, bn, cn)`` via the degree-ordered orientation (see
@@ -368,6 +376,31 @@ def _oriented_triangles(und: DataFrame) -> DataFrame:
     closing = oriented.select(
         F.col("src").alias("b_n"), F.col("dst.n").alias("c_n")
     )
+    # Wedge-exchange partition floor: the closing join moves EVERY wedge
+    # (Σ_apex C(out_deg,2) rows — sf1: 411 M / ~20 GB) through one shuffle,
+    # and AQE can only coalesce partitions, never split a non-skewed-but-
+    # uniformly-huge exchange, so at the session default (32) each reduce
+    # task sorts ~600 MB and spills (the r13-adjudicated 20 s trade).  The
+    # operator knows its own blowup EXACTLY from an m-row aggregate on the
+    # oriented out-degrees — cheap next to the join it sizes — so compute
+    # the wedge count up front and repartition on the join keys with
+    # enough partitions that each holds ~_WEDGE_TARGET_BYTES.  On small
+    # graphs the floor stays below the session default and no explicit
+    # exchange is added (the join shuffles as before).
+    n_wedges = (
+        oriented.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
+        .first()[0]
+        or 0
+    )
+    spark = oriented.sparkSession
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    wedge_parts = int(n_wedges * _WEDGE_ROW_BYTES // _WEDGE_TARGET_BYTES) + 1
+    if wedge_parts > session_parts:
+        wedges = wedges.repartition(
+            wedge_parts, F.col("b.n"), F.col("c.n")
+        )
     return wedges.join(
         closing,
         (F.col("b.n") == F.col("b_n")) & (F.col("c.n") == F.col("c_n")),
