@@ -534,3 +534,32 @@ def test_pinned_by_key_preserves_partitioning_and_order(spark):
     want = sorted((r.src, r["count"]) for r in e.groupBy("src").count().collect())
     got = sorted((r.src, r["count"]) for r in agg.collect())
     assert got == want
+
+
+def test_wedge_partition_floor_gating(spark, monkeypatch):
+    """The wedge-exchange partition floor (r14): inactive on small graphs
+    (no explicit repartition — the closing join shuffles at the session
+    default), active when the computed wedge bytes exceed the session
+    partition count × target (REPARTITION_BY_NUM on the closing-join keys
+    at the computed N), and correctness-invariant either way."""
+    import fs2_kinesis_firehose_spark.operators.graph as G
+
+    edges = [(a, b) for a in range(6) for b in range(6) if a < b]  # K6
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = {n: 10 for n in range(6)}  # C(5,2) triangles per node in K6
+
+    def plan_of():
+        tri = G.triangle_counts(df)
+        return (
+            tri._jdf.queryExecution().executedPlan().toString(),
+            {r["node"]: r["tri_cnt"] for r in tri.collect()},
+        )
+
+    plan, got = plan_of()
+    assert "REPARTITION_BY_NUM" not in plan  # floor inactive on 15 edges
+    assert got == want
+    # force the floor: K6 has 20 wedges; 20*40B / 1B target -> 801 parts
+    monkeypatch.setattr(G, "_WEDGE_TARGET_BYTES", 1)
+    plan, got = plan_of()
+    assert "REPARTITION_BY_NUM" in plan
+    assert got == want  # partitioning never changes the counts
