@@ -386,21 +386,37 @@ def _oriented_triangles(und: DataFrame) -> DataFrame:
     # the wedge count up front and repartition on the join keys with
     # enough partitions that each holds ~_WEDGE_TARGET_BYTES.  On small
     # graphs the floor stays below the session default and no explicit
-    # exchange is added (the join shuffles as before).
-    n_wedges = (
-        oriented.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
-        .first()[0]
-        or 0
-    )
+    # exchange is added (the join shuffles as before).  The exact count
+    # job is itself gated behind Σ_v C(deg,2) — a FREE upper bound folded
+    # from the degree table this function already holds (oriented wedges
+    # ≤ unoriented wedges) — so graphs that cannot trigger the floor pay
+    # zero extra jobs.
     spark = oriented.sparkSession
-    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    wedge_parts = int(n_wedges * _WEDGE_ROW_BYTES // _WEDGE_TARGET_BYTES) + 1
-    if wedge_parts > session_parts:
-        wedges = wedges.repartition(
-            wedge_parts, F.col("b.n"), F.col("c.n")
+    try:
+        session_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
         )
+    except ValueError:  # e.g. "auto" under AQE auto-optimized shuffle
+        session_parts = spark.sparkContext.defaultParallelism
+    floor_cutoff = session_parts * _WEDGE_TARGET_BYTES // _WEDGE_ROW_BYTES
+    wedge_ub = (
+        deg.agg(F.sum(F.col("deg") * (F.col("deg") - 1) / 2)).first()[0] or 0
+    )
+    if wedge_ub > floor_cutoff:
+        n_wedges = (
+            oriented.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
+            .first()[0]
+            or 0
+        )
+        wedge_parts = (
+            int(n_wedges * _WEDGE_ROW_BYTES // _WEDGE_TARGET_BYTES) + 1
+        )
+        if wedge_parts > session_parts:
+            wedges = wedges.repartition(
+                wedge_parts, F.col("b.n"), F.col("c.n")
+            )
     return wedges.join(
         closing,
         (F.col("b.n") == F.col("b_n")) & (F.col("c.n") == F.col("c_n")),

@@ -37,10 +37,13 @@ __all__ = ["char_ngram_features", "train_lang_id", "predict_lang"]
 
 
 def _sql_str(s: str) -> str:
-    """SQL single-quoted string literal with quotes escaped — class names
-    are data, not SQL; a name containing ``'`` must not break (or silently
-    change) the interpolated expression."""
-    return "'" + s.replace("'", "''") + "'"
+    """SQL single-quoted string literal with quotes AND backslashes
+    escaped — class names are data, not SQL; a name containing ``'`` must
+    not break (or silently change) the interpolated expression, and with
+    the default ``spark.sql.parser.escapedStringLiterals=false`` Spark
+    processes C-style escapes inside literals, so a bare ``\\`` would
+    silently vanish."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _bq(name: str) -> str:
@@ -208,15 +211,22 @@ def train_lang_id(
             .collect()
         )
         g = {r.p: r.g for r in rows}
-        # contrib emits all K*(dim+1) positions per row, so any non-empty
-        # frame fills every position; a shortfall means the caller passed
-        # an explicit n > 0 over an empty (or fully length-filtered) frame
-        # — fail with the real cause, not a KeyError from the w update
+        # contrib emits all K*(len(x)) positions per row, so any non-empty
+        # frame fills every position — a shortfall means either an empty
+        # frame behind an explicit n > 0, or feature arrays shorter than
+        # dim+1 (a dim mismatch with the featurizer); name the right cause
+        # instead of a KeyError from the w update
         if len(g) != len(classes) * d1:
+            if not g:
+                raise ValueError(
+                    "gradient aggregate returned no rows — features "
+                    "DataFrame is empty or fully length-filtered"
+                )
             raise ValueError(
                 f"gradient aggregate returned {len(g)} of "
-                f"{len(classes) * d1} positions (K*(dim+1)) — features "
-                f"DataFrame is empty or fully length-filtered"
+                f"{len(classes) * d1} positions (K*(dim+1)) — the "
+                f"features' array length does not match dim={dim} "
+                f"(dim mismatch with the featurizer?)"
             )
         for ci, cls in enumerate(classes):
             w[cls] = [

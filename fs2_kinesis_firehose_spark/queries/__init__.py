@@ -77,9 +77,15 @@ _WINDOW_PRIORITY: list[str] = [
     # (2) ONE never-green addition leads: streaming_left_outer_attribution
     # (the r13 verdict's missing #3 — the stream-stream LEFT OUTER join
     # with state-timeout NULL emission, full row-set oracle).
-    # (3) fills the remaining 39 slots with oldest-evidence rotations:
+    # (3) THREE r14-changed-output queries (the r13-advisory fixes):
+    # the tagged NULL-key encoding permutes group_cap_sample's kept sets,
+    # so domain_cap_sample_counts / cluster_balanced_sample_counts now
+    # emit different kept_id_sums than their r13 driver rows, and
+    # streaming_late_data_accounting's oracle expectation changed — their
+    # stale evidence must be re-earned this round.
+    # (4) fills the remaining 36 slots with oldest-evidence rotations:
     # all 15 remaining r8-stale names (closing the r8 backlog entirely —
-    # after this window every registered query is r10+ fresh), then 24
+    # after this window every registered query is r10+ fresh), then 21
     # of the r10 block (name-ascending).
     "streaming_left_outer_attribution",
     "pq_adc_topk",
@@ -92,6 +98,9 @@ _WINDOW_PRIORITY: list[str] = [
     "ivf_pq_append_serve_topk",
     "streaming_ann_serving_topk",
     "ivf_topk",
+    "domain_cap_sample_counts",
+    "cluster_balanced_sample_counts",
+    "streaming_late_data_accounting",
     "pagerank_top_sources",
     "parts_never_ordered",
     "pmi_collocations_topk",
@@ -128,9 +137,6 @@ _WINDOW_PRIORITY: list[str] = [
     "kinesis_roundtrip_counts",
     "kll_doclen_quantiles",
     "lm_perplexity_scores",
-    "minhash_lsh_pairs",
-    "quality_classifier_accounting",
-    "streaming_upsert_accounting",
 ]
 
 

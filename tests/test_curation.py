@@ -434,26 +434,25 @@ def test_group_cap_sample_flag_mode_and_validation(spark):
 
 
 def test_group_cap_sample_null_key_encoding_is_collision_proof(spark):
-    """A real key equal to any sentinel string must hash DIFFERENTLY from a
-    NULL key: the tagged encoding ('1'||key vs '0') keeps the two orders
-    distinct (r13 advisory — a bare coalesce sentinel collides)."""
-    from pyspark.sql import functions as F
+    """The kept set under a BINDING cap must equal the hand-computed
+    md5-of-TAGGED-encoding order ('1'||key for non-null, '0' for NULL) —
+    a regression to the r12 sentinel coalesce (where a real key equal to
+    the sentinel collides with NULL and their order becomes a coin flip)
+    hashes different inputs and picks a different kept set."""
+    import hashlib
 
     from fs2_kinesis_firehose_spark.operators.curation import group_cap_sample
 
-    df = spark.createDataFrame(
-        [("a", "\x00null"), ("a", None), ("a", "0"), ("a", "1x")],
-        "g string, k string",
-    )
-    flagged = group_cap_sample(df, "g", "k", cap=4, keep_col="keep")
-    # the seeded order column is internal; pin the property via the hash
-    # inputs instead: every encoded key must be unique across these rows
-    enc = df.select(
-        F.coalesce(F.concat(F.lit("1"), F.col("k")), F.lit("0")).alias("e")
-    ).collect()
-    encs = [r.e for r in enc]
-    assert len(set(encs)) == len(encs)
-    assert flagged.filter("keep").count() == 4  # all kept, none shadowed
+    keys = ["\x00null", None, "0", "1x", "zq", "mm"]
+    df = spark.createDataFrame([("a", k) for k in keys], "g string, k string")
+
+    def enc(k):
+        return "0" if k is None else "1" + k
+
+    order = sorted(keys, key=lambda k: (hashlib.md5((enc(k) + "cap").encode()).hexdigest(), enc(k)))
+    want = {k for k in order[:3]}
+    kept = {r.k for r in group_cap_sample(df, "g", "k", cap=3).collect()}
+    assert kept == want
 
 
 def test_group_cap_sample_null_keys_sort_deterministically(spark):

@@ -138,17 +138,39 @@ def test_sql_metacharacters_in_classes_and_columns(spark):
     """Class names and column names are DATA: a quote in a class string or
     a metacharacter in a column name must not break (or silently change)
     the interpolated SQL expressions (r13 advisory)."""
-    rows = [(1, "the cat sat on the mat", "it's-en"), (2, "der hund lief schnell", "de`co l")]
+    rows = [
+        (1, "the cat sat on the mat", "it's-en"),
+        (2, "der hund lief schnell", "de`co l"),
+        (3, "le chat est assis sur le tapis", "fr\\bs"),
+    ]
     df = spark.createDataFrame(rows, "doc_id long, `my text` string, `lang it's` string")
     feat = L.char_ngram_features(
         df, text_col="my text", label_col="lang it's"
     ).localCheckpoint(eager=True)
+    classes = ["it's-en", "de`co l", "fr\\bs"]
     models = L.train_lang_id(
-        feat, ["it's-en", "de`co l"], label_col="lang it's", iterations=2, n=2
+        feat, classes, label_col="lang it's", iterations=2, n=3
     )
-    assert set(models) == {"it's-en", "de`co l"}
+    assert set(models) == set(classes)
+    # the backslash class must actually SEE its row: with default
+    # escapedStringLiterals=false a bare \ vanishes in the literal and the
+    # label never matches, leaving the all-zero-gradient initial weights
+    assert models["fr\\bs"] != [0.0] * len(models["fr\\bs"])
     pred = L.predict_lang(feat, models, pred_col="pred it's").collect()
     assert all(r["pred it's"] in models for r in pred)
+
+
+def test_train_lang_id_dim_mismatch_names_the_real_cause(spark):
+    """A features/dim mismatch must be diagnosed as such, not blamed on an
+    empty frame (the gradient shortfall fires in both cases)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.5], "en"), (2, [1.0, 0.2], "de")],
+        "doc_id long, x array<double>, lang string",
+    )
+    with pytest.raises(ValueError, match="dim mismatch"):
+        L.train_lang_id(df, ["en", "de"], dim=64, iterations=1, n=2)
 
 
 def test_train_lang_id_empty_features_with_explicit_n_raises(spark):
