@@ -211,6 +211,22 @@ _MINHASH_META_SCHEMA = (
 )
 
 
+def _minhash_meta_arrow_schema():
+    """pyarrow mirror of ``_MINHASH_META_SCHEMA`` for the driver-side
+    (meta_io) write/read of the one-row params file."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("shingle_n", pa.int32()),
+            ("num_hashes", pa.int32()),
+            ("bands", pa.int32()),
+            ("text_col", pa.string()),
+            ("key_col", pa.string()),
+        ]
+    )
+
+
 def write_minhash_index(
     path: str,
     df: DataFrame,
@@ -233,11 +249,28 @@ def write_minhash_index(
     params; ``{path}/index`` is the (key, band, band_hash) table
     ``partitionBy(band)`` — each band its own directory, the banded-join
     layout.  At 100 TB the meta row is driver metadata and the index write
-    is a normal partitioned parquet job."""
+    is a normal partitioned parquet job — so the meta row is written
+    DRIVER-SIDE (operators/meta_io.py) when the path is local, with the
+    Spark write as the non-local fallback (same contract as the PQ model
+    row)."""
+    import pyarrow as pa
+
+    from fs2_kinesis_firehose_spark.operators import meta_io
+
     spark = df.sparkSession
-    spark.createDataFrame(
-        [(shingle_n, num_hashes, bands, text_col, key_col)], _MINHASH_META_SCHEMA
-    ).coalesce(1).write.mode(mode).parquet(f"{path}/meta")
+    meta_row = {
+        "shingle_n": shingle_n,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "text_col": text_col,
+        "key_col": key_col,
+    }
+    table = pa.Table.from_pylist([meta_row], schema=_minhash_meta_arrow_schema())
+    if not meta_io.write_meta_rows(f"{path}/meta", table, mode=mode):
+        spark.createDataFrame(
+            [(shingle_n, num_hashes, bands, text_col, key_col)],
+            _MINHASH_META_SCHEMA,
+        ).coalesce(1).write.mode(mode).parquet(f"{path}/meta")
     idx = band_hashes(
         df, text_col, key_col,
         shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
@@ -269,14 +302,27 @@ def append_minhash_index(spark, path: str, df: DataFrame) -> None:
 
 
 def read_minhash_index(spark, path: str):
-    """Load a persisted MinHash index: ``(meta_dict, index_df)``."""
-    rows = spark.read.schema(_MINHASH_META_SCHEMA).parquet(f"{path}/meta").collect()
-    if len(rows) != 1:
+    """Load a persisted MinHash index: ``(meta_dict, index_df)``.  The
+    meta row is read driver-side when local (no Spark job for KB
+    metadata; either engine's files); Spark read is the non-local
+    fallback."""
+    from fs2_kinesis_firehose_spark.operators import meta_io
+
+    metas = meta_io.read_meta_rows(
+        f"{path}/meta", schema=_minhash_meta_arrow_schema()
+    )
+    if metas is None:
+        metas = [
+            r.asDict()
+            for r in spark.read.schema(_MINHASH_META_SCHEMA)
+            .parquet(f"{path}/meta")
+            .collect()
+        ]
+    if len(metas) != 1:
         raise ValueError(
-            f"expected exactly one meta row at {path}/meta, got {len(rows)}"
+            f"expected exactly one meta row at {path}/meta, got {len(metas)}"
         )
-    meta = rows[0].asDict()
-    return meta, spark.read.parquet(f"{path}/index")
+    return metas[0], spark.read.parquet(f"{path}/index")
 
 
 def verify_jaccard(

@@ -591,15 +591,18 @@ def k_core(
     # query oracle unrolls the same number of peel rounds — the budgets
     # must agree, not be off by one)
     for i in range(max_rounds + 1):
-        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("core_deg"))
-        # checkpoint the fringe: it is consumed by the isEmpty fixpoint test
-        # AND both anti-joins of the next round — without the pin each round
-        # would run its degree aggregate twice
-        peel = (
-            deg.where(F.col("core_deg") < k)
-            .select("a")
+        # checkpoint the DEGREE table, not the fringe: every consumer —
+        # the isEmpty fixpoint test, both anti-joins (via the peel
+        # filter, a narrow map over the pinned rows), and the converged
+        # round's RETURN — then shares one materialization.  Pinning only
+        # the fringe left the final round's full edge aggregate to be
+        # recomputed by the caller's first action on the result.
+        deg = (
+            e.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
             .localCheckpoint(eager=False)
         )
+        peel = deg.where(F.col("core_deg") < k).select("a")
         if peel.isEmpty():
             return deg.select(F.col("a").alias("node"), "core_deg")
         if i == max_rounds:
@@ -662,6 +665,13 @@ def hits(
     h = nodes.withColumn("h", F.lit(1.0))
     a = None
     for _ in range(iterations):
+        # NOTE: a_raw/h_raw are deliberately NOT checkpointed even though
+        # each is referenced twice per half-step (broadcast max aggregate
+        # + normalize join): both references end in the SAME exchange, so
+        # ReusedExchange already dedupes the superstep join+agg within
+        # the plan.  A lazy checkpoint here was A/B'd (r14): identical
+        # task counts, +77% stages (166 vs 94 — the materialization
+        # boundaries), i.e. pure scheduling overhead.
         a_raw = (
             e_src.join(h, e_src["src"] == h["node"])
             .groupBy(e_src["dst"].alias("node"))

@@ -571,6 +571,24 @@ _MODEL_SCHEMA = (
 )
 
 
+def _model_arrow_schema():
+    """The pyarrow mirror of ``_MODEL_SCHEMA`` — one source of truth for
+    the driver-side (meta_io) write/read of the model row, so a file
+    written by either engine reads back with identical types."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("m", pa.int32()),
+            ("k", pa.int32()),
+            ("sub", pa.int32()),
+            ("dim", pa.int32()),
+            ("codebooks", pa.list_(pa.list_(pa.list_(pa.float64())))),
+            ("centroids", pa.list_(pa.list_(pa.float64()))),
+        ]
+    )
+
+
 def write_pq_index(
     path: str,
     model: dict,
@@ -601,7 +619,11 @@ def write_pq_index(
       rescoring should be served from the index itself.
 
     At 100 TB the model row is KB-scale driver metadata while the codes
-    write is a normal partitioned parquet job — no collect anywhere."""
+    write is a normal partitioned parquet job — no collect anywhere.  The
+    model row is written DRIVER-SIDE (operators/meta_io.py) when the path
+    is local: the driver already holds the codebooks, so a Spark job for
+    the KB file is a pure scheduler round-trip; non-local URIs fall back
+    to the Spark write (bit-exact either way — parquet DOUBLE)."""
     spark = codes.sparkSession
     cents = (
         [[float(x) for x in c] for c in centroids]
@@ -617,9 +639,18 @@ def write_pq_index(
         books,
         cents,
     )
-    spark.createDataFrame([row], _MODEL_SCHEMA).coalesce(1).write.mode(mode).parquet(
-        f"{path}/model"
+    import pyarrow as pa
+
+    from fs2_kinesis_firehose_spark.operators import meta_io
+
+    table = pa.Table.from_pylist(
+        [dict(zip(("m", "k", "sub", "dim", "codebooks", "centroids"), row))],
+        schema=_model_arrow_schema(),
     )
+    if not meta_io.write_meta_rows(f"{path}/model", table, mode=mode):
+        spark.createDataFrame([row], _MODEL_SCHEMA).coalesce(1).write.mode(
+            mode
+        ).parquet(f"{path}/model")
     writer = codes.write.mode(mode)
     if cell_col is not None:
         if cell_col not in codes.columns:
@@ -695,11 +726,23 @@ def read_pq_index(spark, path: str):
     ``pq_topk`` / ``pq_rescored_topk`` / ``ivf_pq_rescored_topk``), and
     reloaded scores are bit-identical to in-session ones (parquet DOUBLE
     roundtrip is exact).  The codes read is lazy — with a partitioned
-    (inverted-list) layout, downstream cell filters prune partitions."""
-    mrow = spark.read.schema(_MODEL_SCHEMA).parquet(f"{path}/model").collect()
-    if len(mrow) != 1:
-        raise ValueError(f"expected exactly one model row at {path}/model, got {len(mrow)}")
-    r = mrow[0]
+    (inverted-list) layout, downstream cell filters prune partitions.
+    The model row is read DRIVER-SIDE (operators/meta_io.py) when local —
+    no Spark job for KB metadata; reads files written by either engine —
+    with the Spark read as the non-local fallback."""
+    from fs2_kinesis_firehose_spark.operators import meta_io
+
+    rows = meta_io.read_meta_rows(f"{path}/model", schema=_model_arrow_schema())
+    if rows is None:
+        rows = [
+            r.asDict()
+            for r in spark.read.schema(_MODEL_SCHEMA)
+            .parquet(f"{path}/model")
+            .collect()
+        ]
+    if len(rows) != 1:
+        raise ValueError(f"expected exactly one model row at {path}/model, got {len(rows)}")
+    r = rows[0]
     model = {
         "m": r["m"],
         "k": r["k"],

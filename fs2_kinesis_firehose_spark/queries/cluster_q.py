@@ -833,13 +833,29 @@ def streaming_ann_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     model2, codes2, cents2 = PQ.read_pq_index(spark, idx_dir)
 
     # the query feed: 3 lowest-vec_id embeddings, ONE FILE EACH so
-    # maxFilesPerTrigger=1 serves them in 3 separate micro-batches
+    # maxFilesPerTrigger=1 serves them in 3 separate micro-batches.
+    # The feed rows are already ON the driver (one collect) — each file
+    # is written driver-side with pyarrow instead of burning a Spark job
+    # per single-row createDataFrame write (3 scheduler round-trips for
+    # ~100 bytes each); float32 values round-trip exactly.
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
     qrows = emb.orderBy("vec_id").limit(3).select("vec_id", "embedding").collect()
     qschema = emb.select("vec_id", "embedding").schema
-    for row in qrows:
-        spark.createDataFrame([row], qschema).coalesce(1).write.mode(
-            "append"
-        ).parquet(q_dir)
+    feed_schema = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+    )
+    os.makedirs(q_dir, exist_ok=True)
+    for i, row in enumerate(qrows):
+        papq.write_table(
+            pa.Table.from_pylist(
+                [{"vec_id": int(row["vec_id"]),
+                  "embedding": [float(x) for x in row["embedding"]]}],
+                schema=feed_schema,
+            ),
+            os.path.join(q_dir, f"q-{i:04d}.parquet"),
+        )
 
     def serve(batch: DataFrame, batch_id: int) -> None:
         # ≤ batch-size QUERY rows reach the driver (never corpus data);
