@@ -361,11 +361,15 @@ def _ensure_pq_index(spark, sf_dir: str):
         shutil.rmtree(root)
     emb = load_table(spark, sf_dir, "embeddings")
     cents = S.seeded_centroids(_DIM, _IVF_CELLS, seed=7, scale=0.125)
+    head_rows = (
+        emb.orderBy("vec_id").limit(_PQ_K).select("vec_id", "embedding").collect()
+    )
     model = PQ.pq_fit(
         emb, vec_col="embedding", key_col="vec_id",
         dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS,
+        init_vectors=[[float(x) for x in r["embedding"]] for r in head_rows],
     )
-    enc = S.ivf_assign(PQ.pq_encode(emb, model), cents)
+    enc = PQ.pq_encode(emb, model, centroids=cents)
     PQ.write_pq_index(
         str(root), model,
         enc.select("vec_id", "embedding", "pq_code", "ivf_cell"),
@@ -374,7 +378,7 @@ def _ensure_pq_index(spark, sf_dir: str):
     model2, codes2, cents2 = PQ.read_pq_index(spark, str(root))
     qrows = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.orderBy("vec_id").limit(3).select("vec_id", "embedding").collect()
+        for r in head_rows[:3]
     ]
     _SERVE_STATE[sf_dir] = (model2, codes2, cents2, qrows)
     return _SERVE_STATE[sf_dir]

@@ -52,5 +52,12 @@ def scale(a: Column, factor: Column) -> Column:
 def literal_vector(values: list[float]) -> Column:
     """A query vector as a foldable literal array (constant-folded by
     Catalyst, shipped once with the plan — the broadcast-free way to compare
-    every row against one probe vector)."""
-    return F.array(*[F.lit(float(v)) for v in values])
+    every row against one probe vector).
+
+    ONE ``Literal(ArrayData)`` node instead of a dim-wide ``CreateArray``
+    of scalar lits (r14): bit-identical values (pinned hex-for-hex), but a
+    64-dim vector stops costing 64 ``F.lit`` py4j round-trips at plan
+    BUILD and 64 extra nodes through every Catalyst phase — the dim-
+    expanded dot chains referencing it still constant-fold their
+    ``element_at(lit, i)`` terms to the same scalar literals."""
+    return F.lit([float(v) for v in values])

@@ -88,6 +88,7 @@ def pq_fit(
     k: int = 16,
     iterations: int = 2,
     round_to: int = 9,
+    init_vectors: list | None = None,
 ) -> dict:
     """Train the m per-subspace codebooks.  Returns
     ``{"m", "k", "sub", "dim", "codebooks": m × k × (dim/m) floats}``.
@@ -100,7 +101,13 @@ def pq_fit(
     aggregate (m·k·sub rows — metadata).  The sequential path is
     1 + m·iterations·2 Spark jobs (25 at m=8, iterations=2: the dominant
     cost of every fit-inclusive PQ bench line); fused is 1 + iterations·2.
-    At 100 TB the corpus is scanned iterations times, not m·iterations."""
+    At 100 TB the corpus is scanned iterations times, not m·iterations.
+
+    ``init_vectors``: the first-k-by-``key_col`` vectors, if the caller
+    already collected them (the query paths fetch the query vector(s)
+    from the same ordered head — ONE TakeOrdered job serves both, r14);
+    must equal what ``df.orderBy(key_col).limit(k)`` returns or the fit
+    is garbage — every full-replay oracle re-proves it."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     if iterations < 1:
@@ -111,10 +118,14 @@ def pq_fit(
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     sub = dim // m
-    init = df.orderBy(key_col).limit(k).select(vec_col).collect()
+    if init_vectors is None:
+        init = df.orderBy(key_col).limit(k).select(vec_col).collect()
+        init = [r[0] for r in init]
+    else:
+        init = list(init_vectors)[:k]
     if len(init) < k:
         raise ValueError(f"need at least k={k} rows, got {len(init)}")
-    full = [[float(x) for x in r[0]] for r in init]
+    full = [[float(x) for x in r] for r in init]
     books = [[row[j * sub : (j + 1) * sub] for row in full] for j in range(m)]
 
     cl_cols = [f"_c{j}" for j in range(m)]
@@ -182,13 +193,26 @@ def pq_encode(
     *,
     vec_col: str = "embedding",
     out_col: str = "pq_code",
+    centroids=None,
+    cell_col: str = "ivf_cell",
 ) -> DataFrame:
     """Append ``out_col`` = array<int> of length m (the per-subspace
     argmin-centroid codes) — ONE mapInPandas pass computing all m GEMM
     argmins per Arrow batch (same |c|²−2·v·c rule and first-min np.argmin
     tie-break as ``ivf_assign_blas``, which the r13-fused version
     replaces: m chained passes cost m Python-worker hops per batch), no
-    shuffle, codes bit-identical to the chained form by construction."""
+    shuffle, codes bit-identical to the chained form by construction.
+
+    ``centroids`` (optional): ALSO append ``cell_col`` = the coarse IVF
+    argmin cell in the SAME pass — one GEMM more per batch instead of a
+    second full Python round-trip (and the interpreted-HOF ``ivf_assign``
+    it replaced cost ~1 s per use at sf0.1: 16 centroids × 64-dim
+    sequential folds per row, never codegen'd — see
+    ``similarity._centroid_dist_exprs`` for why).  Cells are bit-identical
+    to ``ivf_assign_blas`` (same |c|²−2·v·c GEMM, same np.argmin first-min
+    tie-break), which is fixture-exact vs the HOF ``ivf_assign`` reference
+    (tests/test_semdedup.py) — and every oracle that replays the cell
+    assignment re-proves it per run."""
     if "ivf_cell" in df.columns:
         # kept for pipeline-shape compatibility: the coarse ivf_assign
         # appends ivf_cell, and every call site encodes BEFORE assigning
@@ -204,10 +228,16 @@ def pq_encode(
     m, sub = model["m"], model["sub"]
     C = [np.asarray(model["codebooks"][j], dtype=np.float64) for j in range(m)]
     c2 = [np.einsum("ij,ij->i", Cj, Cj) for Cj in C]
-    fields = df.schema.fieldNames()
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, ArrayType(IntegerType()))]
-    )
+    Civf = None
+    if centroids is not None:
+        Civf = np.asarray(centroids, dtype=np.float64)
+        civf2 = np.einsum("ij,ij->i", Civf, Civf)
+    out_fields = list(df.schema.fields) + [
+        StructField(out_col, ArrayType(IntegerType()))
+    ]
+    if Civf is not None:
+        out_fields.append(StructField(cell_col, IntegerType()))
+    out_schema = StructType(out_fields)
 
     def encode(batches):
         for pdf in batches:
@@ -219,9 +249,18 @@ def pq_encode(
                     d = c2[j][None, :] - 2.0 * (Xj @ C[j].T)
                     codes[:, j] = d.argmin(axis=1)
                 pdf = pdf.assign(**{out_col: list(codes)})
+                if Civf is not None:
+                    dc = civf2[None, :] - 2.0 * (X @ Civf.T)
+                    pdf = pdf.assign(
+                        **{cell_col: dc.argmin(axis=1).astype("int32")}
+                    )
             else:
                 pdf = pdf.assign(**{out_col: pd.Series([], dtype=object)})
-            yield pdf[fields + [out_col]]
+                if Civf is not None:
+                    pdf = pdf.assign(
+                        **{cell_col: pd.Series([], dtype="int32")}
+                    )
+            yield pdf[out_schema.fieldNames()]
 
     return df.mapInPandas(encode, out_schema)
 
@@ -310,7 +349,7 @@ def pq_adc_scores(
     term: Column | None = None
     for j, row in enumerate(lut):
         t = F.element_at(
-            F.array(*[F.lit(float(v)) for v in row]),
+            F.lit([float(v) for v in row]),  # one Literal node per subspace
             F.element_at(F.col(code_col), j + 1) + 1,
         )
         term = t if term is None else term + t
@@ -367,10 +406,19 @@ def pq_rescored_topk(
     rows — no shuffle, no Python) and a second TakeOrderedAndProject to
     ``k``.  Exact terms are sequential-fold-shaped (``V.dot`` ≡ SQL
     ``list_inner_product``), so the rescore restates bit-for-bit.
+    The rescore dots use the HOF fold form (``V.dot`` without ``dim``):
+    it evaluates interpreted, but ONLY over the ``candidates``-scale rows
+    (the post-limit shortlist), while the dim-expanded chain costs
+    ~6·dim Column constructions + a ~6·dim-node tree through every
+    Catalyst phase PER PLAN BUILD — measured as the dominant serve-path
+    cost at small scale and pure overhead at any scale (r14).  Fold order
+    is identical (left-to-right; the HOF's leading ``0.0 +`` can only
+    flip the sign of a zero, which the a − 2·b + c composition never
+    surfaces), so scores stay bit-equal — same contract the kmeans/IVF
+    oracles already rely on.
     Returns ``(key_col, l2_dist)``."""
     from fs2_kinesis_firehose_spark.functions import vectors as V
 
-    dim = model["dim"]
     cand = (
         pq_adc_scores(df, model, query, code_col=code_col, lut_mode=lut_mode)
         .select(
@@ -385,7 +433,7 @@ def pq_rescored_topk(
         q_sq += float(x) * float(x)
     v = F.col(vec_col)
     l2 = (
-        V.dot(v, v, dim) - F.lit(2.0) * V.dot(v, qlit, dim)
+        V.dot(v, v) - F.lit(2.0) * V.dot(v, qlit)
     ) + F.lit(q_sq)
     return (
         cand.select(key_col, F.round(l2, round_to).alias("l2_dist"))
@@ -510,7 +558,7 @@ def ivf_pq_rescored_topk_multi(
         raise ValueError("queries must be non-empty")
     _check_reserved(df, ("_qid", "_cell", "_lut", "_qv", "_qsq", "_adc", "_rn"))
     spark = df.sparkSession
-    m, dim = model["m"], model["dim"]
+    m = model["m"]
 
     probe_rows = []  # one row per (query, probed cell)
     qvec_rows = []  # one row per query: vector + |q|² for the rescore
@@ -548,8 +596,11 @@ def ivf_pq_rescored_topk_multi(
         .select("_qid", key_col)
     )
 
+    # HOF-fold dots (bit-equal, candidate-scale rows only — see
+    # pq_rescored_topk): the dim-expanded chain put ~12·dim expression
+    # nodes through Catalyst PER MICRO-BATCH in the serving path
     v = F.col(vec_col)
-    l2 = V.dot(v, v, dim) - F.lit(2.0) * V.dot(v, F.col("_qv"), dim) + F.col("_qsq")
+    l2 = V.dot(v, v) - F.lit(2.0) * V.dot(v, F.col("_qv")) + F.col("_qsq")
     rescored = (
         pool.select(key_col, vec_col)
         .join(F.broadcast(cand), key_col)
@@ -774,9 +825,10 @@ def ivf_residual(
     metadata); the subtraction runs in double (float→double is exact), so
     a SQL oracle computing ``v[i] − c[i]`` on the CAST(DOUBLE) vectors
     lands bit-identically."""
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    # ONE nested Literal node, not 16×64 CreateArray lits: bit-identical
+    # (hex-pinned in tests/test_vectors_lit.py) and ~0.5 s less driver-side
+    # plan build per call (r14)
+    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
     c_row = F.element_at(cent_lit, F.col(cell_col) + 1)
     return df.withColumn(
         out_col,
@@ -866,7 +918,7 @@ def ivf_pq_residual_rescored_topk(
             term: Column | None = None
             for j, row in enumerate(lut):
                 t = F.element_at(
-                    F.array(*[F.lit(float(v)) for v in row]),
+                    F.lit([float(v) for v in row]),
                     F.element_at(F.col(code_col), j + 1) + 1,
                 )
                 term = t if term is None else term + t
@@ -888,7 +940,9 @@ def ivf_pq_residual_rescored_topk(
     for x in query:
         q_sq += float(x) * float(x)
     v = F.col(vec_col)
-    l2 = (V.dot(v, v, dim) - F.lit(2.0) * V.dot(v, qlit, dim)) + F.lit(q_sq)
+    # HOF-fold dots: bit-equal, candidate-scale rows only (see
+    # pq_rescored_topk)
+    l2 = (V.dot(v, v) - F.lit(2.0) * V.dot(v, qlit)) + F.lit(q_sq)
     return (
         cand.select(key_col, F.round(l2, round_to).alias("l2_dist"))
         .orderBy(F.asc("l2_dist"), F.asc(key_col))

@@ -199,15 +199,25 @@ def _pq_oracle() -> str:
     """
 
 
+def _ordered_head_vectors(emb, n: int) -> list[list[float]]:
+    """First ``n`` embedding vectors by vec_id — ONE TakeOrdered job that
+    serves BOTH the pq_fit init (first-k rule) and the query vector(s)
+    (lowest-vec_id probes), instead of two separate ordered collects over
+    the same table (r14)."""
+    rows = emb.orderBy("vec_id").limit(n).select("embedding").collect()
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
 def _pq_adc_topk(spark: SparkSession, sf_dir: str, lut_mode: str) -> DataFrame:
     from fs2_kinesis_firehose_spark.operators import pq as PQ
 
     emb = load_table(spark, sf_dir, "embeddings")
+    head = _ordered_head_vectors(emb, _PQ_K)
     model = PQ.pq_fit(
         emb, vec_col="embedding", key_col="vec_id",
-        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS,
+        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS, init_vectors=head,
     )
-    q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    q = head[0]
     enc = PQ.pq_encode(emb, model)
     return PQ.pq_topk(enc, model, q, 10, key_col="vec_id", lut_mode=lut_mode)
 
@@ -389,12 +399,13 @@ def ivf_pq_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = S.seeded_centroids(_DIM, _IVF_CELLS, seed=7, scale=0.125)
+    head = _ordered_head_vectors(emb, _PQ_K)
     model = PQ.pq_fit(
         emb, vec_col="embedding", key_col="vec_id",
-        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS,
+        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS, init_vectors=head,
     )
-    q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
-    enc = S.ivf_assign(PQ.pq_encode(emb, model), cents)
+    q = head[0]
+    enc = PQ.pq_encode(emb, model, centroids=cents)
     return PQ.ivf_pq_rescored_topk(
         enc, cents, model, q, 10, nprobe=_IVF_NPROBE, candidates=_PQ_CAND
     )
@@ -435,11 +446,12 @@ def ivf_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = S.seeded_centroids(_DIM, _IVF_CELLS, seed=7, scale=0.125)
+    head = _ordered_head_vectors(emb, _PQ_K)
     model = PQ.pq_fit(
         emb, vec_col="embedding", key_col="vec_id",
-        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS,
+        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS, init_vectors=head,
     )
-    enc = S.ivf_assign(PQ.pq_encode(emb, model), cents)
+    enc = PQ.pq_encode(emb, model, centroids=cents)
     PQ.write_pq_index(
         str(root),
         model,
@@ -449,7 +461,7 @@ def ivf_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     model2, codes2, cents2 = PQ.read_pq_index(spark, str(root))
-    q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    q = head[0]
     return PQ.ivf_pq_rescored_topk(
         codes2, cents2, model2, q, 10, nprobe=_IVF_NPROBE, candidates=_PQ_CAND
     )
@@ -468,11 +480,12 @@ def pq_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fs2_kinesis_firehose_spark.operators import pq as PQ
 
     emb = load_table(spark, sf_dir, "embeddings")
+    head = _ordered_head_vectors(emb, _PQ_K)
     model = PQ.pq_fit(
         emb, vec_col="embedding", key_col="vec_id",
-        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS,
+        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS, init_vectors=head,
     )
-    q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    q = head[0]
     enc = PQ.pq_encode(emb, model)
     return PQ.pq_rescored_topk(enc, model, q, 10, candidates=_PQ_CAND)
 
@@ -579,7 +592,7 @@ def _residual_ivfadc(spark: SparkSession, sf_dir: str, lut_mode: str) -> DataFra
     cents = S.seeded_centroids(_DIM, _IVF_CELLS, seed=7, scale=0.125)
     q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
 
-    assigned = S.ivf_assign(emb, cents)
+    assigned = S.ivf_assign_blas(emb, cents)
     with_res = PQ.ivf_residual(assigned, cents).localCheckpoint(eager=False)
     model = PQ.pq_fit(
         with_res, vec_col="residual", key_col="vec_id",
@@ -756,7 +769,7 @@ def ivf_pq_append_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, vec_col="embedding", key_col="vec_id",
         dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS,
     )
-    enc = S.ivf_assign(PQ.pq_encode(base, model), cents)
+    enc = PQ.pq_encode(base, model, centroids=cents)
     PQ.write_pq_index(
         str(root),
         model,
@@ -765,7 +778,7 @@ def ivf_pq_append_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=cents,
     )
     PQ.append_pq_index(
-        spark, str(root), growth.select("vec_id", "embedding")
+        spark, str(root), growth.select("vec_id", "embedding"), blas=True
     )
 
     model2, codes2, cents2 = PQ.read_pq_index(spark, str(root))
@@ -820,11 +833,17 @@ def streaming_ann_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = S.seeded_centroids(_DIM, _IVF_CELLS, seed=7, scale=0.125)
+    # ONE ordered collect serves the fit init (first-k rule) AND the
+    # 3-query feed below (lowest-vec_id probes) — r14
+    head_rows = (
+        emb.orderBy("vec_id").limit(_PQ_K).select("vec_id", "embedding").collect()
+    )
+    head = [[float(x) for x in r["embedding"]] for r in head_rows]
     model = PQ.pq_fit(
         emb, vec_col="embedding", key_col="vec_id",
-        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS,
+        dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS, init_vectors=head,
     )
-    enc = S.ivf_assign(PQ.pq_encode(emb, model), cents)
+    enc = PQ.pq_encode(emb, model, centroids=cents)
     PQ.write_pq_index(
         idx_dir, model,
         enc.select("vec_id", "embedding", "pq_code", "ivf_cell"),
@@ -841,7 +860,7 @@ def streaming_ann_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.parquet as papq
 
-    qrows = emb.orderBy("vec_id").limit(3).select("vec_id", "embedding").collect()
+    qrows = head_rows[:3]
     qschema = emb.select("vec_id", "embedding").schema
     feed_schema = pa.schema(
         [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]

@@ -597,7 +597,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with identical literal centroids and fold order."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = S.seeded_centroids(64, 16, seed=7, scale=0.125)
-    assigned = S.ivf_assign(emb, cents)
+    assigned = S.ivf_assign_blas(emb, cents)
     return S.ivf_topk(assigned, cents, _query_vector(spark, sf_dir), k=10, nprobe=4)
 
 
@@ -2810,15 +2810,16 @@ def cluster_balanced_sample_counts(spark: SparkSession, sf_dir: str) -> DataFram
     of embedding space stop dominating the sample while sparse regions are
     kept whole.  ``kept_id_sum`` pins WHICH vectors survive each cell.
 
-    Plan: the codegen'd cell assignment fuses into the scan, then ONE
-    window shuffle on the cell key + one aggregate — the same shape as the
-    per-domain cap, reused on a learned grouping instead of a natural
-    key."""
+    Plan: the cell assignment is one GEMM per Arrow batch over the scan
+    (``ivf_assign_blas`` — argmin-identical to the interpreted-HOF
+    reference, fixture-pinned), then ONE window shuffle on the cell key +
+    one aggregate — the same shape as the per-domain cap, reused on a
+    learned grouping instead of a natural key."""
     from fs2_kinesis_firehose_spark.operators.curation import group_cap_sample
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = S.seeded_centroids(64, 16, seed=7, scale=0.125)
-    assigned = S.ivf_assign(emb, cents).select("vec_id", "ivf_cell")
+    assigned = S.ivf_assign_blas(emb, cents).select("vec_id", "ivf_cell")
     flagged = group_cap_sample(
         assigned, "ivf_cell", "vec_id", cap=20, salt="bal", keep_col="_keep"
     )

@@ -711,3 +711,28 @@ def test_append_index_validates_columns(spark, tmp_path):
             spark, path,
             df.select(F.col("vec_id").alias("other_key"), "embedding"),
         )
+
+
+def test_fused_encode_assign_bit_equals_sequential(spark):
+    """pq_encode(centroids=...) — the ONE-pass encode+coarse-assign the
+    index-build queries run — must be bit-identical to the sequential
+    pq_encode → ivf_assign (interpreted-HOF reference) composition: same
+    codes, same cells, for every row.  Pins the r14 fusion (one Python
+    round-trip instead of two, GEMM instead of per-row HOF folds)."""
+    from fs2_kinesis_firehose_spark.operators import similarity as S
+
+    rng = np.random.default_rng(23)
+    X = rng.normal(0, 1, (200, 16))
+    df = _emb_df(spark, X)
+    model = PQ.pq_fit(df, vec_col="embedding", dim=16, m=4, k=8, iterations=2)
+    cents = S.seeded_centroids(16, 6, seed=7, scale=0.5)
+
+    fused = {
+        r["vec_id"]: (list(r["pq_code"]), r["ivf_cell"])
+        for r in PQ.pq_encode(df, model, centroids=cents).collect()
+    }
+    seq = {
+        r["vec_id"]: (list(r["pq_code"]), r["ivf_cell"])
+        for r in S.ivf_assign(PQ.pq_encode(df, model), cents).collect()
+    }
+    assert fused == seq
