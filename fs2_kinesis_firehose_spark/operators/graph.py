@@ -304,17 +304,31 @@ _PEEL_MIN_FRINGE_FRAC = 0.02
 
 def _peel_fringes(
     und: DataFrame, deg: DataFrame, rounds: int = 2
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, int]:
     """Gated degree-< 2 peel: each round first folds the (node-sized,
-    already-checkpointed) degree table down to ``(n_nodes, n_fringe)`` and
-    peels only when the fringe clears ``_PEEL_MIN_FRINGE_FRAC`` — so a
-    fringe-free graph pays one driver fold and ZERO extra joins.  Returns
-    the (possibly peeled) edge list AND its matching degree table so the
-    caller reuses the final degree aggregate instead of recomputing it."""
-    for _ in range(rounds):
-        n_nodes, n_fringe = deg.agg(
-            F.count(F.lit(1)), F.count_if(F.col("deg") < 2)
+    already-checkpointed) degree table down to ``(n_nodes, n_fringe,
+    wedge_ub)`` and peels only when the fringe clears
+    ``_PEEL_MIN_FRINGE_FRAC`` — so a fringe-free graph pays one driver
+    fold and ZERO extra joins.  Returns the (possibly peeled) edge list,
+    its matching degree table (so the caller reuses the final degree
+    aggregate instead of recomputing it), AND the unoriented wedge upper
+    bound Σ_v C(deg,2) of the FINAL degree table — the caller's
+    partition-floor gate rides the same fold instead of paying a second
+    sequential driver round-trip on the identical table (r14: the gate
+    folds are driver-BLOCKING jobs that serialize before the main action,
+    so each one saved is wall-clock off every triangle call)."""
+    wedge_ub: int | None = None
+
+    def fold(d: DataFrame) -> tuple[int, int, int]:
+        row = d.agg(
+            F.count(F.lit(1)),
+            F.count_if(F.col("deg") < 2),
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2),
         ).first()
+        return row[0], row[1], int(row[2] or 0)
+
+    for _ in range(rounds):
+        n_nodes, n_fringe, wedge_ub = fold(deg)
         if n_nodes == 0 or n_fringe < _PEEL_MIN_FRINGE_FRAC * n_nodes:
             break
         keep = deg.where(F.col("deg") >= 2).select("node")
@@ -324,14 +338,17 @@ def _peel_fringes(
             .localCheckpoint(eager=False)  # consumed by next round / 3 legs
         )
         deg = _degrees(und).localCheckpoint(eager=False)
-    return und, deg
+        wedge_ub = None  # stale: computed on the pre-peel degree table
+    if wedge_ub is None:  # every allowed round peeled (or rounds == 0)
+        wedge_ub = fold(deg)[2]
+    return und, deg, wedge_ub
 
 
 def _prune_low_degree(und: DataFrame, rounds: int = 2) -> DataFrame:
     """Peeled edge list alone (test/utility view of ``_peel_fringes``)."""
     und = und.localCheckpoint(eager=False)
     deg = _degrees(und).localCheckpoint(eager=False)
-    return _peel_fringes(und, deg, rounds)[0]
+    return _peel_fringes(und, deg, rounds)[0]  # wedge_ub unused here
 
 
 # Wedge-exchange sizing (see _oriented_triangles): ~40 B per wedge row
@@ -357,7 +374,7 @@ def _oriented_triangles(und: DataFrame) -> DataFrame:
     orientation needs anyway — no extra joins, no extra scans."""
     und = und.localCheckpoint(eager=False)  # shared: gate fold + 3 plan legs
     deg = _degrees(und).localCheckpoint(eager=False)
-    und, deg = _peel_fringes(und, deg)
+    und, deg, wedge_ub = _peel_fringes(und, deg)
     # orient by (deg, id) total order; carry the dst rank for wedge ordering
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
@@ -387,10 +404,12 @@ def _oriented_triangles(und: DataFrame) -> DataFrame:
     # enough partitions that each holds ~_WEDGE_TARGET_BYTES.  On small
     # graphs the floor stays below the session default and no explicit
     # exchange is added (the join shuffles as before).  The exact count
-    # job is itself gated behind Σ_v C(deg,2) — a FREE upper bound folded
-    # from the degree table this function already holds (oriented wedges
-    # ≤ unoriented wedges) — so graphs that cannot trigger the floor pay
-    # zero extra jobs.
+    # job is itself gated behind Σ_v C(deg,2) — a FREE upper bound
+    # (oriented wedges ≤ unoriented wedges) that rides the peel-gate fold
+    # on the degree table this function already holds (r14: the two folds
+    # were sequential driver-blocking jobs over the SAME table; merged,
+    # graphs that cannot trigger the floor pay zero extra jobs beyond the
+    # single gate fold).
     spark = oriented.sparkSession
     try:
         session_parts = int(
@@ -399,9 +418,6 @@ def _oriented_triangles(und: DataFrame) -> DataFrame:
     except ValueError:  # e.g. "auto" under AQE auto-optimized shuffle
         session_parts = spark.sparkContext.defaultParallelism
     floor_cutoff = session_parts * _WEDGE_TARGET_BYTES // _WEDGE_ROW_BYTES
-    wedge_ub = (
-        deg.agg(F.sum(F.col("deg") * (F.col("deg") - 1) / 2)).first()[0] or 0
-    )
     if wedge_ub > floor_cutoff:
         n_wedges = (
             oriented.groupBy("src")

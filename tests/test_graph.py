@@ -144,6 +144,44 @@ def test_triangle_prune_star_to_nothing_clique_untouched(spark):
     assert got == {(a, b) for a in range(4) for b in range(4) if a < b}
 
 
+def test_peel_fringes_wedge_ub_matches_final_degrees(spark):
+    """_peel_fringes returns the wedge upper bound Σ_v C(deg,2) of the
+    FINAL degree table it hands back (r14: the partition-floor gate rides
+    the peel-gate fold instead of a second sequential driver job) — in
+    both the no-peel case and the case where rounds actually peel."""
+    from fs2_kinesis_firehose_spark.operators.graph import (
+        _canonical_undirected,
+        _degrees,
+        _peel_fringes,
+    )
+    from pyspark.sql import functions as F
+
+    def check(edges):
+        und = _canonical_undirected(
+            spark.createDataFrame(edges, "src long, dst long"), "src", "dst"
+        ).localCheckpoint(eager=False)
+        deg = _degrees(und).localCheckpoint(eager=False)
+        und2, deg2, wedge_ub = _peel_fringes(und, deg)
+        expect = int(
+            deg2.agg(
+                F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+            ).first()[0]
+            or 0
+        )
+        assert wedge_ub == expect
+
+    # no-peel: K4 is fringe-free (one gate fold, bound from that fold)
+    check([(a, b) for a in range(4) for b in range(4) if a < b])
+    # peel: K4 + pendant path — two rounds trim the tail, so the bound
+    # must be recomputed on the post-peel degrees, not the stale fold
+    check(
+        [(a, b) for a in range(4) for b in range(4) if a < b]
+        + [(3, 4), (4, 5), (5, 6), (6, 7)]
+    )
+    # fully-peeling graph: a star empties; bound must be 0, not stale
+    check([(0, i) for i in range(1, 8)])
+
+
 def test_triangles_clique_with_pendant_tail(spark):
     """Cascading fringe: K4 plus a 3-edge pendant path — the path peels
     away round by round (4-5-6-7: 7 is deg 1, then 6, then 5) and the
