@@ -194,6 +194,35 @@ def _probe_side(
     )
 
 
+def _probe_row_factor(k: int, boundaries: list[tuple[int, int]] | None) -> int:
+    """Static count of probe rows emitted per distinct value (the explode
+    width before the NULL-window filter) — mirrors the enumeration in
+    ``_probe_side`` so the parallelism floor can size the probe exchange
+    without touching the data."""
+    if boundaries is not None:
+        return sum(
+            1
+            for st, _ln in boundaries
+            for shift in range(-k, k + 1)
+            if st + shift >= 0
+        )
+    return sum(
+        1
+        for dl in range(-k, k + 1)
+        for _i in range(k + 1)
+        for sh in range(-k, k + 1)
+        if -((k - (-dl)) // 2) <= sh <= (k + (-dl)) // 2
+    )
+
+
+# Target reduce-partition size for the probe-parallelism floor below: the
+# floor engages only when the byte-estimated probe exchange would land
+# UNDER defaultParallelism partitions of this size — i.e. exactly the
+# regime where AQE's byte-based coalescing under-parallelizes the
+# CPU-bound verify.  Module-level so tests can pin both gate directions.
+_PROBE_FLOOR_TARGET_BYTES = 128 * 1024 * 1024
+
+
 def _short_string_candidates(df: DataFrame, text_col: str, key_col: str, k: int) -> DataFrame:
     """Pairs whose smaller-key member is < k+1 chars (unpartitionable).
     Any qualifying partner is ≤ (k+1-1)+k = 2k chars, so both sides are
@@ -443,6 +472,34 @@ def editdist_pair_counts(
     )
     index = _index_side(gk, text_col, "_vkey", k, boundaries)
     probe = _probe_side(gk, text_col, "_vkey", k, boundaries)
+    # --- probe-parallelism floor (r14) ---
+    # The segment join EXPANDS: verify CPU is proportional to candidate
+    # PAIRS, not to input bytes, so byte-based sizing (AQE coalescing, or
+    # the 1-partition value-collapse output feeding the broadcast-probe
+    # stage) serializes the Levenshtein verify whenever the distinct-value
+    # table is physically small — measured 8.8 s -> 1.8 s at sf0.1 on 32
+    # cores (the verify ran on 1-2 tasks).  ONE stats fold over the
+    # checkpointed value table (which the fold also materializes for the
+    # three legs that reuse it) estimates the probe exchange's bytes from
+    # the STATIC per-value explode width; when that lands under
+    # defaultParallelism 128 MB-target partitions, the probe side is
+    # pinned to defaultParallelism on the JOIN KEYS — REPARTITION_BY_NUM
+    # is AQE-stable, and under a sort-merge fallback (index side too big
+    # to broadcast) it IS the join's own exchange, so the floor re-sizes
+    # an exchange that exists anyway rather than adding one.  At scale the
+    # estimate clears the gate and the plan is untouched — the same
+    # both-directions gating contract as the triangles wedge floor.
+    stats = g.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.length(F.col(text_col))).alias("_len"),
+    ).first()
+    n_vals = int(stats["_n"] or 0)
+    if n_vals:
+        per_row = float(stats["_len"] or 0.0) * (1.0 + 1.0 / (k + 1)) + 48.0
+        est_bytes = n_vals * _probe_row_factor(k, boundaries) * per_row
+        dp = df.sparkSession.sparkContext.defaultParallelism
+        if -(-int(est_bytes) // _PROBE_FLOOR_TARGET_BYTES) < dp:
+            probe = probe.repartition(dp, "seg_idx", "seg")
     ed = F.levenshtein(F.col("txt1"), F.col("txt2"), k)
     keep = _first_match_keep(k, boundaries)
     w = (F.col("key1")["c"] * F.col("key2")["c"]).cast("long")

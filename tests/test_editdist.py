@@ -290,3 +290,39 @@ def test_counts_null_key_also_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="duplicated or NULL key_col"):
         editdist_pair_counts(df, "s", "key", k=1).collect()
+
+
+def test_probe_parallelism_floor_gates_both_directions(spark, monkeypatch):
+    """r14: the segment join EXPANDS (verify CPU ~ candidate pairs, not
+    input bytes), so when the byte-estimated probe exchange lands under
+    defaultParallelism 128 MB-target partitions the probe side is pinned
+    to defaultParallelism on the join keys (REPARTITION_BY_NUM — AQE
+    cannot re-coalesce it); when the estimate clears the gate (the
+    at-scale regime) the plan is untouched.  Counts are identical in both
+    gate states."""
+    import re
+
+    from fs2_kinesis_firehose_spark.operators import editdist as E
+
+    df = spark.createDataFrame([Row(key=i, s=f"unit#{i:09d}") for i in range(80)])
+    dp = spark.sparkContext.defaultParallelism
+
+    def plan(frame):
+        return frame._jdf.queryExecution().executedPlan().toString()
+
+    small = editdist_pair_counts(df, "s", "key", k=1)
+    floored_plan = plan(small)
+    m = re.search(
+        r"Exchange hashpartitioning\(seg_idx[^)]*seg[^)]*,\s*(\d+)\), REPARTITION_BY_NUM",
+        floored_plan,
+    )
+    assert m is not None, "probe floor exchange missing on a tiny corpus"
+    assert int(m.group(1)) == dp
+    floored_rows = {(r.edit_dist, r.n_pairs) for r in small.collect()}
+
+    # force the estimate over the gate (as if the probe side were huge):
+    # the floor must stand down and leave sizing to byte-based AQE
+    monkeypatch.setattr(E, "_PROBE_FLOOR_TARGET_BYTES", 1)
+    big = editdist_pair_counts(df, "s", "key", k=1)
+    assert "REPARTITION_BY_NUM" not in plan(big)
+    assert {(r.edit_dist, r.n_pairs) for r in big.collect()} == floored_rows
