@@ -38,7 +38,39 @@ __all__ = [
     "logreg_score",
     "classifier_eval",
     "feature_hash_bucket",
+    "training_parallelism_floor",
 ]
+
+# Target partition size for the training parallelism floor below.  The
+# gradient loops are bit-reproducible across partitionings BY DESIGN
+# (per-row contributions quantized to integers, summed exactly), so the
+# floor is free to lift a byte-tiny features frame to defaultParallelism
+# without moving a single bit of the result.  Module-level so tests can
+# pin both gate directions.
+_TRAIN_FLOOR_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def training_parallelism_floor(features: DataFrame, n: int, d1: int) -> DataFrame:
+    """r14 parallelism floor for the GD training loops: the features frame
+    is typically an AQE-coalesced aggregate output (or a single-file scan)
+    — physically 1-2 partitions at small input — while each iteration's
+    per-row work (sigmoid dots, contribution rounding; for the fused
+    lang-id trainer interpreted higher-order functions) is CPU-bound, so
+    byte-based sizing serializes the whole training loop onto one task.
+    When the byte-estimated frame ((dim+1) doubles + row overhead per row)
+    lands under ``defaultParallelism`` 128 MB-target partitions AND the
+    frame physically has fewer partitions than that, repartition to
+    ``defaultParallelism``; otherwise (the at-scale regime) leave sizing
+    alone.  Output-identical by the integer-gradient contract above."""
+    spark = features.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    est_bytes = n * (d1 * 8 + 56)
+    if (
+        -(-est_bytes // _TRAIN_FLOOR_TARGET_BYTES) < dp
+        and features.rdd.getNumPartitions() < dp
+    ):
+        return features.repartition(dp)
+    return features
 
 
 def feature_hash_bucket(token, dim: int, salt: str = "qc"):
@@ -136,6 +168,14 @@ def logreg_train(
         raise ValueError("cannot train on an empty features DataFrame")
     s = float(1 << scale_bits)
     d1 = dim + 1
+    # NOTE (r14, measured): training_parallelism_floor was A/B'd here and
+    # REJECTED — this loop's per-row work is pure codegen (sigmoid dot +
+    # round), cheap enough that 12 iterations of extra exchange + wide-
+    # stage scheduling cost more than the parallelism saves (paired
+    # interleaved A/B at sf0.1: floor-on med 4.32 s / min 4.22 vs
+    # floor-off med 4.17 / min 3.77).  The fused lang-id trainer, whose
+    # per-row work is INTERPRETED higher-order functions, keeps the floor
+    # (med 9.3 vs 11.5 s) — see langid.train_lang_id.
     w = [0.0] * d1
     for _ in range(iterations):
         # each iteration is TWO selectExpr string calls, not ~250 Column

@@ -158,6 +158,15 @@ def train_lang_id(
     spark = features.sparkSession
     s = float(1 << scale_bits)
     d1 = dim + 1
+    # r14: lift a byte-tiny (AQE-coalesced) features frame to default
+    # parallelism — the interpreted zip_with/aggregate dot products and
+    # the contribution transform otherwise run the whole loop on 1 task;
+    # bit-identical by the integer-gradient contract (classifier.py).
+    from fs2_kinesis_firehose_spark.operators.classifier import (
+        training_parallelism_floor,
+    )
+
+    features = training_parallelism_floor(features, n, d1)
     w: dict[str, list[float]] = {cls: [0.0] * d1 for cls in classes}
     # Weights travel as broadcast DATA (a 1-row array<array<double>>
     # relation, the repo's 1-row crossJoin idiom), NOT as plan literals:

@@ -183,3 +183,29 @@ def test_train_lang_id_empty_features_with_explicit_n_raises(spark):
     )
     with pytest.raises(ValueError, match="empty or fully length-filtered"):
         L.train_lang_id(empty, ["en", "de"], iterations=1, n=5)
+
+
+def test_training_parallelism_floor_gates_both_directions(spark, monkeypatch):
+    """r14: train_lang_id lifts a byte-tiny features frame to
+    defaultParallelism (the interpreted HOF per-row work otherwise runs
+    the whole loop on 1-2 tasks) and stands down when the byte estimate
+    clears the gate; weights are bit-identical in both states (the
+    integer-gradient contract)."""
+    from fs2_kinesis_firehose_spark.operators import classifier as C
+
+    df = _corpus_df(spark)
+    feat = (
+        L.char_ngram_features(df, label_col="lang")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    dp = spark.sparkContext.defaultParallelism
+    floored = C.training_parallelism_floor(feat, 16, 65)
+    assert floored.rdd.getNumPartitions() == dp
+    monkeypatch.setattr(C, "_TRAIN_FLOOR_TARGET_BYTES", 1)
+    unfloored = C.training_parallelism_floor(feat, 16, 65)
+    assert unfloored is feat  # gate closed: frame untouched
+    w_on = L.train_lang_id(feat, ["de", "en"], iterations=4, n=16)
+    monkeypatch.undo()
+    w_off = L.train_lang_id(feat, ["de", "en"], iterations=4, n=16)
+    assert w_on == w_off
