@@ -64,80 +64,67 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 WINDOW_EXEMPT: dict[str, str] = {}
 
 _WINDOW_PRIORITY: list[str] = [
-    # --- r14 window (scripts/window_rotation.py --changed <the ten
-    # PQ-family names>; r13 rows folded into verified_green.json —
-    # r13 swept 50/50 green).  An evidence-freshness round per the r13
-    # verdict: no new queries, the surface is complete at 159/159.
-    # (1) heads with the TEN queries whose fit path changed in r13
-    # addendum 3 (fused multi-subspace pq_fit: one corpus pass per
-    # iteration instead of m) AFTER their newest driver rows were
-    # recorded (r10-r12) — bit-equality with the sequential path is
-    # pytest-pinned, but the strongest evidence is a driver row against
-    # the shipped code.
-    # (2) ONE never-green addition leads: streaming_left_outer_attribution
-    # (the r13 verdict's missing #3 — the stream-stream LEFT OUTER join
-    # with state-timeout NULL emission, full row-set oracle).
-    # (3) THREE r14-changed-output queries (the r13-advisory fixes):
-    # the tagged NULL-key encoding permutes group_cap_sample's kept sets,
-    # so domain_cap_sample_counts / cluster_balanced_sample_counts now
-    # emit different kept_id_sums than their r13 driver rows, and
-    # streaming_late_data_accounting's oracle expectation changed — their
-    # stale evidence must be re-earned this round.
-    # (4) fills the remaining 36 slots with oldest-evidence rotations:
-    # all 15 remaining r8-stale names (closing the r8 backlog entirely —
-    # after this window every registered query is r10+ fresh), then 21
-    # of the r10 block (name-ascending).
-    "streaming_left_outer_attribution",
-    "pq_adc_topk",
-    "pq_adc_bcast_topk",
-    "pq_rescored_topk",
-    "ivf_pq_rescored_topk",
-    "ivf_pq_residual_rescored_topk",
-    "ivf_pq_residual_bcast_topk",
-    "ivf_pq_persisted_topk",
-    "ivf_pq_append_serve_topk",
-    "streaming_ann_serving_topk",
-    "ivf_topk",
-    "domain_cap_sample_counts",
-    "cluster_balanced_sample_counts",
-    "streaming_late_data_accounting",
-    "pagerank_top_sources",
-    "parts_never_ordered",
-    "pmi_collocations_topk",
-    "segment_count_distinct",
-    "snapshot_upsert_accounting",
-    "streaming_heavy_hitter_bigrams",
-    "streaming_hll_cardinality",
-    "streaming_kll_doclen_quantiles",
-    "streaming_progress_rollup",
-    "streaming_quality_gate_accounting",
-    "streaming_tumbling_counts",
-    "text_format_roundtrip_counts",
-    "tfidf_doc_keywords",
-    "top_orders_per_customer",
-    "tpch_q10_returned_items",
-    "ann_recall_at_k",
-    "bloom_semijoin_revenue",
-    "cohort_retention_matrix",
-    "cosine_topk_bruteforce",
-    "count_min_bigram_estimates",
-    "curation_funnel_counts",
-    "customer_order_left_join",
-    "doc_chunk_stats",
-    "dsir_importance_weights",
-    "event_type_pivot",
-    "events_props_functions",
-    "exactly_once_replay_counts",
-    "firehose_delivery_accounting",
-    "heavy_hitter_bigrams",
-    "hourly_daily_event_rollup",
-    "hybrid_rrf_topk",
-    "incremental_mv_refresh_accounting",
-    "interval_join_incident_counts",
-    "kinesis_roundtrip_counts",
-    "kll_doclen_quantiles",
-    "lm_perplexity_scores",
+    # --- r15 window (scripts/window_rotation.py, no --changed: this round
+    # changes no query outputs).  r14 rows folded into verified_green.json
+    # (r14 swept 50/50 green; streaming_left_outer_attribution earned its
+    # first row).  Zero never-green and zero changed-output names, so all
+    # 50 slots are oldest-evidence rotations: the 20 remaining r10-stale
+    # names (the 17 listed in the PLANS.md handoff plus the 3 displaced by
+    # the r14 self-review window fix), then 30 of the r11 block
+    # (name-ascending).  After this window sweeps green every registered
+    # query is r11+ fresh.
+    "minhash_lsh_pairs",
+    "quality_classifier_accounting",
+    "streaming_upsert_accounting",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "trailing_7d_customer_revenue",
+    "weighted_sample_docs",
+    "winnow_coverage_check",
+    "winnow_fingerprint_overlap",
+    "ann_lsh_topk",
+    "ann_ranking_metrics_at_k",
+    "approx_triangle_estimate",
+    "asof_join_latest_order",
+    "asof_tolerance_accounting",
+    "bloom_index_pruning_stats",
+    "compaction_accounting",
+    "editdist_neardup_counts",
+    "firehose_ordered_delivery_accounting",
+    "hilbert_pruning_stats",
+    "hits_copurchase_scores",
+    "image_dhash_neardup_pairs",
+    "multimodal_png_roundtrip_stats",
+    "nation_balance_unpivot",
+    "near_dedup_clusters_distributed",
+    "normalized_dedup_stats",
+    "order_rank_family_stats",
+    "part_copurchase_kcore",
+    "part_copurchase_triangles",
+    "pca_embedding_variance",
+    "ppr_seed_sources",
+    "prefix_jaccard_pairs",
+    "pricing_summary",
+    "repeated_chunk_stats",
+    "salted_join_priority_revenue",
+    "scalar_string_date_math",
+    "scd2_multi_tick_accounting",
+    "semantic_dedup_survivors",
+    "seq_concat_pack_stats",
+    "simhash_neardup_pairs",
 ]
+
 
 
 def load_all() -> None:
