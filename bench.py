@@ -486,17 +486,26 @@ def main() -> None:
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_query_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    print(line)
+    # ALSO persist the line to a file next to this script (r14 verdict ask
+    # #7: the r13 round comparison was nulled by a truncated stdout capture
+    # on the driver side — rc=0 and the printed contract are unchanged;
+    # this is an addition outside every timed region, never a replacement).
+    try:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_out.json")
+        with open(out, "w") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:  # a read-only checkout must never sink the bench
+        print(f"  BENCH_out.json write skipped: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

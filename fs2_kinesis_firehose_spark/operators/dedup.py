@@ -485,8 +485,18 @@ def connected_components(
     - larger: alternating large-star/small-star contraction
       (``_star_contraction_components``) — O(log n) shuffle rounds
       independent of cluster diameter, no driver collect.
-    """
-    n_edges = pairs.count()
+
+    The edge projection is materialized ONCE (eager localCheckpoint) before
+    the threshold count: the upstream pair pipeline is typically the
+    expensive LSH-candidate + exact-verify joins, and the previous
+    count-then-iterate shape re-executed it for the count AND again for
+    whichever branch consumed the edges (plus ``toLocalIterator``'s
+    job-per-partition fetch on the driver path).  Now the pipeline runs
+    once, the count is a cached-RDD count, and the driver path fetches the
+    ≤ ``driver_threshold``-row edge list with ONE ``collect`` job (bounded
+    by the same threshold that justifies the driver branch)."""
+    edges = pairs.select(key1, key2).localCheckpoint(eager=True)
+    n_edges = edges.count()
     if n_edges <= driver_threshold:
         parent: dict = {}
 
@@ -498,8 +508,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in pairs.select(key1, key2).toLocalIterator():
-            a, b = row[0], row[1]
+        for a, b in edges.collect():
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -509,7 +518,7 @@ def connected_components(
                 parent[hi] = lo
         rows = [(k, find(k)) for k in parent]
         return pairs.sparkSession.createDataFrame(rows, f"key {_key_ddl(pairs, key1)}, component {_key_ddl(pairs, key1)}")
-    return _star_contraction_components(pairs, key1, key2, max_iter)
+    return _star_contraction_components(edges, key1, key2, max_iter)
 
 
 def near_dedup_minhash(

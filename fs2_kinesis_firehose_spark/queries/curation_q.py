@@ -435,13 +435,19 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = C.deterministic_split(
         near, "doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
     )
+    # n_near and n_train fold into ONE aggregate over the split frame
+    # (split is a 1:1 projection of the near survivors, so count(*) over it
+    # IS n_near): one branch fewer re-deriving the near anti-join lineage,
+    # one crossJoin fewer (guide §2.1 — fewer passes/shuffles, same values).
     return (
         docs.agg(F.count(F.lit(1)).alias("n_total"))
         .crossJoin(quality.agg(F.count(F.lit(1)).alias("n_quality")))
         .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
-        .crossJoin(near.agg(F.count(F.lit(1)).alias("n_near")))
         .crossJoin(
-            split.filter(F.col("split") == "train").agg(F.count(F.lit(1)).alias("n_train"))
+            split.agg(
+                F.count(F.lit(1)).alias("n_near"),
+                F.count(F.when(F.col("split") == "train", F.lit(1))).alias("n_train"),
+            )
         )
     )
 

@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fs2_kinesis_firehose_spark.queries import query
-from fs2_kinesis_firehose_spark.streaming.replay import replay_parquet, run_to_memory
+from fs2_kinesis_firehose_spark.streaming.replay import (
+    replay_parquet,
+    run_to_memory,
+    sized_state_partitions,
+)
 from fs2_kinesis_firehose_spark.streaming.windows import (
     session_counts,
     sliding_value_stats,
@@ -42,7 +46,11 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute tumbling event-time windows per event_type, via the real
     streaming engine (windows align to epoch, same as the oracle's floor)."""
     stream = replay_parquet(spark, sf_dir, "events")
-    return run_to_memory(tumbling_counts(stream), output_mode="complete")
+    return run_to_memory(
+        tumbling_counts(stream),
+        output_mode="complete",
+        state_partitions=sized_state_partitions(spark, sf_dir, "events"),
+    )
 
 
 @query(
@@ -63,7 +71,11 @@ def streaming_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20-minute windows sliding by 10 — every event lands in exactly 2
     windows; the oracle enumerates both slide phases."""
     stream = replay_parquet(spark, sf_dir, "events")
-    return run_to_memory(sliding_value_stats(stream), output_mode="complete")
+    return run_to_memory(
+        sliding_value_stats(stream),
+        output_mode="complete",
+        state_partitions=sized_state_partitions(spark, sf_dir, "events"),
+    )
 
 
 @query(
@@ -95,7 +107,11 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     state; the oracle is the classic gaps-and-islands rewrite.  A new session
     starts when the gap is ≥ the timeout (Spark session end is exclusive)."""
     stream = replay_parquet(spark, sf_dir, "events")
-    return run_to_memory(session_counts(stream), output_mode="complete")
+    return run_to_memory(
+        session_counts(stream),
+        output_mode="complete",
+        state_partitions=sized_state_partitions(spark, sf_dir, "events"),
+    )
 
 
 @query(
@@ -121,7 +137,9 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the three-phase replay."""
     stream = replay_parquet(spark, sf_dir, "events", copies=2)
     deduped = run_to_memory(
-        stream_dedup(stream, watermark="30 minutes"), output_mode="append"
+        stream_dedup(stream, watermark="30 minutes"),
+        output_mode="append",
+        state_partitions=sized_state_partitions(spark, sf_dir, "events", copies=2),
     )
     return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
 
@@ -201,7 +219,11 @@ def streaming_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy(F.window("ts", "10 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    sink, progress = run_to_memory_with_progress(agg, output_mode="append")
+    sink, progress = run_to_memory_with_progress(
+        agg,
+        output_mode="append",
+        state_partitions=sized_state_partitions(spark, sf_dir, "events"),
+    )
     dropped = sum(
         int(so.numRowsDroppedByWatermark) for p in progress for so in p.stateOperators
     )
@@ -241,7 +263,11 @@ def streaming_static_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    return run_to_memory(agg, output_mode="complete")
+    return run_to_memory(
+        agg,
+        output_mode="complete",
+        state_partitions=sized_state_partitions(spark, sf_dir, "events"),
+    )
 
 
 @query(
@@ -267,7 +293,11 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s1 = replay_parquet(spark, sf_dir, "events")
     s2 = replay_parquet(spark, sf_dir, "events")  # self-join needs 2 readers
-    return run_to_memory(attribution_join(s1, s2), output_mode="append")
+    return run_to_memory(
+        attribution_join(s1, s2),
+        output_mode="append",
+        state_partitions=sized_state_partitions(spark, sf_dir, "events", copies=2),
+    )
 
 
 @query(
@@ -320,7 +350,9 @@ def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
     s1 = replay_parquet(spark, sf_dir, "events")
     s2 = replay_parquet(spark, sf_dir, "events")
     return run_to_memory(
-        attribution_join(s1, s2, how="left_outer"), output_mode="append"
+        attribution_join(s1, s2, how="left_outer"),
+        output_mode="append",
+        state_partitions=sized_state_partitions(spark, sf_dir, "events", copies=2),
     )
 
 
@@ -343,7 +375,11 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     from fs2_kinesis_firehose_spark.streaming.stateful import running_user_stats
 
     stream = replay_parquet(spark, sf_dir, "events")
-    return run_to_memory(running_user_stats(stream), output_mode="update")
+    return run_to_memory(
+        running_user_stats(stream),
+        output_mode="update",
+        state_partitions=sized_state_partitions(spark, sf_dir, "events"),
+    )
 
 
 @query(
@@ -432,7 +468,11 @@ def streaming_progress_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected = load_table(spark, sf_dir, "events").count() * 3
     with ProgressCapture(spark) as cap:
         stream = replay_parquet(spark, sf_dir, "events", copies=3, max_files_per_trigger=1)
-        run_to_memory(tumbling_counts(stream), output_mode="complete")
+        run_to_memory(
+            tumbling_counts(stream),
+            output_mode="complete",
+            state_partitions=sized_state_partitions(spark, sf_dir, "events", copies=3),
+        )
         # listener delivery is async (event bus): awaitTermination returning
         # does NOT mean every progress event reached the Python listener —
         # wait until the captured input-row total covers the source.  On
