@@ -519,13 +519,25 @@ def hits_copurchase_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # The loop runs on LONG node ids (customer k → 2k, part k → 2k+1 — a
+    # bijection, the key spaces are disjoint by parity) and the prefixed
+    # strings are reconstructed only on the final |V|-row result: every
+    # shuffle in the fixed-point (edge distinct, the three partition pins,
+    # 2 message-delivery aggregates × 3 iterations, the superstep joins)
+    # then moves and hashes 8-byte longs instead of ~8-10-char strings
+    # (guide §2.3 "narrower types", provably safe).  Same groups, same
+    # sums, same output strings.
     edges = o.join(l, F.col("o_orderkey") == F.col("l_orderkey")).select(
-        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
     )
     scores = hits(edges, iterations=_HITS_ITER)
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c:"), F.expr("node DIV 2").cast("string")),
+    ).otherwise(F.concat(F.lit("p:"), F.expr("node DIV 2").cast("string")))
     return scores.select(
-        "node",
+        node_str.alias("node"),
         F.round("hub", 6).alias("hub"),
         F.round("authority", 6).alias("authority"),
     )

@@ -601,3 +601,42 @@ def test_wedge_partition_floor_gating(spark, monkeypatch):
     plan, got = plan_of()
     assert "REPARTITION_BY_NUM" in plan
     assert got == want  # partitioning never changes the counts
+
+
+def test_hits_copurchase_long_encoding_matches_string_keys(spark, sf_smoke):
+    """``hits_copurchase_scores`` runs the fixed-point on parity-encoded
+    LONG node ids (customer k -> 2k, part k -> 2k+1) and decodes back to
+    the ``c:<k>`` / ``p:<k>`` strings only on the final result.  The
+    encoding is a bijection onto disjoint key spaces, so the output must
+    be row-for-row identical to running hits() on the prefixed-string
+    edges directly — same groups, same sums, same rounding."""
+    from pyspark.sql import functions as F
+
+    from fs2_kinesis_firehose_spark.operators.graph import hits
+    from fs2_kinesis_firehose_spark.queries.graph_q import (
+        _HITS_ITER,
+        hits_copurchase_scores,
+    )
+    from fs2_kinesis_firehose_spark.tables import load_table
+
+    got = sorted(map(tuple, hits_copurchase_scores(spark, sf_smoke).collect()))
+
+    o = load_table(spark, sf_smoke, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_partkey")
+    string_edges = o.join(l, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            hits(string_edges, iterations=_HITS_ITER)
+            .select(
+                "node",
+                F.round("hub", 6).alias("hub"),
+                F.round("authority", 6).alias("authority"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
