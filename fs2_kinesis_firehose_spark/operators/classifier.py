@@ -146,6 +146,7 @@ def logreg_train(
     lr: float = 1.0,
     scale_bits: int = 12,
     n: int | None = None,
+    first_grads: list[int] | None = None,
 ) -> list[float]:
     """Full-batch gradient descent with exact integer gradient sums.
 
@@ -161,6 +162,17 @@ def logreg_train(
     skips one full ``count()`` scan of the features table, which at 100 TB
     is a whole extra pass; weights are bit-identical since ``n`` enters
     the update as the same exact integer either way.
+
+    Pass ``first_grads`` when the caller has ALREADY computed the w=0
+    first-iteration gradient integers (at w=0 the dot product is exactly
+    0.0, σ(0)=0.5, so ``grad_j = Σ round((0.5 − y)·x_j·2^s)`` — exp-free
+    and engine-exact; quality_classifier_accounting computes precisely
+    this row for its ``g1_checksum`` output).  Iteration 1 then reuses the
+    integers instead of re-aggregating them — one fewer full pass over the
+    features table — and the weight trajectory is bit-identical because
+    the same exact integers enter the same update arithmetic.  Only valid
+    for the zero initial-weight vector this trainer always starts from;
+    the integers must come from the identical rounding recipe.
     """
     if n is None:
         n = features.count()
@@ -176,8 +188,16 @@ def logreg_train(
     # floor-off med 4.17 / min 3.77).  The fused lang-id trainer, whose
     # per-row work is INTERPRETED higher-order functions, keeps the floor
     # (med 9.3 vs 11.5 s) — see langid.train_lang_id.
+    if first_grads is not None and len(first_grads) != d1:
+        raise ValueError(
+            f"first_grads must have dim+1={d1} entries, got {len(first_grads)}"
+        )
     w = [0.0] * d1
-    for _ in range(iterations):
+    for it in range(iterations):
+        if it == 0 and first_grads is not None:
+            gl = [int(g) for g in first_grads]
+            w = [w[j] - lr * gl[j] / (s * n) for j in range(d1)]
+            continue
         # each iteration is TWO selectExpr string calls, not ~250 Column
         # constructions: profiling showed ~0.5 s/iteration was py4j
         # expression building on the driver (exec itself is ~0.2 s warm) —

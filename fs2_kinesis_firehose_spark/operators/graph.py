@@ -24,6 +24,8 @@ the join plus the one irreducible message-delivery aggregate on dst.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -43,8 +45,46 @@ __all__ = [
 # edge side each iteration)
 _EXCHANGE_REUSE = True
 
+# Row quantum for the scale-adaptive pin sizing below.  Fixed-cost-vs-
+# divisible-compute optimum, same derivation as the streaming state-store
+# sizing (streaming/replay.py): every superstep stage over a pinned frame
+# pays a fixed per-task scheduling cost on EVERY partition of the pin
+# (AQE is off for the pin by necessity — see _pinned_by_key — so nothing
+# ever coalesces it), while the divisible compute shrinks with 1/n, giving
+# n* ∝ sqrt(rows).  The quantum was calibrated on the measured sf0.1
+# response curve (PLANS.md r15: pagerank/ppr/hits timed at 32/16/8/4
+# partitions — optimum 4-8 at ~600 K edges, flat into 16): 16 Ki rows
+# puts 600 K edges at n=7 and ~6 M (sf1) at n=20, and a cluster conf of
+# 2000 partitions binds from ~66 G edge rows — at true scale the session
+# conf is the pin size, exactly the pre-r15 behavior.
+_PIN_SQRT_ROWS = 16 * 1024
 
-def _pinned_by_key(df: DataFrame, key: str, enabled: bool = True) -> DataFrame:
+
+def _sized_pin_partitions(df: DataFrame) -> int:
+    """Scale-adaptive partition count for a superstep pin:
+    ``clamp(ceil(sqrt(rows / 16Ki)), 1, session shuffle partitions)``,
+    where ``rows`` is the exact count of the (lazily checkpointed) frame —
+    counting it materializes blocks the first superstep action would have
+    materialized anyway, so the sizing costs one cheap cached-count job.
+    ``spark.fs2kf.graph.pinPartitions`` overrides the derivation for
+    deployments that size the superstep width explicitly."""
+    spark = df.sparkSession
+    override = spark.conf.get("spark.fs2kf.graph.pinPartitions", None)
+    if override:
+        return max(1, int(override))
+    conf = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        cap = int(conf)
+    except ValueError:  # e.g. "auto" on some platforms
+        cap = spark.sparkContext.defaultParallelism
+    rows = df.count()
+    derived = math.isqrt(max(0, rows - 1) // _PIN_SQRT_ROWS) + 1
+    return max(1, min(cap, derived))
+
+
+def _pinned_by_key(
+    df: DataFrame, key: str, enabled: bool = True, partitions: int | None = None
+) -> DataFrame:
     """Hash-partition ``df`` by ``key``, sort within partitions, and pin
     BOTH through a lazy ``localCheckpoint`` — the one-time exchange every
     iterative superstep then REUSES: each iteration's ``join``/``groupBy``
@@ -73,12 +113,19 @@ def _pinned_by_key(df: DataFrame, key: str, enabled: bool = True) -> DataFrame:
     if not (enabled and _EXCHANGE_REUSE):
         return df.localCheckpoint(eager=False)
     spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # two-step: first truncate the (possibly expensive) upstream lineage
     # with a NORMAL checkpoint so its derivation keeps AQE, THEN compile
     # just the repartition+sort with AQE off — the conf flip must cover
     # only the plain pin shuffle, never the edge-derivation joins
     base = df.localCheckpoint(eager=False)
+    # r15: the pin width is sized from the pinned frame's own row count
+    # (sqrt rule, session conf as the upper bound) instead of inheriting
+    # the conf constant — AQE cannot coalesce the pin (it is compiled with
+    # AQE off, below), so a conf tuned for the at-scale regime left every
+    # tiny-graph superstep paying 32 sorted partitions per stage.  Results
+    # are partitioning-invariant by the operators' rounding/integer
+    # contracts (pinned in tests).
+    n = partitions if partitions is not None else _sized_pin_partitions(base)
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
@@ -668,9 +715,13 @@ def hits(
     # HITS alternates join keys (src for the authority step, dst for the
     # hub step), so ONE partitioning can't serve both — pin two copies,
     # each by its step's key; every iteration's edge-side exchange (and
-    # SMJ sort) is then reused instead of recomputed
-    e_src = _pinned_by_key(e, "src", reuse_exchange)
-    e_dst = _pinned_by_key(e, "dst", reuse_exchange)
+    # SMJ sort) is then reused instead of recomputed.  Both pins are of
+    # the SAME edge frame, so size once and share (one count job, not two).
+    n_pin = (
+        _sized_pin_partitions(e) if (reuse_exchange and _EXCHANGE_REUSE) else None
+    )
+    e_src = _pinned_by_key(e, "src", reuse_exchange, n_pin)
+    e_dst = _pinned_by_key(e, "dst", reuse_exchange, n_pin)
     nodes = _pinned_by_key(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

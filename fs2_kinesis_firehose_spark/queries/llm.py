@@ -2193,6 +2193,10 @@ def quality_classifier_accounting(spark: SparkSession, sf_dir: str) -> DataFrame
     w = logreg_train(
         feat, dim=_QC_DIM, iterations=_QC_ITERS, lr=_QC_LR, scale_bits=12,
         n=n,  # already counted above — skips logreg_train's count() scan
+        # the checksum row above IS iteration 1's w=0 gradient (σ(0)=0.5
+        # exactly, identical rounding recipe) — reuse it, saving one full
+        # aggregate pass over the features table (13 passes → 12)
+        first_grads=[g1[f"g{j}"] for j in range(_QC_DIM + 1)],
     )
     scored = logreg_score(feat, w)
     yh = (F.col("prob") >= 0.5).cast("int")

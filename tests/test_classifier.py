@@ -201,3 +201,37 @@ def test_known_n_skips_count_and_keeps_weights_bit_identical(feats):
 
     with pytest.raises(ValueError, match="empty"):
         logreg_train(feats, dim=DIM, iterations=1, n=0)
+
+
+def test_first_grads_keeps_weights_bit_identical(feats):
+    """`first_grads=` lets the caller hand in the w=0 first-iteration
+    gradient integers it already computed (quality_classifier_accounting's
+    g1_checksum row), skipping iteration 1's full aggregate pass; the same
+    exact integers enter the same update arithmetic, so the whole weight
+    trajectory must be BIT-identical to the self-computed run."""
+    from pyspark.sql import functions as F
+
+    s = float(1 << 12)
+    g1 = feats.agg(
+        *[
+            F.sum(
+                F.round(
+                    (F.lit(0.5) - F.col("label").cast("double"))
+                    * F.element_at(F.col("x"), j + 1)
+                    * s
+                ).cast("long")
+            ).alias(f"g{j}")
+            for j in range(DIM + 1)
+        ]
+    ).collect()[0]
+    w_plain = logreg_train(feats, dim=DIM, iterations=3, lr=4.0)
+    w_fused = logreg_train(
+        feats,
+        dim=DIM,
+        iterations=3,
+        lr=4.0,
+        first_grads=[g1[f"g{j}"] for j in range(DIM + 1)],
+    )
+    assert w_fused == w_plain
+    with pytest.raises(ValueError, match="first_grads"):
+        logreg_train(feats, dim=DIM, iterations=1, first_grads=[1, 2, 3])

@@ -523,32 +523,49 @@ def test_hits_validates_iterations(spark):
 def test_pagerank_superstep_reuses_edge_exchange(spark):
     """The r11 verdict's shared graph ask: the static edge list (and vertex
     table) is hash-partitioned ONCE (_pinned_by_key) so each iteration's
-    join reuses the exchange.  Pin: with broadcast disabled, a one-
-    iteration pagerank plan contains exactly ONE hash exchange — the
-    irreducible message-delivery aggregate on dst — and the superstep
-    join's edge side is a bare pinned scan (no Exchange, no Sort)."""
+    join reuses the exchange.  Two regimes since the r15 pin sizing:
+
+    - At-scale shape (pin width == session conf, forced here via the
+      override): with broadcast disabled, a one-iteration pagerank plan
+      contains exactly ONE hash exchange — the irreducible
+      message-delivery aggregate on dst; the superstep join's edge side
+      is a bare pinned scan (no Exchange, no Sort).
+    - Sized default (tiny graph -> pin width 1 < conf): the rank-vector
+      side re-aligns to the pin with ONE extra |V|-row exchange on node —
+      the deliberate small-scale trade (measured net win, PLANS.md r15) —
+      but the EDGE side still never reshuffles (no src exchange)."""
     import re
 
     from pyspark.sql import functions as F
 
     from fs2_kinesis_firehose_spark.operators.graph import pagerank
 
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        e = spark.range(500).select(
-            (F.col("id") % 53).alias("src"), ((F.col("id") * 7) % 61).alias("dst")
-        )
-        # checkpoint_every=2 keeps the single iteration's lineage visible
-        pr = pagerank(e, iterations=1, checkpoint_every=2)
-        plan = pr._jdf.queryExecution().executedPlan().toString()
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([a-zA-Z_]+)", plan)
-    assert hash_exchanges == ["dst"], (
+    def plan_exchanges(pin_override: str | None) -> list[str]:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        if pin_override is not None:
+            spark.conf.set("spark.fs2kf.graph.pinPartitions", pin_override)
+        try:
+            e = spark.range(500).select(
+                (F.col("id") % 53).alias("src"), ((F.col("id") * 7) % 61).alias("dst")
+            )
+            # checkpoint_every=2 keeps the single iteration's lineage visible
+            pr = pagerank(e, iterations=1, checkpoint_every=2)
+            plan = pr._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            if pin_override is not None:
+                spark.conf.unset("spark.fs2kf.graph.pinPartitions")
+        return re.findall(r"Exchange hashpartitioning\(([a-zA-Z_]+)", plan)
+
+    at_scale = plan_exchanges(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert at_scale == ["dst"], (
         "expected exactly the groupBy(dst) message-delivery exchange, got "
-        f"{hash_exchanges}:\n{plan}"
+        f"{at_scale}"
     )
+    sized = plan_exchanges(None)
+    assert "src" not in sized, f"edge side reshuffled: {sized}"
+    assert [x for x in sized if x != "node"] == ["dst"], sized
 
 
 def test_pinned_by_key_preserves_partitioning_and_order(spark):
@@ -640,3 +657,50 @@ def test_hits_copurchase_long_encoding_matches_string_keys(spark, sf_smoke):
         )
     )
     assert got == want
+
+
+def test_pin_partition_sizing_derivation_and_override(spark, monkeypatch):
+    """_sized_pin_partitions: sqrt-of-rows derivation with the session
+    shuffle-partition conf as the UPPER bound (at-scale behavior is the
+    conf, exactly pre-r15), floor 1 on tiny frames, and the explicit
+    production override conf wins over the derivation."""
+    import fs2_kinesis_firehose_spark.operators.graph as G
+
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tiny = spark.range(10).selectExpr("id as src", "id + 1 as dst")
+    assert G._sized_pin_partitions(tiny) == 1  # 10 rows << quantum
+
+    # quantum of 1 row: derivation exceeds the conf -> clamped to it
+    monkeypatch.setattr(G, "_PIN_SQRT_ROWS", 1)
+    big = spark.range(cap * cap * 4).selectExpr("id as src")
+    assert G._sized_pin_partitions(big) == cap
+
+    spark.conf.set("spark.fs2kf.graph.pinPartitions", "3")
+    try:
+        assert G._sized_pin_partitions(tiny) == 3
+    finally:
+        spark.conf.unset("spark.fs2kf.graph.pinPartitions")
+
+
+def test_pin_width_never_changes_graph_results(spark):
+    """Superstep results are partitioning-invariant (the operators round /
+    integer-quantize every cross-partition sum), so pinning at width 1 vs
+    the session conf must give row-identical pagerank AND hits output."""
+    from fs2_kinesis_firehose_spark.operators.graph import hits, pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 23, (i * 7 + 1) % 23) for i in range(300)], "src long, dst long"
+    )
+    outs = {}
+    for width in ("1", None):
+        if width is None:
+            spark.conf.unset("spark.fs2kf.graph.pinPartitions")
+        else:
+            spark.conf.set("spark.fs2kf.graph.pinPartitions", width)
+        try:
+            pr = sorted(map(tuple, pagerank(edges, iterations=3).collect()))
+            ht = sorted(map(tuple, hits(edges, iterations=2).collect()))
+            outs[width] = (pr, ht)
+        finally:
+            spark.conf.unset("spark.fs2kf.graph.pinPartitions")
+    assert outs["1"] == outs[None]
